@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Reference lifecycle parity: SessionContext (`core/src/execution/context/mod.rs:574`)
+→ here a configured SparkSession; every stage of the reference's query
+lifecycle (SURVEY §3) is inherited from Catalyst/Tungsten.
+
+Confs are chosen for the dual target: correctness tests on local[N] and
+plans that survive a 1000-executor / 100 TB deployment:
+
+- AQE on (runtime re-plan, skew-join handling, partition coalescing) —
+  subsumes the reference's JoinSelection / CoalesceBatches physical rules.
+- Arrow on — the reference's columnar RecordBatch data path equivalent
+  for any Python-boundary crossing.
+- shuffle.partitions sized by env (cores locally; a cluster deploy would
+  raise it or rely on AQE coalescing from a high initial value).
+- session timezone pinned UTC so results are stable against the DuckDB
+  oracle and across cluster nodes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "rust-query-engine-greatest-spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    local[N] for tests; on a real cluster the master/deploy confs come
+    from spark-submit and everything below still applies.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # Read parquet TIMESTAMP(NANOS) (events table) instead of erroring;
+        # values truncate to micros, the documented policy (SURVEY §1.2).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

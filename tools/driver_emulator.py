@@ -1,0 +1,110 @@
+"""Emulates the driver's verify pass against __spark_entry__.py:
+
+1. smoke: entry(spark) runs and yields >=0 rows with a stable schema
+2. correctness: for each queries()[name], run the Spark DF at sf0.01 and
+   the oracle_sql()[name] in DuckDB over the same tables; compare
+   row-count, column names, and an order-insensitive value hash.
+
+Usage: python tools/driver_emulator.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from rust_query_engine_greatest_spark.session import get_spark  # noqa: E402
+from rust_query_engine_greatest_spark.sources.catalog import TABLES  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def norm_cell(v):
+    import datetime
+    import decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9)) if v == round(v, 9) else repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    spark = get_spark(app_name="driver-emulator", cpus=8)
+    df = entrymod.entry(spark)
+    n = len(df.collect())
+    print(f"smoke entry(): OK rows={n} schema={[f.name for f in df.schema.fields]}")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for name in sorted(qs):
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"weak {name}: rows-only rows={len(srows)}")
+            n_weak += 1
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = rel.columns
+            drows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        ok_cols = sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols)
+        sh = value_hash(scols, srows)
+        dh = value_hash(dcols, drows)
+        ok = ok_cols and len(srows) == len(drows) and sh == dh
+        status = "PASS" if ok else "FAIL"
+        if ok:
+            n_pass += 1
+        else:
+            n_fail += 1
+        print(
+            f"{status} {name}: rows {len(srows)}/{len(drows)} cols_match={ok_cols} "
+            f"hash {sh}{'==' if sh == dh else '!='}{dh}"
+        )
+    print(f"\ntotal: pass={n_pass} weak={n_weak} fail={n_fail}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
