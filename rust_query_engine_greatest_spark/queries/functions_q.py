@@ -1,4 +1,429 @@
-"""Scalar/aggregate function surface queries (SURVEY §2.8, §1.3) —
-populated incrementally; includes the flagship `greatest` parity query."""
+"""Scalar/aggregate function surface (SURVEY §2.8 + §1.3 `greatest`).
+
+The greatest_* queries prove the reference's own contribution contract
+(functions-nested/src/greatest.rs:64-115, tests/greatest_test.py):
+NULL-skipping per-row max, all-NULL → NULL, NaN-greater-than-any,
+common-wider-type coercion — differentially against DuckDB (whose
+GREATEST has the same Spark-aligned semantics, verified in tests).
+
+func_* queries sweep the §2.8 registry rows that have exact DuckDB
+equivalents; engine-divergent functions (libm transcendentals, approx
+sketches) are covered in tests/test_functions.py with tolerances
+instead, and approx sketches get rows-only driver checks.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import compat
+from ..sources.catalog import load_table
+from .base import register
+
+NAN = "CAST('nan' AS DOUBLE)"
+
+
+# --------------------------------------------------------------------------
+@register(
+    "greatest_numeric",
+    """
+    SELECT l_orderkey, l_linenumber,
+           greatest(l_quantity, l_extendedprice / 100, nullif(l_discount, 0.0) * 100)
+             AS g
+    FROM lineitem
+    """,
+    tags=("greatest", "functions"),
+)
+def greatest_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row max over doubles with injected NULLs — greatest.rs:261-278
+    (filter_map over valid slots)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        compat.greatest(
+            F.col("l_quantity"),
+            F.col("l_extendedprice") / 100,
+            F.nullif(F.col("l_discount"), F.lit(0.0)) * 100,
+        ).alias("g"),
+    )
+
+
+@register(
+    "greatest_allnull",
+    """
+    SELECT l_orderkey, l_linenumber,
+           greatest(nullif(l_quantity, l_quantity),
+                    nullif(l_extendedprice, l_extendedprice)) AS g
+    FROM lineitem
+    """,
+    tags=("greatest", "functions"),
+)
+def greatest_allnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-NULL row → NULL (greatest.rs tests :906-945)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    null_d = F.nullif(F.col("l_quantity"), F.col("l_quantity"))
+    null_e = F.nullif(F.col("l_extendedprice"), F.col("l_extendedprice"))
+    return l.select("l_orderkey", "l_linenumber", compat.greatest(null_d, null_e).alias("g"))
+
+
+@register(
+    "greatest_nan",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           greatest(CASE WHEN l_quantity > 25 THEN {NAN} ELSE l_discount END,
+                    l_tax, 2.0) AS g
+    FROM lineitem
+    """,
+    tags=("greatest", "functions"),
+)
+def greatest_nan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaN is greater than any number — Spark semantics, not IEEE
+    (greatest.rs:370-384, PySpark cross-check greatest_test.py:130-148)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    nanified = F.when(F.col("l_quantity") > 25, F.lit(float("nan"))).otherwise(F.col("l_discount"))
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        compat.greatest(nanified, F.col("l_tax"), F.lit(2.0)).alias("g"),
+    )
+
+
+@register(
+    "greatest_string_temporal",
+    """
+    SELECT o_orderkey,
+           greatest(o_orderstatus, o_orderpriority, 'M')            AS g_str,
+           greatest(o_orderdate, TIMESTAMP '1998-01-01 00:00:00',
+                    o_orderdate + INTERVAL 400 DAY)                 AS g_ts
+    FROM orders
+    """,
+    tags=("greatest", "functions"),
+)
+def greatest_string_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Utf8 ordering (greatest.rs:804-876) and temporal coercion
+    (greatest.rs:878-902; date+timestamp → timestamp)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        compat.greatest(F.col("o_orderstatus"), F.col("o_orderpriority"), F.lit("M")).alias("g_str"),
+        compat.greatest(
+            F.col("o_orderdate"),
+            F.lit("1998-01-01 00:00:00").cast("timestamp"),
+            F.col("o_orderdate") + F.expr("INTERVAL 400 DAYS"),
+        ).alias("g_ts"),
+    )
+
+
+@register(
+    "greatest_coercion",
+    """
+    SELECT l_orderkey, l_linenumber,
+           greatest(l_linenumber, l_suppkey, l_quantity) AS g_num,
+           greatest(l_partkey, l_orderkey)               AS g_int
+    FROM lineitem
+    """,
+    tags=("greatest", "functions"),
+)
+def greatest_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type coercion to common wider type: int32+int64+double → double,
+    int64+int64 → int64 (greatest.rs:84-101 return_type; Float64
+    dominates)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        compat.greatest(F.col("l_linenumber"), F.col("l_suppkey"), F.col("l_quantity")).alias("g_num"),
+        compat.greatest(F.col("l_partkey"), F.col("l_orderkey")).alias("g_int"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "func_string_suite",
+    """
+    SELECT doc_id,
+           upper(lang)                                   AS up,
+           lower(source)                                 AS lo,
+           length(text)                                  AS n,
+           left(text, 10)                                AS l10,
+           right(text, 10)                               AS r10,
+           lpad(lang, 5, '*')                            AS pad_l,
+           rpad(lang, 5, '*')                            AS pad_r,
+           reverse(lang)                                 AS rev,
+           replace(lang, 'e', 'E')                       AS repl,
+           repeat(lang, 2)                               AS rep,
+           ascii(lang)                                   AS asc_,
+           strpos(text, 'spark')                         AS pos,
+           split_part(text, ' ', 2)                      AS sp2,
+           levenshtein(lang, source)                     AS lev,
+           concat_ws('-', lang, source)                  AS cw,
+           substring(text, 3, 7)                         AS sub,
+           trim(concat(' ', lang, ' '))                  AS tr,
+           starts_with(text, 'the')                      AS sw,
+           contains(text, 'data')                        AS ct
+    FROM documents
+    """,
+    tags=("functions", "string"),
+)
+def func_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String registry sweep (functions/src/string/, functions/src/unicode/):
+    each output column is one reference registry row."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("up"),
+        F.lower("source").alias("lo"),
+        F.length(t).alias("n"),
+        F.expr("left(text, 10)").alias("l10"),
+        F.expr("right(text, 10)").alias("r10"),
+        F.lpad("lang", 5, "*").alias("pad_l"),
+        F.rpad("lang", 5, "*").alias("pad_r"),
+        F.reverse("lang").alias("rev"),
+        F.regexp_replace("lang", "e", "E").alias("repl"),
+        F.repeat("lang", 2).alias("rep"),
+        F.ascii("lang").alias("asc_"),
+        F.instr(t, "spark").alias("pos"),
+        F.split_part(t, F.lit(" "), F.lit(2)).alias("sp2"),
+        F.levenshtein("lang", "source").alias("lev"),
+        F.concat_ws("-", "lang", "source").alias("cw"),
+        F.substring(t, 3, 7).alias("sub"),
+        F.trim(F.concat(F.lit(" "), F.col("lang"), F.lit(" "))).alias("tr"),
+        F.col("text").startswith("the").alias("sw"),
+        F.col("text").contains("data").alias("ct"),
+    )
+
+
+@register(
+    "func_math_suite",
+    """
+    SELECT c_custkey,
+           abs(c_acctbal)                                   AS abs_,
+           CAST(ceil(c_acctbal) AS BIGINT)                  AS ceil_,
+           CAST(floor(c_acctbal) AS BIGINT)                 AS floor_,
+           round(c_acctbal, 1)                              AS round_,
+           sqrt(abs(c_acctbal))                             AS sqrt_,
+           CAST(sign(c_acctbal) AS DOUBLE)                  AS sign_,
+           radians(c_nationkey)                             AS rad,
+           degrees(c_nationkey)                             AS deg,
+           c_acctbal * c_acctbal                            AS sq,
+           round(ln(abs(c_acctbal) + 1.0), 9)               AS ln_,
+           round(log10(abs(c_acctbal) + 1.0), 9)            AS log10_,
+           round(exp(c_nationkey / 10.0), 9)                AS exp_,
+           round(sin(c_nationkey), 12)                      AS sin_,
+           round(cos(c_nationkey), 12)                      AS cos_,
+           round(atan2(c_acctbal, 100.0), 12)               AS atan2_,
+           isnan(CASE WHEN c_acctbal < 0 THEN CAST('nan' AS DOUBLE)
+                      ELSE c_acctbal END)                   AS isnan_,
+           round(cbrt(abs(c_acctbal)), 9)                   AS cbrt_,
+           CAST(factorial(CAST(c_nationkey % 10 AS INT)) AS BIGINT) AS fact,
+           gcd(c_custkey, CAST(c_nationkey AS BIGINT) + 1)  AS gcd_,
+           lcm(CAST(c_nationkey AS BIGINT) + 1, 6)          AS lcm_
+    FROM customer
+    """,
+    tags=("functions", "math"),
+)
+def func_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math registry sweep (functions/src/math/). Transcendentals are
+    rounded (libm vs java.lang.Math agree to <1 ulp; rounding removes
+    it); sqrt/abs/ceil/floor/sign/radians are exactly IEEE in both.
+    gcd/lcm come from the compat layer (no Spark built-in)."""
+    c = load_table(spark, sf_dir, "customer")
+    bal, nk = F.col("c_acctbal"), F.col("c_nationkey")
+    return c.select(
+        "c_custkey",
+        F.abs(bal).alias("abs_"),
+        F.ceil(bal).alias("ceil_"),
+        F.floor(bal).alias("floor_"),
+        F.round(bal, 1).alias("round_"),
+        F.sqrt(F.abs(bal)).alias("sqrt_"),
+        F.signum(bal).alias("sign_"),
+        F.radians(nk).alias("rad"),
+        F.degrees(nk).alias("deg"),
+        (bal * bal).alias("sq"),
+        F.round(F.log(F.abs(bal) + 1.0), 9).alias("ln_"),
+        F.round(F.log10(F.abs(bal) + 1.0), 9).alias("log10_"),
+        F.round(F.exp(nk / 10.0), 9).alias("exp_"),
+        F.round(F.sin(nk), 12).alias("sin_"),
+        F.round(F.cos(nk), 12).alias("cos_"),
+        F.round(F.atan2(bal, F.lit(100.0)), 12).alias("atan2_"),
+        F.isnan(F.when(bal < 0, F.lit(float("nan"))).otherwise(bal)).alias("isnan_"),
+        F.round(F.cbrt(F.abs(bal)), 9).alias("cbrt_"),
+        F.factorial((nk % 10).cast("long")).alias("fact"),
+        compat.gcd(F.col("c_custkey"), nk.cast("long") + 1).alias("gcd_"),
+        compat.lcm(nk.cast("long") + 1, F.lit(6)).alias("lcm_"),
+    )
+
+
+@register(
+    "func_datetime_suite",
+    """
+    SELECT o_orderkey,
+           CAST(EXTRACT(year  FROM o_orderdate) AS INT)   AS y,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT)   AS m,
+           CAST(EXTRACT(day   FROM o_orderdate) AS INT)   AS d,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT)     AS dw,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS trunc_m,
+           CAST(date_trunc('year', o_orderdate) AS TIMESTAMP)  AS trunc_y,
+           CAST(epoch(o_orderdate) AS BIGINT)             AS unix_s,
+           o_orderdate + INTERVAL 90 DAY                  AS plus90,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT)
+                                                          AS dd,
+           CAST(make_date(2024, CAST(EXTRACT(month FROM o_orderdate) AS INT),
+                     1) AS TIMESTAMP)                     AS md,
+           CAST(floor((epoch(o_orderdate) - epoch(TIMESTAMP '1995-01-01'))
+                / 604800) * 604800
+                + epoch(TIMESTAMP '1995-01-01') AS BIGINT) AS bin7d
+    FROM orders
+    """,
+    tags=("functions", "datetime"),
+)
+def func_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime registry sweep (functions/src/datetime/): date_part,
+    date_trunc, to_unixtime, make_date, interval arithmetic, and the
+    reference's `date_bin` (date_bin.rs) via the compat layer, surfaced
+    as epoch seconds to stay timezone-proof. DuckDB dow: Sunday=0 —
+    Spark dayofweek is 1-based Sunday=1, so shift by -1."""
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(od).alias("y"),
+        F.month(od).alias("m"),
+        F.dayofmonth(od).alias("d"),
+        F.quarter(od).alias("q"),
+        (F.dayofweek(od) - 1).alias("dw"),
+        F.date_trunc("month", od).alias("trunc_m"),
+        F.date_trunc("year", od).alias("trunc_y"),
+        F.unix_timestamp(od).alias("unix_s"),
+        (od + F.expr("INTERVAL 90 DAYS")).alias("plus90"),
+        F.datediff(od, F.lit("1995-01-01").cast("timestamp")).alias("dd"),
+        F.make_date(F.lit(2024), F.month(od), F.lit(1)).cast("timestamp").alias("md"),
+        compat.date_bin(604800, od, "1995-01-01 00:00:00").cast("long").alias("bin7d"),
+    )
+
+
+@register(
+    "func_conditional_suite",
+    """
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS co,
+           nullif(c_nationkey, 5)                                AS nf,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS cls,
+           ifnull(nullif(c_name, c_name), 'anon')                AS nv,
+           CASE WHEN c_acctbal = 0.0 THEN TRUE ELSE FALSE END    AS isz
+    FROM customer
+    """,
+    tags=("functions", "conditional"),
+)
+def func_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core/conditional registry (functions/src/core/): coalesce, nullif,
+    nvl, case-when, and the reference's `iszero` (math/iszero.rs) via
+    compat."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT")).alias("co"),
+        F.nullif(F.col("c_nationkey"), F.lit(5)).alias("nf"),
+        F.when(bal < 0, "neg").when(bal < 5000, "mid").otherwise("high").alias("cls"),
+        F.nvl(F.nullif(F.col("c_name"), F.col("c_name")), F.lit("anon")).alias("nv"),
+        compat.iszero(bal).alias("isz"),
+    )
+
+
+@register(
+    "func_crypto_encoding",
+    """
+    SELECT doc_id,
+           md5(lang)                        AS md5_,
+           sha256(source)                   AS sha256_,
+           to_base64(encode(lang))          AS b64,
+           lower(hex(encode(lang)))         AS hex_,
+           encode(lang)                     AS utf8_bytes
+    FROM documents
+    """,
+    tags=("functions", "crypto"),
+)
+def func_crypto_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto + encoding registries (functions/src/crypto/, encoding/):
+    md5, sha256, base64, hex over utf8 bytes."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("lang").alias("md5_"),
+        F.sha2("source", 256).alias("sha256_"),
+        F.base64(F.col("lang").cast("binary")).alias("b64"),
+        F.lower(F.hex(F.col("lang").cast("binary"))).alias("hex_"),
+        F.col("lang").cast("binary").alias("utf8_bytes"),
+    )
+
+
+@register(
+    "func_regex_suite",
+    """
+    SELECT doc_id,
+           regexp_matches(text, '[0-9]+')                     AS has_num,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 2)       AS second_word,
+           regexp_replace(text, ' +', '_', 'g')               AS underscored,
+           len(regexp_split_to_array(text, ' +'))             AS n_tokens
+    FROM documents
+    """,
+    tags=("functions", "regex"),
+)
+def func_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex registry (functions/src/regex/): regexp_like, regexp_match
+    groups, global regexp_replace, split. Patterns kept in the common
+    Java/RE2 subset."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        t.rlike("[0-9]+").alias("has_num"),
+        F.regexp_extract(t, "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_replace(t, " +", "_").alias("underscored"),
+        F.size(F.split(t, " +")).alias("n_tokens"),
+    )
+
+
+@register(
+    "func_array_suite",
+    """
+    SELECT vec_id,
+           len(embedding)                                    AS card,
+           embedding[1]                                      AS first_el,
+           embedding[2:len(embedding)]                       AS popped_front,
+           embedding[1:len(embedding)-1]                     AS popped_back,
+           list_slice(embedding, 2, 5)                       AS sl,
+           list_reverse(embedding)                           AS rev,
+           list_contains(embedding, 0.0)                     AS has_zero,
+           round(sqrt(list_aggregate(list_transform(embedding,
+                 x -> (CAST(x AS DOUBLE) - 0.5) * (CAST(x AS DOUBLE) - 0.5)),
+                 'sum')), 9)                                 AS dist_to_half
+    FROM embeddings
+    """,
+    tags=("functions", "array"),
+)
+def func_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/nested registry (functions-nested/src/lib.rs): cardinality,
+    element access, pop_front/pop_back (compat — reference
+    array_pop_front/back), slice, reverse, contains, and array_distance
+    (compat) against a constant vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    half = F.array_repeat(F.lit(0.5).cast("float"), 64)
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("card"),
+        F.element_at(emb, 1).alias("first_el"),
+        compat.array_pop_front(emb).alias("popped_front"),
+        compat.array_pop_back(emb).alias("popped_back"),
+        F.slice(emb, 2, 4).alias("sl"),
+        F.reverse(emb).alias("rev"),
+        F.array_contains(emb, F.lit(0.0).cast("float")).alias("has_zero"),
+        F.round(compat.array_distance(emb, half), 9).alias("dist_to_half"),
+    )

@@ -52,6 +52,10 @@ def _norm(v):
         return "NaN"
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
     return v
 
 
@@ -87,6 +91,11 @@ def assert_frames_match(spark_df, duck_rel, float_tol: float = 0.0, sort: bool =
                 )
             else:
                 assert sv == dv, f"row {i} col {c}: {sv!r} != {dv!r}"
+                # 1.0 == 1 in Python, but the driver's value-hash is
+                # type-sensitive — catch int-vs-float schema drift here
+                assert isinstance(sv, float) == isinstance(dv, float), (
+                    f"row {i} col {c}: type drift {type(sv).__name__} vs {type(dv).__name__}"
+                )
 
 
 @pytest.fixture(scope="session")

@@ -41,6 +41,8 @@ def norm_cell(v):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
