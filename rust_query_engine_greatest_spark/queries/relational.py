@@ -1,5 +1,737 @@
-"""Relational operator inventory queries (SURVEY §2.2-§2.7) — populated
-incrementally; each registered query proves one operator row against the
-DuckDB oracle."""
+"""Relational operator inventory (SURVEY §2.2-§2.7): one oracle-checked
+query per operator row — joins (all 8 types + cross + theta + range),
+aggregation (grouping sets/rollup/cube, distinct, the §2.4 function
+registry), windows (ranking/analytic/frames), sort/limit/offset/top-k,
+set ops, DISTINCT ON, unnest/explode, pivot, VALUES.
+
+These are deliberately *thin declarations*: the operator is Spark's; the
+deliverable is the verified inventory (SURVEY §7 step 4).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import compat
+from ..operators import distinct_on, range_join, top_k_per_group
+from ..sources.catalog import load_table
+from .base import dec2, dsum, register
+
+
+def _t(spark, sf_dir, *names):
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+# ---- joins (§2.3) ---------------------------------------------------------
+# Build a mismatch-rich pair: customers (some without orders in window) ×
+# orders (some custkeys filtered out on the customer side).
+
+CUST_FILTER = "c_acctbal > 1000"
+ORD_FILTER = "o_orderdate >= TIMESTAMP '1999-01-01'"
+
+
+def _join_pair(spark, sf_dir):
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    c = customer.filter(F.expr(CUST_FILTER)).select("c_custkey", "c_name", "c_acctbal")
+    o = orders.filter(F.expr(ORD_FILTER)).select("o_orderkey", "o_custkey", "o_totalprice")
+    return c, o
+
+
+def _join_oracle(how_sql: str) -> str:
+    return f"""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM (SELECT c_custkey, c_name, c_acctbal FROM customer WHERE {CUST_FILTER}) c
+    {how_sql} (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE {ORD_FILTER}) o
+      ON c.c_custkey = o.o_custkey
+    """
+
+
+def _mk_join(name: str, how: str, how_sql: str):
+    @register(name, _join_oracle(how_sql), tags=("join",))
+    def q(spark: SparkSession, sf_dir: str, how=how) -> DataFrame:
+        c, o = _join_pair(spark, sf_dir)
+        return c.join(o, c.c_custkey == o.o_custkey, how)
+
+    q.__doc__ = f"Join type '{how}' (common/src/join_type.rs:30-46) on a mismatch-rich pair."
+    return q
+
+
+_mk_join("join_inner", "inner", "JOIN")
+_mk_join("join_left", "left", "LEFT JOIN")
+_mk_join("join_right", "right", "RIGHT JOIN")
+_mk_join("join_full", "full", "FULL JOIN")
+
+
+@register(
+    "join_left_semi",
+    f"""
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE {CUST_FILTER} AND EXISTS (
+      SELECT 1 FROM orders o WHERE {ORD_FILTER} AND o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LeftSemi (join_type.rs:39) — EXISTS lowering."""
+    c, o = _join_pair(spark, sf_dir)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+
+
+@register(
+    "join_left_anti",
+    f"""
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE {CUST_FILTER} AND NOT EXISTS (
+      SELECT 1 FROM orders o WHERE {ORD_FILTER} AND o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LeftAnti (join_type.rs:42) — NOT EXISTS lowering."""
+    c, o = _join_pair(spark, sf_dir)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+
+
+@register(
+    "join_right_semi",
+    f"""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE {ORD_FILTER} AND EXISTS (
+      SELECT 1 FROM customer c WHERE {CUST_FILTER} AND c.c_custkey = o.o_custkey)
+    """,
+    tags=("join",),
+)
+def join_right_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RightSemi (join_type.rs:40) — planned as LeftSemi with sides
+    swapped, exactly how Spark and the reference's optimizer handle it."""
+    c, o = _join_pair(spark, sf_dir)
+    return o.join(c, c.c_custkey == o.o_custkey, "left_semi")
+
+
+@register(
+    "join_right_anti",
+    f"""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE {ORD_FILTER} AND NOT EXISTS (
+      SELECT 1 FROM customer c WHERE {CUST_FILTER} AND c.c_custkey = o.o_custkey)
+    """,
+    tags=("join",),
+)
+def join_right_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RightAnti (join_type.rs:43) — LeftAnti with sides swapped."""
+    c, o = _join_pair(spark, sf_dir)
+    return o.join(c, c.c_custkey == o.o_custkey, "left_anti")
+
+
+@register(
+    "join_cross",
+    "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrossJoinExec (physical-plan/src/joins/cross_join.rs:54)."""
+    region, nation = _t(spark, sf_dir, "region", "nation")
+    return region.select("r_name").crossJoin(nation.select("n_name"))
+
+
+@register(
+    "join_theta",
+    """
+    SELECT n1.n_name AS a, n2.n_name AS b
+    FROM nation n1 JOIN nation n2
+      ON n1.n_nationkey < n2.n_nationkey
+     AND n1.n_regionkey = n2.n_regionkey
+    """,
+    tags=("join",),
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) predicate + equi key — the reference extracts the
+    equi part (extract_equijoin_predicate.rs) and keeps `<` as residual
+    filter; Spark's planner does the same (hash join + condition)."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("k1"), F.col("n_name").alias("a"),
+                       F.col("n_regionkey").alias("r1"))
+    n2 = nation.select(F.col("n_nationkey").alias("k2"), F.col("n_name").alias("b"),
+                       F.col("n_regionkey").alias("r2"))
+    return (
+        n1.join(n2, (F.col("k1") < F.col("k2")) & (F.col("r1") == F.col("r2")))
+        .select("a", "b")
+    )
+
+
+@register(
+    "join_range",
+    """
+    SELECT o.o_orderkey, l.l_linenumber, l.l_shipdate
+    FROM orders o JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
+    """,
+    tags=("join",),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via operators.range_join: equi key drives the hash
+    join, range terms ride as residual (reference: SymmetricHashJoin
+    interval pruning ≈ bounded-state range condition, §2.9)."""
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    o = orders.select("o_orderkey", "o_orderdate",
+                      (F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("o_end"))
+    out = range_join(
+        lineitem.select("l_orderkey", "l_linenumber", "l_shipdate"),
+        o,
+        equi=[("l_orderkey", "o_orderkey")],
+        lower=("l_shipdate", "o_orderdate"),
+        upper=("l_shipdate", "o_end"),
+    )
+    return out.select("o_orderkey", "l_linenumber", "l_shipdate")
+
+
+# ---- aggregation (§2.4) ---------------------------------------------------
+@register(
+    "agg_registry",
+    """
+    SELECT l_returnflag,
+           COUNT(*)                                        AS cnt,
+           COUNT(DISTINCT l_suppkey)                       AS cnt_d,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           MIN(l_extendedprice)                            AS min_p,
+           MAX(l_extendedprice)                            AS max_p,
+           MEDIAN(l_quantity)                              AS med_q,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_q,
+           MIN(l_shipdate)                                 AS min_d,
+           MAX(l_shipdate)                                 AS max_d,
+           bit_and(CAST(l_linenumber AS BIGINT))           AS band,
+           bit_or(CAST(l_linenumber AS BIGINT))            AS bor,
+           bit_xor(CAST(l_linenumber AS BIGINT))           AS bxor,
+           bool_and(l_quantity > 0)                        AS ball,
+           bool_or(l_quantity > 49)                        AS bany,
+           min_by(l_orderkey, l_extendedprice)             AS first_by_price,
+           max_by(l_orderkey, l_extendedprice)             AS last_by_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate",),
+)
+def agg_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 aggregate registry sweep: count/sum/min/max/median/avg,
+    distinct count, bit_and/or/xor, bool_and/or, min_by/max_by (the
+    deterministic stand-ins for first_value/last_value — reference
+    functions-aggregate/src/{first_last,bit_and_or_xor,bool_and_or}.rs).
+    min/max over doubles & timestamps are selection ops → exact."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("l_suppkey").alias("cnt_d"),
+        dsum(dec2("l_quantity"), "sum_qty"),
+        F.min("l_extendedprice").alias("min_p"),
+        F.max("l_extendedprice").alias("max_p"),
+        F.median("l_quantity").alias("med_q"),
+        (F.sum(dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_q"),
+        F.min("l_shipdate").alias("min_d"),
+        F.max("l_shipdate").alias("max_d"),
+        F.expr("bit_and(CAST(l_linenumber AS BIGINT))").alias("band"),
+        F.expr("bit_or(CAST(l_linenumber AS BIGINT))").alias("bor"),
+        F.expr("bit_xor(CAST(l_linenumber AS BIGINT))").alias("bxor"),
+        F.expr("bool_and(l_quantity > 0)").alias("ball"),
+        F.expr("bool_or(l_quantity > 49)").alias("bany"),
+        F.expr("min_by(l_orderkey, l_extendedprice)").alias("first_by_price"),
+        F.expr("max_by(l_orderkey, l_extendedprice)").alias("last_by_price"),
+    )
+
+
+@register(
+    "agg_stats",
+    """
+    SELECT c_mktsegment,
+           round(var_samp(c_acctbal), 4)            AS var_s,
+           round(var_pop(c_acctbal), 4)             AS var_p,
+           round(stddev_samp(c_acctbal), 6)         AS sd_s,
+           round(stddev_pop(c_acctbal), 6)          AS sd_p,
+           round(covar_samp(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS cov_s,
+           round(covar_pop(c_acctbal, CAST(c_custkey AS DOUBLE)), 4)  AS cov_p,
+           round(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 9)       AS corr_,
+           round(regr_slope(c_acctbal, CAST(c_custkey AS DOUBLE)), 9) AS slope,
+           round(regr_intercept(c_acctbal, CAST(c_custkey AS DOUBLE)), 5) AS icept,
+           CAST(regr_count(c_acctbal, CAST(c_custkey AS DOUBLE)) AS BIGINT) AS rcount,
+           round(regr_r2(c_acctbal, CAST(c_custkey AS DOUBLE)), 9)    AS r2,
+           round(regr_avgx(c_acctbal, CAST(c_custkey AS DOUBLE)), 6)  AS avgx,
+           round(regr_avgy(c_acctbal, CAST(c_custkey AS DOUBLE)), 6)  AS avgy
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (functions-aggregate/src/{variance,stddev,
+    covariance,correlation,regr}.rs). Rounded: these are the only
+    intrinsically order-dependent float aggregates in the inventory
+    (Welford-style accumulation differs across engines at ~1e-12)."""
+    (c,) = _t(spark, sf_dir, "customer")
+    bal, key = F.col("c_acctbal"), F.col("c_custkey").cast("double")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.var_samp(bal), 4).alias("var_s"),
+        F.round(F.var_pop(bal), 4).alias("var_p"),
+        F.round(F.stddev_samp(bal), 6).alias("sd_s"),
+        F.round(F.stddev_pop(bal), 6).alias("sd_p"),
+        F.round(F.covar_samp(bal, key), 4).alias("cov_s"),
+        F.round(F.covar_pop(bal, key), 4).alias("cov_p"),
+        F.round(F.corr(bal, key), 9).alias("corr_"),
+        F.round(F.regr_slope(bal, key), 9).alias("slope"),
+        F.round(F.regr_intercept(bal, key), 5).alias("icept"),
+        F.regr_count(bal, key).alias("rcount"),
+        F.round(F.regr_r2(bal, key), 9).alias("r2"),
+        F.round(F.regr_avgx(bal, key), 6).alias("avgx"),
+        F.round(F.regr_avgy(bal, key), 6).alias("avgy"),
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT r_name, n_name, COUNT(*) AS cnt,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("aggregate", "groupingsets"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (GroupingSet::Rollup, expr/src/expr.rs:964-970)."""
+    supplier, nation, region = _t(spark, sf_dir, "supplier", "nation", "region")
+    j = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum(dec2("s_acctbal"), "bal")
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "groupingsets"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (GroupingSet::Cube)."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("aggregate", "groupingsets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (GroupingSet::GroupingSets) via SQL — the
+    DataFrame API exposes only cube/rollup, SQL is the idiomatic path."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+    )
+
+
+@register(
+    "agg_array_collect",
+    """
+    SELECT n_regionkey,
+           list_sort(list(n_name))                 AS names,
+           string_agg(n_name, ',' ORDER BY n_name) AS name_csv
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("aggregate",),
+)
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg + string_agg (functions-aggregate/src/{array_agg,
+    string_agg}.rs), made deterministic by sorting (collect_list order is
+    partition-dependent — the compat string_agg takes an order key)."""
+    (n,) = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("names"),
+        compat.string_agg(F.col("n_name"), ",", order_by=F.col("n_name")).alias("name_csv"),
+    )
+
+
+# ---- windows (§2.5) -------------------------------------------------------
+@register(
+    "window_ranking",
+    """
+    SELECT o_orderkey, o_custkey,
+           row_number()   OVER w AS rn,
+           rank()         OVER w AS rk,
+           dense_rank()   OVER w AS drk,
+           CAST(ntile(4) OVER w AS INT) AS nt,
+           round(percent_rank() OVER w, 9) AS prk,
+           round(cume_dist()    OVER w, 9) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking UDWFs (functions-window/src/{row_number,rank}.rs;
+    built_in_window_function.rs:42-62). ORDER BY includes the unique
+    orderkey so every rank is deterministic."""
+    (o,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("nt"),
+        F.round(F.percent_rank().over(w), 9).alias("prk"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    )
+
+
+@register(
+    "window_analytic",
+    """
+    SELECT o_orderkey, o_custkey,
+           lag(o_totalprice)  OVER w            AS prev_p,
+           lead(o_totalprice) OVER w            AS next_p,
+           lag(o_totalprice, 2, -1.0) OVER w    AS prev2_p,
+           first_value(o_totalprice) OVER w     AS first_p,
+           last_value(o_totalprice)  OVER w     AS last_p,
+           nth_value(o_totalprice, 2) OVER w    AS second_p
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions: lag/lead (+default), first/last/nth
+    over an explicit full frame (window_frame.rs:40,304)."""
+    (o,) = _t(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(base).alias("prev_p"),
+        F.lead("o_totalprice").over(base).alias("next_p"),
+        F.lag("o_totalprice", 2, -1.0).over(base).alias("prev2_p"),
+        F.first("o_totalprice").over(full).alias("first_p"),
+        F.last("o_totalprice").over(full).alias("last_p"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_p"),
+    )
+
+
+@register(
+    "window_frames",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_sum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS window3_sum,
+           COUNT(*) OVER (PARTITION BY o_custkey
+                          ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                          RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+                AS cnt_90d
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS and RANGE frames (window_frame.rs:409 units): running sum,
+    sliding 3-row sum, 90-day RANGE count over epoch seconds. Any
+    aggregate works as a window fn (physical-plan/src/windows/mod.rs).
+    GROUPS frames: unsupported in Spark — documented exclusion with an
+    error-asserting test (SURVEY §7)."""
+    (o,) = _t(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w3 = base.rowsBetween(-2, Window.currentRow)
+    rng = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-7776000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(dec2("o_totalprice")).over(run).cast("double").alias("running_sum"),
+        F.sum(dec2("o_totalprice")).over(w3).cast("double").alias("window3_sum"),
+        F.count(F.lit(1)).over(rng).alias("cnt_90d"),
+    )
+
+
+# ---- sort / limit / top-k (§2.6) -----------------------------------------
+@register(
+    "sort_limit_offset",
+    """
+    SELECT c_custkey, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 50 OFFSET 25
+    """,
+    tags=("sort",),
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SortExec + GlobalLimit with offset (physical-plan/src/limit.rs:43;
+    Spark 3.4 offset). Total order via unique key tiebreak."""
+    (c,) = _t(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .offset(25)
+        .limit(50)
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+    tags=("sort", "topk"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k via operators.top_k_per_group (reference TopK
+    operator generalized per-group; physical-plan/src/topk/mod.rs:75)."""
+    (o,) = _t(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.col("o_orderkey")],
+        3,
+    )
+    # re-attach rn for oracle comparability
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return out.withColumn("rn", F.row_number().over(w))
+
+
+# ---- set ops & distinct (§2.7) -------------------------------------------
+@register(
+    "setop_union_all",
+    """
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+    UNION ALL
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+    """,
+    tags=("setop",),
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL — UnionExec partition concat (union.rs:89), no shuffle."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    a = customer.filter(F.col("c_acctbal") > 9000).select(F.col("c_custkey").alias("k"))
+    b = orders.filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("k"))
+    return a.unionAll(b)
+
+
+@register(
+    "setop_union_distinct",
+    """
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+    """,
+    tags=("setop",),
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION → union + Distinct→Aggregate (replace_distinct_aggregate.rs)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    a = customer.filter(F.col("c_acctbal") > 9000).select(F.col("c_custkey").alias("k"))
+    b = orders.filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("k"))
+    return a.union(b).distinct()
+
+
+@register(
+    "setop_intersect",
+    """
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+    """,
+    tags=("setop",),
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT → LeftSemi join lowering (sql/src/set_expr.rs:78-88)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    a = customer.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    b = orders.filter(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("k"))
+    return a.intersect(b)
+
+
+@register(
+    "setop_except",
+    """
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+    """,
+    tags=("setop",),
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT → LeftAnti join lowering (builder.rs:1035-1058)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    a = customer.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    b = orders.filter(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("k"))
+    return a.subtract(b)
+
+
+@register(
+    "setop_intersect_all",
+    """
+    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45
+    INTERSECT ALL
+    SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.08
+    """,
+    tags=("setop",),
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics)."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("k"))
+    b = l.filter(F.col("l_discount") > 0.08).select(F.col("l_suppkey").alias("k"))
+    return a.intersectAll(b)
+
+
+@register(
+    "setop_except_all",
+    """
+    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45
+    EXCEPT ALL
+    SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.08
+    """,
+    tags=("setop",),
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset semantics)."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("k"))
+    b = l.filter(F.col("l_discount") > 0.08).select(F.col("l_suppkey").alias("k"))
+    return a.exceptAll(b)
+
+
+@register(
+    "distinct_on",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) t WHERE rn = 1
+    """,
+    tags=("distinct",),
+)
+def q_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON (plan.rs:2810) via operators.distinct_on — richest
+    customer per nation, deterministic tie-break on custkey."""
+    (c,) = _t(spark, sf_dir, "customer")
+    return distinct_on(
+        c.select("c_nationkey", "c_custkey", "c_acctbal"),
+        ["c_nationkey"],
+        [F.desc("c_acctbal"), F.col("c_custkey")],
+    )
+
+
+# ---- unnest / values / pivot ---------------------------------------------
+@register(
+    "unnest_tokens",
+    """
+    SELECT tok, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(text, ' +')) AS tok FROM documents) t
+    GROUP BY tok
+    """,
+    tags=("unnest",),
+)
+def unnest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnest/explode (physical-plan/src/unnest.rs:60 → F.explode):
+    token frequency over exploded text."""
+    (d,) = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " +")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "unnest_outer",
+    """
+    SELECT doc_id, tok FROM (
+      SELECT doc_id,
+             unnest(CASE WHEN lang = 'zh' THEN [CAST(NULL AS VARCHAR)]
+                         ELSE string_split_regex(text, ' +') END) AS tok
+      FROM documents) t
+    """,
+    tags=("unnest",),
+)
+def unnest_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: NULL array still emits one row with NULL element
+    (Unnest preserve-nulls semantics)."""
+    (d,) = _t(spark, sf_dir, "documents")
+    arr = F.when(F.col("lang") == "zh", F.lit(None)).otherwise(F.split("text", " +"))
+    return d.select("doc_id", F.explode_outer(arr).alias("tok"))
+
+
+@register(
+    "values_inline",
+    "SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, NULL)) AS t(id, tag)",
+    tags=("values",),
+)
+def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValuesExec (physical-plan/src/values.rs:40) — inline literal rows."""
+    return spark.sql("SELECT id, tag FROM VALUES (1, 'a'), (2, 'b'), (3, NULL) AS t(id, tag)")
+
+
+@register(
+    "pivot_status",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS o_cnt,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS f_cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS o_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS f_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("pivot",),
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (no reference operator — planned as conditional aggregation,
+    which is exactly what Spark's pivot lowers to)."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    p = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec2("l_quantity")).cast("double").alias("qty"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O_cnt").alias("o_cnt"),
+        F.col("F_cnt").alias("f_cnt"),
+        F.col("O_qty").alias("o_qty"),
+        F.col("F_qty").alias("f_qty"),
+    )

@@ -1,0 +1,77 @@
+"""Relational operator inventory vs oracle + operator-helper unit tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_query_engine_greatest_spark.operators import asof_join, recursive_cte
+from rust_query_engine_greatest_spark.queries import REGISTRY
+
+from tests.conftest import assert_frames_match
+
+REL_PREFIXES = ("join_", "agg_", "window_", "sort_", "topk_", "setop_", "distinct_on",
+                "unnest_", "values_", "pivot_")
+REL = sorted(n for n in REGISTRY if n.startswith(REL_PREFIXES))
+
+
+@pytest.mark.parametrize("name", REL)
+def test_relational_matches_oracle(name, spark, sf_dir, oracle):
+    q = REGISTRY[name]
+    assert q.oracle is not None
+    assert_frames_match(q.build(spark, sf_dir), oracle.sql(q.oracle))
+
+
+def test_groups_frame_unsupported(spark):
+    """SURVEY §7: GROUPS window frames are a documented exclusion —
+    assert Spark rejects them so the gap is visible, mirroring the
+    reference's error-parity style."""
+    df = spark.range(10)
+    with pytest.raises(Exception, match="(?i)groups|syntax|parse"):
+        df.selectExpr("sum(id) OVER (ORDER BY id GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)").collect()
+
+
+def test_recursive_cte_transitive_closure(spark):
+    """Reference RecursiveQueryExec (recursive_query.rs:57): integers
+    1..=5 via WITH RECURSIVE-style iteration."""
+    seed = spark.createDataFrame([(1,)], "n int")
+    out = recursive_cte(seed, lambda f: f.select((F.col("n") + 1).alias("n")).filter("n <= 5"))
+    assert sorted(r.n for r in out.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_recursive_cte_graph_reachability(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "src int, dst int"
+    ).cache()
+    seed = spark.createDataFrame([(1,)], "node int")
+
+    def step(frontier):
+        return (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+        )
+
+    out = recursive_cte(seed, step)
+    assert sorted(r.node for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_asof_join(spark):
+    import datetime as dt
+
+    quotes = spark.createDataFrame(
+        [("A", dt.datetime(2024, 1, 1, 10, 0), 100.0),
+         ("A", dt.datetime(2024, 1, 1, 11, 0), 101.0),
+         ("B", dt.datetime(2024, 1, 1, 10, 30), 50.0)],
+        "sym string, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", dt.datetime(2024, 1, 1, 10, 30)),
+         ("A", dt.datetime(2024, 1, 1, 12, 0)),
+         ("B", dt.datetime(2024, 1, 1, 10, 0)),],
+        "sym string, tts timestamp",
+    )
+    out = asof_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts")
+    got = {(r.sym, r.tts.hour, r.tts.minute): r.px for r in out.collect()}
+    assert got[("A", 10, 30)] == 100.0   # latest quote <= 10:30
+    assert got[("A", 12, 0)] == 101.0
+    assert got[("B", 10, 0)] is None     # no quote yet → left join null
