@@ -1,0 +1,258 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each scale-shaped for 100 TB:
+
+- exact: fingerprint (md5/xxhash of normalized text) → groupBy — one
+  shuffle on the hash, no pairwise work.
+- n-gram Jaccard: blocked token-inverted-index join → exact Jaccard on
+  candidate pairs. Blocking column bounds the candidate set; at scale
+  the block is a shard key (source/domain/date).
+- MinHash + LSH: signature → banding → bucket join; candidates verified
+  with exact Jaccard. Sub-quadratic: pairs only form inside LSH buckets.
+- SimHash: 64-bit fingerprint, near-dup = small Hamming distance; bucket
+  join on bit-bands.
+- Embedding cosine: exact within blocks; the scale path is LSH/IVF
+  bucketing (similarity.py) feeding the same verifier.
+
+Everything below is built-in-expression-only (xxhash64, explode,
+groupBy, zip_with/aggregate) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import distinct_tokens, fingerprint_md5
+
+
+# ---- exact ---------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id representative per normalized-content fingerprint.
+    One hash shuffle; output = keeper id + group size."""
+    return (
+        df.withColumn("__fp", fingerprint_md5(text_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---- n-gram / token Jaccard ----------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact token-set Jaccard over candidate pairs from a token
+    inverted-index join, optionally blocked.
+
+    Plan shape: explode distinct tokens → self-join on (block, token) →
+    pair-level common-token count → join per-doc set sizes → filter.
+    At 100 TB: the block column keeps the inverted index join bounded;
+    hot tokens should additionally be dropped by document frequency
+    (left to the caller's stopword policy).
+    """
+    keys = [block_col] if block_col else []
+    toks = df.select(
+        F.col(id_col).alias("id"), *[F.col(k) for k in keys],
+        distinct_tokens(text_col).alias("ts"),
+    )
+    sizes = toks.select("id", F.size("ts").alias("n"))
+    inv = toks.select("id", *keys, F.explode("ts").alias("tok"))
+    a = inv.select(F.col("id").alias("id_a"), *[F.col(k).alias(f"{k}_a") for k in keys], "tok")
+    b = inv.select(F.col("id").alias("id_b"), *[F.col(k).alias(f"{k}_b") for k in keys], "tok")
+    cond = a["tok"] == b["tok"]
+    for k in keys:
+        cond = cond & (F.col(f"{k}_a") == F.col(f"{k}_b"))
+    common = (
+        a.join(b, cond & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jac",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+    )
+
+
+# ---- MinHash + LSH --------------------------------------------------------
+
+def word_shingles(text_col: str, k: int = 3) -> Column:
+    """k-word shingles via the (element, index)-less sequence transform."""
+    toks = F.split(F.lower(F.col(text_col)), r" +")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]))
+    )
+
+
+def _seeded_min_hash(shingles: Column, seed: int) -> Column:
+    # NB: the lambda must take exactly ONE arg — a second arg (even a
+    # defaulted one) makes PySpark treat it as the (element, index) form
+    # and bind the array index to it.
+    return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed))))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per seed j, min over shingles of
+    xxhash64(shingle, j). Array of num_hashes longs, all JVM-side."""
+    return F.array(*[_seeded_min_hash(shingles, j) for j in range(num_hashes)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding.
+
+    bands=16 × rows=4 over 64 hashes → collision prob ≈ 1-(1-s⁴)¹⁶,
+    steep around s≈0.5-0.6; verify=True re-checks candidates with exact
+    shingle Jaccard ≥ threshold. Scale shape: candidates only form
+    within equal (band_id, band_hash) buckets — the standard
+    sub-quadratic path; no cross join anywhere.
+    """
+    rows = num_hashes // bands
+    base = df.select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh"))
+    base = base.filter(F.size("sh") > 0).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    banded = base.select(
+        "id", "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band_id", "bb.band_hash")
+    a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_id", "band_hash")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band_id", "band_hash")
+    cand = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not verify:
+        return cand.select("id_a", "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jac", inter / union)
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+    )
+
+
+# ---- SimHash --------------------------------------------------------------
+
+def simhash64(text_col: str) -> Column:
+    """64-bit SimHash: per token hash, each bit votes ±1; fingerprint bit
+    = sign of the vote sum. Expressed as 64 aggregate folds over the
+    token hash array (JVM-side; ~64 cheap bit ops per token)."""
+    toks = distinct_tokens(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_vote(i: int) -> Column:
+        # single-arg merge lambda (see _seeded_min_hash note); i captured
+        # by this closure, not a default arg
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_cols = []
+    for i in range(64):
+        vote = bit_vote(i)
+        bit_cols.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).alias(f"b{i}"))
+    fp = F.lit(0).cast("long")
+    for i, b in enumerate(bit_cols):
+        fp = fp.bitwiseOR(F.shiftleft(b, i))
+    return fp
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via 16-bit
+    band bucketing (pigeonhole: distance ≤3 ⇒ ≥1 of 4 bands equal)."""
+    base = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("fp"))
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = base.select(
+        "id", "fp",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.shiftright("fp", b * width).bitwiseAND(F.lit(mask)).alias("band_val"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "fp", "bb.band_id", "bb.band_val")
+    a = banded.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "band_id", "band_val")
+    b2 = banded.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "band_id", "band_val")
+    return (
+        a.join(b2, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---- embedding cosine -----------------------------------------------------
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Cosine ≥ threshold pairs, exact within blocks. Without block_col
+    this is O(n²) — callers at scale pass an LSH bucket column from
+    similarity.hyperplane_bucket as the block."""
+    from .similarity import cosine
+
+    keys = [block_col] if block_col else []
+    v = df.select(F.col(id_col).alias("id"), *keys, F.col(vec_col).alias("v"))
+    a = v.select(F.col("id").alias("id_a"), *[F.col(k).alias(f"{k}_a") for k in keys], F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), *[F.col(k).alias(f"{k}_b") for k in keys], F.col("v").alias("vb"))
+    cond = F.col("id_a") < F.col("id_b")
+    for k in keys:
+        cond = cond & (F.col(f"{k}_a") == F.col(f"{k}_b"))
+    return (
+        a.join(b, cond)
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

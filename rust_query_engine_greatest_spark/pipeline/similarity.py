@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k (exact; blocked join + window).
+Scale path: random-hyperplane LSH bucketing — candidates come only from
+the query's bucket (plus optional multi-probe neighbors), turning the
+O(|Q|·|C|) scan into bucket-local work. IVF with learned centroids would
+slot into the same bucket-column contract.
+
+Numeric discipline: dot products fold left-to-right in double via
+zip_with + aggregate → deterministic and bit-identical to an explicit
+double fold in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self).
+
+    Plan: broadcast the (small) query set against the corpus scan —
+    no shuffle of the corpus; then a window top-k on query id. At 100 TB
+    corpus the scan parallelizes per-file; only k rows per query cross
+    the final shuffle."""
+    q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "cos", "rnk")
+    )
+
+
+def hyperplane_matrix(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed → stable buckets
+    across runs/engines)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id (long) from the hyperplane projections."""
+    bucket = F.lit(0).cast("long")
+    for j, w in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in w])
+        bit = F.when(dot(vec, lit_plane) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0))
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, j))
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: exact cosine, but only within the query's LSH
+    bucket(s). Recall/latency trade via `planes` (8 planes → 256
+    buckets) and `probe_hamming` (multi-probe: near-boundary vectors
+    land one bit off, so also search buckets at Hamming distance ≤ p —
+    p=1 costs planes+1 probes and recovers single-plane flips).
+    Scale shape: corpus bucketed once (can be persisted/partitioned by
+    bucket); per-query work is bucket-local; only queries fan out."""
+    pl = hyperplane_matrix(dim, planes, seed)
+    qb = hyperplane_bucket(F.col(vec_col), pl)
+    probes = [qb]
+    if probe_hamming >= 1:
+        probes += [qb.bitwiseXOR(F.lit(1 << j)) for j in range(planes)]
+    if probe_hamming >= 2:
+        probes += [
+            qb.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(planes) for j in range(i + 1, planes)
+        ]
+    q = queries.select(
+        F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"),
+        F.explode(F.array(*probes)).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"),
+        hyperplane_bucket(F.col(vec_col), pl).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "cos", "rnk")
+    )

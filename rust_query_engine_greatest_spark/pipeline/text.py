@@ -1,0 +1,104 @@
+"""Text analysis for training-data pipelines: tokenization, language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure JVM-side expression compositions (no Python UDFs) — at 100 TB
+these run inside whole-stage codegen over the scan, shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language-ID. Deliberately small + deterministic; real deployments swap
+# in fastText &c. via the same column contract.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "un", "que", "pour", "dans", "ce", "les"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"],
+    "zh": ["de", "shi", "bu", "le", "ren", "wo", "you", "ta", "zhe", "men"],
+}
+
+BPE_ISH_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased whitespace tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), r" +")
+
+
+def distinct_tokens(text: Column | str) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish token count: alnum runs + individual punctuation marks
+    (regexp_extract_all — both a cost proxy and a budget guard)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_RE), 0))
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """Distinct stopwords of `lang` present in the text."""
+    lst = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(distinct_tokens(text), lst))
+
+
+def lang_scores(text: Column | str) -> Column:
+    """Struct of per-language stopword-hit scores."""
+    return F.struct(*[stopword_hits(text, lg).alias(lg) for lg in STOPWORDS])
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax language by stopword hits; 'und' (undetermined) when no
+    list scores > 0. Deterministic tie-break: language-code order."""
+    s = lang_scores(text)
+    # fold: pick the max-scoring language, scanning in sorted order
+    expr = F.lit("und")
+    best_score = F.lit(0)
+    for lg in sorted(STOPWORDS):
+        cond = s[lg] > best_score
+        expr = F.when(cond, F.lit(lg)).otherwise(expr)
+        best_score = F.when(cond, s[lg]).otherwise(best_score)
+    return expr
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + alpha ratio +
+    mean-token-length band + stopword(en) presence. Mirrors the shape of
+    C4/Gopher-style filters; every term is SQL-expressible."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c).cast("double")
+    toks = tokens(c)
+    n_tok = F.size(toks).cast("double")
+    mean_tok = (n - n_tok + 1) / n_tok  # chars-per-token proxy (exact arithmetic)
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.lower(c), r"[^a-z ]", "")).cast("double") / n
+    )
+    len_term = F.when((n >= 100) & (n <= 5000), 1.0).otherwise(0.5)
+    tok_term = F.when((mean_tok >= 3) & (mean_tok <= 10), 1.0).otherwise(0.5)
+    stop_term = F.when(stopword_hits(c, "en") >= 2, 1.0).otherwise(0.5)
+    return (len_term * 0.4 + tok_term * 0.3 + stop_term * 0.2 + alpha_ratio * 0.1)
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Normalized-content fingerprint: md5 over lowercased,
+    whitespace-collapsed text (exact-dedup key)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def fingerprint_xxhash(text: Column | str) -> Column:
+    """64-bit rolling-hash-style fingerprint (xxhash64) — cheaper than
+    md5 at scale; engine-specific (no DuckDB mirror) so oracle checks use
+    the md5 variant."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.xxhash64(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))

@@ -48,9 +48,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        # Read parquet TIMESTAMP(NANOS) (events table) instead of erroring;
-        # values truncate to micros, the documented policy (SURVEY §1.2).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        # Parquet TIMESTAMP(NANOS) (events table) has no Spark type: read
+        # the raw int64 nanos and truncate to micros in the source layer
+        # (sources/catalog.py) — the documented ns→µs policy (SURVEY
+        # §1.2; reference is nanos-native per src/lib.rs:24).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -34,8 +34,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one table. Path may be a single file or a partitioned dir."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Scan one table. Path may be a single file or a partitioned dir.
+
+    events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond type
+    (micros-native), so the session reads nanos as raw int64
+    (legacy.parquet.nanosAsLong) and this layer applies the documented
+    truncation policy: ts_µs = ts_ns DIV 1000 (SURVEY §1.2) — matching
+    what DuckDB does implicitly on the oracle side."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

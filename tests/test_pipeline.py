@@ -1,0 +1,129 @@
+"""Pipeline operator tests: oracle matches for exact-arithmetic queries,
+ground-truth recall/precision for sketch-based ones, batch-shape checks
+for the multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_query_engine_greatest_spark.pipeline import dedup, multimodal, similarity
+from rust_query_engine_greatest_spark.queries import REGISTRY
+from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+from tests.conftest import assert_frames_match
+
+ORACLED = sorted(
+    n for n in REGISTRY
+    if n.startswith(("dedup_", "sim_", "text_", "multimodal_")) and REGISTRY[n].oracle
+)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_pipeline_matches_oracle(name, spark, sf_dir, oracle):
+    q = REGISTRY[name]
+    assert_frames_match(q.build(spark, sf_dir), oracle.sql(q.oracle))
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """MinHash banding must recover (almost all of) the truly-similar
+    pairs: compare against exact shingle-Jaccard ≥0.8 pairs computed by
+    brute force on the 500-doc fixture."""
+    d = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8).collect()
+    }
+    # brute-force exact ground truth over all pairs (500² is fine here)
+    sh = d.select(F.col("doc_id").alias("id"), dedup.word_shingles("text", 3).alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jac", inter / union)
+        .filter(F.col("jac") >= 0.8)
+        .collect()
+    }
+    # verified candidates are a subset of truth (no false positives)...
+    assert got <= truth
+    # ...and recall is high (16×4 banding at s≥0.8 collides w.p. ≥0.9996)
+    if truth:
+        assert len(got) / len(truth) >= 0.95
+
+
+def test_simhash_pairs_low_hamming_only(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    rows = dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3).collect()
+    assert all(r.hamming <= 3 for r in rows)
+    # banding guarantees completeness for hamming<=3: spot-check via
+    # direct fingerprint comparison on a small sample
+    fps = {r.id: r.fp for r in d.select(
+        F.col("doc_id").alias("id"), dedup.simhash64("text").alias("fp")).limit(100).collect()}
+    ids = sorted(fps)
+    expected = {
+        (i, j)
+        for i in ids for j in ids
+        if i < j and bin(fps[i] ^ fps[j]).count("1") <= 3
+    }
+    got = {(r.id_a, r.id_b) for r in rows if r.id_a in fps and r.id_b in fps}
+    assert expected <= got
+
+
+def test_lsh_topk_recall_on_planted_near_dups(spark, sf_dir):
+    """Hyperplane LSH targets *near-duplicates* (cos→1): perturb 10
+    corpus vectors slightly and require the LSH search to find each
+    original as the top hit. (On this fixture's random vectors the true
+    top-5 sit at cos≈0.4 ≈ 66° — genuinely outside LSH's contract, so
+    brute-force recall is not the right bar.)"""
+    import random as pyrandom
+
+    e = load_table(spark, sf_dir, "embeddings")
+    originals = e.filter(F.col("vec_id") < 10).collect()
+    rng = pyrandom.Random(7)
+    rows = [
+        (1000 + r.vec_id, [x + rng.gauss(0, 0.01) for x in r.embedding])
+        for r in originals
+    ]
+    q = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    hits = similarity.lsh_topk(q, e, "vec_id", "vec_id", k=1).collect()
+    found = {r.qid: r.cid for r in hits}
+    recall = sum(1 for r in originals if found.get(1000 + r.vec_id) == r.vec_id) / len(originals)
+    assert recall >= 0.8
+    # sanity on the exact path too: brute force must always find them
+    exact = similarity.brute_force_topk(q, e, "vec_id", "vec_id", "embedding", k=1).collect()
+    efound = {r.qid: r.cid for r in exact}
+    assert all(efound[1000 + r.vec_id] == r.vec_id for r in originals)
+
+
+def test_multimodal_feature_shapes(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(d)
+    feats = multimodal.extract_features(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == d.count()
+    assert all(len(r.feat) == 16 for r in rows)
+    # deterministic: same payload → same features
+    twice = {r.media_id: r.feat for r in multimodal.extract_features(media, dim=16).collect()}
+    assert all(twice[r.media_id] == r.feat for r in rows)
+    # n_bytes matches payload length
+    n = {r.media_id: r.n_bytes for r in rows}
+    for r in d.select("doc_id", F.length(F.encode("text", "utf-8")).alias("n")).collect():
+        assert n[r.doc_id] == r.n
+
+
+def test_multimodal_frame_sampling(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(d)
+    frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=3)
+    rows = frames.collect()
+    assert rows and all(0 <= r.frame_idx < 3 for r in rows)
+    assert all(len(r.frame_bytes) <= 64 for r in rows)
+
+
+def test_decode_stub_raises_without_pil():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_real(b"xx")
