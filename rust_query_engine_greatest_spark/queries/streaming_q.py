@@ -1,0 +1,102 @@
+"""Streaming queries (SURVEY §2.9) run to completion into memory sinks
+so the driver can hash-compare them like batch queries. Oracles encode
+the *streaming* semantics: append-mode watermark window emission and
+range-join results are deterministic for a bounded input processed with
+availableNow.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import (
+    read_events_stream,
+    run_to_memory,
+    sessionize_stateful,
+    stream_stream_range_join,
+    windowed_counts,
+)
+from .base import register
+
+_counter = itertools.count()
+
+
+def _run(stream_df: DataFrame, base: str, spark: SparkSession) -> DataFrame:
+    return run_to_memory(stream_df, f"{base}_{next(_counter)}", spark)
+
+
+@register(
+    "stream_window_counts",
+    """
+    WITH win AS (
+      SELECT TIMESTAMP '1970-01-01'
+               + to_seconds(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)) AS w_start,
+             event_type,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS val_sum
+      FROM events GROUP BY 1, 2)
+    SELECT w_start, event_type, cnt, val_sum FROM win
+    WHERE w_start + INTERVAL 5 MINUTE
+          <= (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+    """,
+    tags=("streaming",),
+)
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window agg in append mode: the oracle keeps
+    only windows closed by the final watermark (max ts - 10 min) —
+    checking Spark's late-data/emission semantics, not just the sums."""
+    ev = read_events_stream(spark, sf_dir)
+    return _run(windowed_counts(ev, "5 minutes", "10 minutes"), "wincounts", spark)
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT p.user_id AS p_user, p.event_id AS p_id, c.event_id AS c_id,
+           p.ts AS p_ts, c.ts AS c_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+    """,
+    tags=("streaming",),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with range condition (SymmetricHashJoin
+    analog): bounded input ⇒ result equals the batch join, which is the
+    oracle."""
+    ev = read_events_stream(spark, sf_dir)
+    return _run(stream_stream_range_join(ev, "10 minutes"), "ssjoin", spark)
+
+
+@register(
+    "stream_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS INT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): 30-min-gap
+    sessionization per user. The oracle is the batch lag/cumsum
+    formulation — exact match because a single availableNow batch closes
+    every session deterministically."""
+    ev = read_events_stream(spark, sf_dir)
+    return _run(sessionize_stateful(ev, 30), "sessions", spark)

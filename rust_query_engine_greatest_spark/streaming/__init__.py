@@ -1,0 +1,15 @@
+from .pipelines import (
+    read_events_stream,
+    run_to_memory,
+    sessionize_stateful,
+    stream_stream_range_join,
+    windowed_counts,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_to_memory",
+    "sessionize_stateful",
+    "stream_stream_range_join",
+    "windowed_counts",
+]

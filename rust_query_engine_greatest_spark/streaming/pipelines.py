@@ -1,0 +1,190 @@
+"""Structured Streaming parity surface (SURVEY §2.9).
+
+The reference's streaming story is unbounded StreamTable sources
+(core/src/datasource/stream.rs:287-298) + streaming-safe operators with
+interval-based state pruning (SymmetricHashJoinExec,
+physical-plan/src/joins/symmetric_hash_join.rs:82-96) and NO
+watermarks/event-time windows. Spark's model is strictly stronger; the
+parity targets built here:
+
+- stream scan → stateless transform → sink      (= StreamingTableExec)
+- watermark + tumbling-window aggregation       (> reference)
+- stream-stream join with time-range condition  (= SymmetricHashJoin's
+  range-pruned state, expressed as watermark + interval predicate)
+- custom stateful operator (sessionization) via applyInPandasWithState
+
+Scale notes: state stores partition by grouping key (same shuffle rules
+as batch); watermark delay bounds state size exactly like the
+reference's interval graph pruning does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Schema on disk: ts is parquet TIMESTAMP(NANOS) read as long under
+# legacy.parquet.nanosAsLong (see sources/catalog.py policy).
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), True),
+    T.StructField("ts", T.LongType(), True),
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
+
+def _stage_dir(sf_dir: str) -> str:
+    """Spark's file stream source requires a *directory*; TESTDATA ships
+    one parquet file per table in a read-only tree. Stage a symlink
+    directory under the repo (gitignored) — zero-copy, and exactly how a
+    production deployment points the source at a landing directory."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/root/repo/.stream_stage/{tag}/events"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "part-00000.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded scan of the events table (StreamTable analog): file
+    source + explicit schema + the same ns→µs truncation policy as the
+    batch catalog."""
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_stage_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_counts(
+    events: DataFrame, width: str = "5 minutes", delay: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation; append mode emits only
+    watermark-closed windows (late rows beyond `delay` are dropped) —
+    the late-data semantics the reference lacks entirely."""
+    from ..queries.base import dec2
+
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec2("value")).cast("double").alias("val_sum"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "cnt", "val_sum")
+    )
+
+
+def stream_stream_range_join(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Stream-stream inner join with a time-range condition — the
+    SymmetricHashJoinExec analog: both sides unbounded, state pruned by
+    the watermark + interval bound (reference prunes via its interval
+    graph, stream_join_utils.rs).
+
+    purchases ⋈ clicks on user_id where click.ts ∈ [purchase.ts - gap,
+    purchase.ts]."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_id"))
+        .withWatermark("c_ts", gap)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", gap)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {gap}"))
+    )
+    return purchases.join(clicks, cond, "inner").select("p_user", "p_id", "c_id", "p_ts", "c_ts")
+
+
+# ---- custom stateful operator: sessionization -----------------------------
+
+SESSION_OUTPUT_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events int"
+SESSION_STATE_SCHEMA = "start long, last long, n int"
+
+
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessionization with applyInPandasWithState — the
+    'custom stateful operator' extension point (reference equivalent:
+    a hand-written ExecutionPlan; here a state-store-backed operator).
+
+    Sessions close when no event arrives within `gap_minutes`. Emits
+    closed sessions per micro-batch invocation; with a single
+    availableNow batch every group is invoked once with all its rows,
+    emitting all sessions (the final open one included, closed by
+    end-of-data), which makes results batch-deterministic and
+    oracle-checkable."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        times = []
+        for pdf in pdfs:
+            times.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        times.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        out = []
+        for t in times:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                out.append((user_id, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if start is not None:
+            # end-of-batch flush: emit the open session too (documented
+            # single-batch determinism; a continuous deployment would
+            # keep it in state with a timeout instead)
+            out.append((user_id, start, last, n))
+            state.remove()
+        return iter([pd.DataFrame({
+            "user_id": [o[0] for o in out],
+            "session_start": [pd.Timestamp(o[1], unit="us") for o in out],
+            "session_end": [pd.Timestamp(o[2], unit="us") for o in out],
+            "n_events": [o[3] for o in out],
+        })])
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, spark: SparkSession) -> DataFrame:
+    """Drive a streaming DataFrame to completion into an in-memory sink
+    (availableNow trigger) and return the materialized table — the test
+    harness for every streaming query here."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,48 @@
+"""Streaming surface tests: registered stream_* queries vs oracle, plus
+behavior checks (late-data drop, stateless passthrough)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_query_engine_greatest_spark.queries import REGISTRY
+from rust_query_engine_greatest_spark.streaming import read_events_stream, run_to_memory
+
+from tests.conftest import assert_frames_match
+
+STREAM = sorted(n for n in REGISTRY if n.startswith("stream_"))
+
+
+@pytest.mark.parametrize("name", STREAM)
+def test_stream_matches_oracle(name, spark, sf_dir, oracle):
+    q = REGISTRY[name]
+    assert q.oracle is not None
+    assert_frames_match(q.build(spark, sf_dir), oracle.sql(q.oracle))
+
+
+def test_stream_stateless_pipeline(spark, sf_dir, oracle):
+    """StreamingTableExec parity: scan → filter → project → sink with no
+    state; result must equal the batch filter."""
+    ev = read_events_stream(spark, sf_dir)
+    out = run_to_memory(
+        ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "value"),
+        "stateless_smoke",
+        spark,
+    )
+    assert_frames_match(
+        out,
+        oracle.sql("SELECT event_id, user_id, value FROM events WHERE event_type = 'error'"),
+    )
+
+
+def test_watermark_drops_windows_near_stream_end(spark, sf_dir, oracle):
+    """Append mode must NOT emit windows newer than max(ts) - delay:
+    assert the emitted window set is strictly smaller than the full
+    batch window set (late-data semantics actually engaged)."""
+    emitted = REGISTRY["stream_window_counts"].build(spark, sf_dir)
+    n_emitted = emitted.count()
+    n_all = oracle.sql(
+        "SELECT COUNT(DISTINCT (floor(epoch(ts)/300), event_type)) FROM events"
+    ).fetchone()[0]
+    assert 0 < n_emitted < n_all
