@@ -1,0 +1,84 @@
+"""Source/sink round-trips (SURVEY §2.1) in a temp dir + catalog
+insert-into path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_query_engine_greatest_spark.sources import catalog, readers, writers
+
+
+@pytest.fixture(scope="module")
+def nation(spark, sf_dir):
+    return catalog.load_table(spark, sf_dir, "nation")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_csv_roundtrip(spark, nation, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("csv") / "nation")
+    writers.write_csv(nation, p, sep="|", compression="gzip")
+    back = readers.read_csv(
+        spark, p, schema="n_nationkey int, n_name string, n_regionkey int", sep="|"
+    )
+    assert _rows(back) == _rows(nation)
+
+
+def test_csv_infer_schema(spark, nation, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("csv_inf") / "nation")
+    writers.write_csv(nation, p)
+    back = readers.read_csv(spark, p, infer=True)
+    assert _rows(back) == _rows(nation)
+    assert back.schema["n_nationkey"].dataType.typeName() == "integer"
+
+
+def test_ndjson_roundtrip(spark, nation, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("json") / "nation")
+    writers.write_ndjson(nation, p)
+    back = readers.read_ndjson(spark, p, "n_nationkey int, n_name string, n_regionkey int")
+    assert _rows(back) == _rows(nation)
+
+
+def test_parquet_partitioned_write_prunes(spark, nation, tmp_path_factory):
+    from rust_query_engine_greatest_spark.plans import plan_string
+
+    p = str(tmp_path_factory.mktemp("pq") / "nation")
+    writers.write_parquet(nation, p, partition_by=["n_regionkey"])
+    back = spark.read.parquet(p)
+    assert back.count() == 25
+    # partition pruning: filtering the partition column must shrink
+    # PartitionFilters, not data filters
+    pruned = back.filter(F.col("n_regionkey") == 2)
+    assert pruned.count() == 5
+    assert "PartitionFilters" in plan_string(pruned)
+
+
+def test_arrow_ipc_roundtrip(spark, nation, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("arrow") / "nation")
+    n_files = writers.write_arrow_ipc(nation.repartition(3), p)
+    assert n_files >= 1
+    back = readers.read_arrow_ipc(
+        spark, p, "n_nationkey int, n_name string, n_regionkey int"
+    )
+    assert _rows(back) == _rows(nation)
+
+
+def test_avro_gated(spark, tmp_path_factory):
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        readers.read_avro(spark, "/nonexistent")
+
+
+def test_insert_into_catalog_table(spark, nation):
+    spark.sql("DROP TABLE IF EXISTS nation_sink")
+    writers.insert_into(spark, nation, "nation_sink")
+    writers.insert_into(spark, nation.filter(F.col("n_regionkey") == 0), "nation_sink")
+    assert spark.table("nation_sink").count() == 30
+    spark.sql("DROP TABLE nation_sink")
+
+
+def test_memory_table(spark):
+    df = readers.from_pylist(spark, [(1, "a"), (2, "b")], "id int, tag string")
+    assert _rows(df) == [(1, "a"), (2, "b")]
