@@ -19,7 +19,7 @@ from rust_query_engine_greatest_spark.queries import REGISTRY
 from rust_query_engine_greatest_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
 
 def bench_names() -> list[str]:
@@ -31,20 +31,38 @@ def bench_names() -> list[str]:
 def main() -> None:
     spark = get_spark(app_name="bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    times: dict[str, float] = {}
-    for name in bench_names():
-        q = REGISTRY[name]
+    names = bench_names()
+    # Global warm-up: one untimed collect per query. A fresh JVM spends
+    # seconds on C2 JIT + Janino codegen compilation for the first plans
+    # it sees; collect (not count) warms the exact plan each timed
+    # iteration will run, so timings reflect steady state — the regime a
+    # long-lived cluster app actually operates in.
+    for name in names:
         try:
-            q.build(spark, SF_DIR).count()  # warm (plan + file listing + JIT)
-            best = float("inf")
-            for _ in range(ITERS):
+            REGISTRY[name].build(spark, SF_DIR).collect()
+        except Exception:
+            pass
+    try:  # settle the JVM before timing: drain GC debt from the warm-up pass
+        spark._jvm.java.lang.System.gc()
+        time.sleep(2)
+    except Exception:
+        pass
+    # Interleaved passes (pass 1 = all queries, pass 2 = all queries, ...)
+    # with best-of across passes: a one-off GC or C2-compile spike then
+    # degrades one pass of one query instead of pinning itself to
+    # whichever query happened to run first.
+    times: dict[str, float] = {}
+    for _ in range(ITERS):
+        for name in names:
+            key = name.replace("tpch_", "")
+            try:
                 t0 = time.perf_counter()
-                q.build(spark, SF_DIR).collect()
-                best = min(best, time.perf_counter() - t0)
-            times[name.replace("tpch_", "")] = round(best, 4)
-        except Exception as e:  # keep the bench line emitting even if one query breaks
-            print(f"bench {name} failed: {e}", file=sys.stderr)
-            times[name.replace("tpch_", "")] = -1.0
+                REGISTRY[name].build(spark, SF_DIR).collect()
+                dt = time.perf_counter() - t0
+                times[key] = round(min(times.get(key, float("inf")), dt), 4)
+            except Exception as e:  # keep the bench line emitting even if one query breaks
+                print(f"bench {name} failed: {e}", file=sys.stderr)
+                times[key] = -1.0
     total = round(sum(t for t in times.values() if t > 0), 4)
     print(json.dumps({
         "metric": "tpch_total_best",

@@ -12,6 +12,7 @@ from . import tpch  # noqa: F401, E402
 from . import relational  # noqa: F401, E402
 from . import functions_q  # noqa: F401, E402
 from . import pipeline_q  # noqa: F401, E402
+from . import events_q  # noqa: F401, E402
 from . import streaming_q  # noqa: F401, E402
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -1,0 +1,173 @@
+"""Event-log analytics suite over the `events` table — the ClickBench
+analog of the reference's benchmark surface (`benchmarks/src/clickbench.rs`,
+`benchmarks/queries/clickbench/queries.sql`: hits-table scan/agg/top-k
+queries). The reference ships that harness as *capability*; here each
+shape is a first-class oracle-checked query at TESTDATA scale.
+
+Scale notes: every query is a scan → (optional) shuffle-on-group-key →
+small result. At 100 TB the events table would be date-partitioned;
+`ts`-derived group keys (day, 15-min bin) align with partition pruning,
+and the per-type/user aggregations shuffle only the grouping columns
+(column pruning verified in plans/explain.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import compat
+from ..sources.catalog import load_table
+from .base import dec2, dsum, register
+
+# value is a 2-dp monetary double → exact-decimal recipe (base.py).
+VAL = "CAST(value AS DECIMAL(12,2))"
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "events_daily_type",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           COUNT(*)                         AS n,
+           CAST(SUM({VAL}) AS DOUBLE)       AS total_value,
+           CAST(SUM({VAL}) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "aggregate", "bench"),
+)
+def events_daily_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type rollup (ClickBench Q-family: GROUP BY date, type).
+    date_trunc group key aligns with date partitioning at scale."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec2("value"), "total_value"),
+            (F.sum(dec2("value")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "events_json_extract",
+    f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS k_bucket,
+           COUNT(*)                   AS n,
+           CAST(SUM({VAL}) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("events", "json", "bench"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON field extraction + bucketed agg
+    (reference has JSON only as an ingest format, SURVEY §2.8 — Spark's
+    get_json_object exceeds it; this query proves the surface)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.expr("CAST(get_json_object(props, '$.k') AS INT) div 10").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec2("value"), "total_value"),
+        )
+    )
+
+
+@register(
+    "events_top_users",
+    f"""
+    WITH s AS (
+        SELECT event_type, user_id, CAST(SUM({VAL}) AS DOUBLE) AS total_value
+        FROM events GROUP BY event_type, user_id)
+    SELECT event_type, user_id, total_value
+    FROM (SELECT *, rank() OVER (PARTITION BY event_type
+                                 ORDER BY total_value DESC, user_id) AS rk FROM s)
+    WHERE rk <= 3
+    """,
+    tags=("events", "topk"),
+)
+def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users per event type by exact-decimal spend: two-level agg →
+    ranked window, the reference's TopK-aggregation shape
+    (physical-optimizer/src/topk_aggregation.rs) at event-log scale."""
+    e = _events(spark, sf_dir)
+    s = e.groupBy("event_type", "user_id").agg(dsum(dec2("value"), "total_value"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("total_value"), "user_id")
+    return (
+        s.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "user_id", "total_value")
+    )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH m AS (
+        SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'view')     AS first_view,
+               min(ts) FILTER (WHERE event_type = 'click')    AS first_click,
+               min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+        FROM events GROUP BY user_id)
+    SELECT user_id, first_view, first_click, first_purchase
+    FROM m
+    WHERE first_view IS NOT NULL AND first_click IS NOT NULL
+      AND first_purchase IS NOT NULL
+      AND first_view < first_click AND first_click < first_purchase
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase funnel via conditional min-timestamps — one
+    shuffle on user_id, no self-joins (the n-way-join funnel anti-pattern
+    at 100 TB)."""
+    e = _events(spark, sf_dir)
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    m = e.groupBy("user_id").agg(
+        first_ts("view").alias("first_view"),
+        first_ts("click").alias("first_click"),
+        first_ts("purchase").alias("first_purchase"),
+    )
+    return m.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_view") < F.col("first_click"))
+        & (F.col("first_click") < F.col("first_purchase"))
+    )
+
+
+@register(
+    "events_time_bucket",
+    """
+    SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS bin_start_s,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS users
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("events", "datetime"),
+)
+def events_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute tumbling bins via the compat `date_bin`
+    (functions/src/datetime/date_bin.rs) — the batch twin of the
+    streaming tumbling-window query (streaming_q.stream_window_counts)."""
+    e = _events(spark, sf_dir)
+    bin_col = compat.date_bin(900, F.col("ts")).cast("long").alias("bin_start_s")
+    return e.groupBy(bin_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("users"),
+    )

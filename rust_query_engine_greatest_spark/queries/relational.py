@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from ..functions import compat
 from ..operators import distinct_on, range_join, top_k_per_group
+from ..operators.recursive import recursive_cte
 from ..sources.catalog import load_table
 from .base import dec2, dsum, register
 
@@ -734,4 +735,81 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("F_cnt").alias("f_cnt"),
         F.col("O_qty").alias("o_qty"),
         F.col("F_qty").alias("f_qty"),
+    )
+
+
+# ---- recursive CTE (§2.1 WorkTableExec / RecursiveQueryExec) --------------
+
+@register(
+    "recursive_cte",
+    """
+    WITH RECURSIVE r(k) AS (
+        SELECT DISTINCT CAST(c_custkey AS BIGINT) FROM customer WHERE c_acctbal > 9000
+        UNION
+        SELECT k // 2 FROM r WHERE k > 0
+    )
+    SELECT k FROM r
+    """,
+    tags=("recursive",),
+)
+def recursive_cte_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (reference RecursiveQueryExec,
+    physical-plan/src/recursive_query.rs:57 + WorkTableExec
+    work_table.rs:97): ancestor closure k → k DIV 2 over a binary-tree
+    key space, UNION (distinct) semantics via the driver-side fixpoint
+    loop in operators/recursive.py — each iteration fully distributed."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    seed = (
+        customer.filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").cast("bigint").alias("k"))
+        .distinct()
+    )
+    return recursive_cte(seed, lambda df: df.filter(F.col("k") > 0).select(F.expr("k div 2").alias("k")))
+
+
+# ---- approximate aggregates (§2.4 approx_distinct / approx_percentile) ----
+
+@register(
+    "agg_percentile_exact",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6)  AS p50,
+           round(quantile_cont(l_quantity, 0.9), 6)  AS p90,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate",),
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentile (reference approx_percentile_cont's
+    exact sibling; functions-aggregate/src/approx_percentile_cont.rs is
+    the t-digest path, checked separately in agg_approx). F.percentile
+    == DuckDB quantile_cont (linear interpolation) — deterministic, so
+    it hash-matches the oracle."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("price_p25"),
+    )
+
+
+@register(
+    "agg_approx",
+    None,  # sketches differ across engines → rows-only check; tolerance vs exact in tests/test_relational.py
+    tags=("aggregate", "approx"),
+)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (reference approx_distinct = HyperLogLog,
+    functions-aggregate/src/hyperloglog.rs:50; approx_median /
+    approx_percentile_cont = t-digest). Spark: approx_count_distinct
+    (HLL++) + percentile_approx. Cross-engine sketch internals differ,
+    so the oracle is omitted; tests assert rsd-bounded agreement with
+    the exact answers."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx_med_qty"),
+        F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("approx_p90_price"),
     )

@@ -497,14 +497,16 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey AS ps_partkey, CAST(value_dec AS DOUBLE) AS part_value
     FROM pv
     WHERE CAST(value_dec AS DOUBLE) >
-          (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.0007 FROM pv)
+          (SELECT CAST(SUM(value_dec) AS DOUBLE) * 1.4 / COUNT(*) FROM pv)
     ORDER BY part_value DESC, ps_partkey
     """,
     tags=("tpch", "subquery", "aggregate"),
 )
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Important stock identification (adapted: no partsupp → per-part
-    traded value Σ qty·price from lineitem; threshold 0.07% of total).
+    traded value Σ qty·price from lineitem; threshold 1.4× the mean part
+    value, which stays selective at every scale factor — TPC-H's own
+    FRACTION=0.0001/SF scales the same way).
     Global-aggregate scalar subquery → broadcast cross-join, the same
     plan the reference's ScalarSubqueryToJoin produces."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
@@ -512,7 +514,9 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.groupBy("l_partkey")
         .agg(F.sum((dec2("l_quantity") * dec2("l_extendedprice")).cast("decimal(22,4)")).alias("value_dec"))
     )
-    total = pv.agg((F.sum("value_dec").cast("double") * F.lit(0.0007)).alias("threshold"))
+    total = pv.agg(
+        (F.sum("value_dec").cast("double") * F.lit(1.4) / F.count(F.lit(1))).alias("threshold")
+    )
     return (
         pv.crossJoin(F.broadcast(total))
         .filter(F.col("value_dec").cast("double") > F.col("threshold"))

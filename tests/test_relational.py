@@ -11,8 +11,11 @@ from rust_query_engine_greatest_spark.queries import REGISTRY
 from tests.conftest import assert_frames_match
 
 REL_PREFIXES = ("join_", "agg_", "window_", "sort_", "topk_", "setop_", "distinct_on",
-                "unnest_", "values_", "pivot_")
-REL = sorted(n for n in REGISTRY if n.startswith(REL_PREFIXES))
+                "unnest_", "values_", "pivot_", "recursive_")
+REL = sorted(
+    n for n in REGISTRY
+    if n.startswith(REL_PREFIXES) and REGISTRY[n].oracle is not None
+)
 
 
 @pytest.mark.parametrize("name", REL)
@@ -75,3 +78,25 @@ def test_asof_join(spark):
     assert got[("A", 10, 30)] == 100.0   # latest quote <= 10:30
     assert got[("A", 12, 0)] == 101.0
     assert got[("B", 10, 0)] is None     # no quote yet → left join null
+
+
+def test_agg_approx_within_tolerance(spark, sf_dir, oracle):
+    """Sketch aggregates (HLL++ / percentile_approx) have no cross-engine
+    oracle; assert rsd-bounded agreement with the exact answers instead
+    (reference tests the same way: hyperloglog.rs error-bound tests)."""
+    row = REGISTRY["agg_approx"].build(spark, sf_dir).collect()[0]
+    exact = oracle.sql(
+        """
+        SELECT COUNT(DISTINCT l_orderkey) AS orders,
+               COUNT(DISTINCT l_partkey)  AS parts,
+               quantile_disc(l_quantity, 0.5)      AS med_qty,
+               quantile_disc(l_extendedprice, 0.9) AS p90_price
+        FROM lineitem
+        """
+    ).fetchone()
+    assert abs(row.approx_orders - exact[0]) <= 0.05 * exact[0]
+    assert abs(row.approx_parts - exact[1]) <= 0.05 * exact[1]
+    # percentile_approx with accuracy 10000 returns an actual data value
+    # near the true discrete quantile.
+    assert abs(row.approx_med_qty - exact[2]) <= max(1.0, 0.02 * exact[2])
+    assert abs(row.approx_p90_price - exact[3]) <= 0.02 * exact[3]
