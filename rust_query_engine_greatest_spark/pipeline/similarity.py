@@ -127,3 +127,91 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "cid", "cos", "rnk")
     )
+
+
+# ---- IVF (inverted-file) variant ------------------------------------------
+
+def learn_centroids(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample: int = 512,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Deterministic mini-Lloyd k-means on a fixed sample (lowest ids —
+    stable across runs), computed driver-side. At 100 TB the sample stays
+    driver-sized (centroid training reads a few thousand vectors, not the
+    corpus); assignment below is the distributed part."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(corpus_id).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cent = x[:: max(1, len(x) // n_centroids)][:n_centroids].copy()
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[j] = m / max(float(np.linalg.norm(m)), 1e-12)
+    return [[float(v) for v in c] for c in cent]
+
+
+def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
+    return F.array(*[dot(vec, F.array(*[F.lit(x) for x in c])) for c in centroids])
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]], nprobe: int = 1) -> Column:
+    """Array of the nprobe nearest centroid indices (1-based) for `vec`.
+    Pure built-in expressions (sorted (sim, idx) pairs) — stays in
+    whole-stage codegen, no UDF."""
+    sims = _centroid_sims(vec, centroids)
+    pairs = F.transform(
+        sims, lambda s, i: F.struct((-s).alias("neg"), i.alias("idx"))
+    )
+    return F.slice(F.transform(F.array_sort(pairs), lambda p: p["idx"] + 1), 1, nprobe)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN: corpus partitioned into centroid cells once; each query
+    searches only its `nprobe` nearest cells with exact cosine + window
+    top-k. Same bucket-column contract as lsh_topk — at scale the corpus
+    is written partitioned by `cell` and probes prune to nprobe/n_centroids
+    of the data."""
+    cent = learn_centroids(corpus, corpus_id, vec_col, n_centroids)
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"),
+        ivf_assign(F.col(vec_col), cent, 1)[0].alias("cell"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"),
+        F.explode(ivf_assign(F.col(vec_col), cent, nprobe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "cos", "rnk")
+    )

@@ -242,3 +242,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_from_documents(d)
     feats = multimodal.extract_features(media)
     return feats.select("media_id", "n_bytes", F.col("feat").cast("array<double>").alias("feat"))
+
+
+@register("sim_topk_ivf", None, tags=("pipeline", "similarity"))
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (16 deterministic k-means cells, nprobe=4): cell-local
+    exact cosine — the second scale path next to LSH (SURVEY training-
+    pipeline ops). Approximate by design → rows-only driver check;
+    recall vs brute force asserted in test_pipeline.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e.filter(F.col("vec_id") < 10), e, "vec_id", "vec_id", k=5)

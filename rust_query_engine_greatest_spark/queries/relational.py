@@ -813,3 +813,45 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx_med_qty"),
         F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("approx_p90_price"),
     )
+
+
+# ---- GROUPS window frame, emulated (§2.5 / SURVEY §7 "what's hard") -------
+
+@register(
+    "window_groups_frame",
+    """
+    WITH g AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+               dense_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_orderdate) AS grp
+        FROM orders),
+    s AS (
+        SELECT o_orderpriority, grp, SUM(price) AS sg
+        FROM g GROUP BY o_orderpriority, grp)
+    SELECT g.o_orderkey,
+           CAST(s1.sg + COALESCE(s0.sg, 0) AS DOUBLE) AS groups_sum
+    FROM g
+    JOIN s s1 ON s1.o_orderpriority = g.o_orderpriority AND s1.grp = g.grp
+    LEFT JOIN s s0 ON s0.o_orderpriority = g.o_orderpriority AND s0.grp = g.grp - 1
+    """,
+    tags=("window",),
+)
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW window frame (reference
+    expr/src/window_frame.rs:409; unsupported in Spark — and DuckDB)
+    emulated exactly: dense_rank() assigns each peer group its ordinal,
+    then a RANGE frame over that ordinal is the GROUPS frame. The oracle
+    cross-checks via an *independent* formulation (peer-group sums +
+    self-join on adjacent ordinals). Cost: one extra window pass over
+    the same sort order — no extra shuffle."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    w_groups = (
+        Window.partitionBy("o_orderpriority").orderBy("grp").rangeBetween(-1, 0)
+    )
+    return (
+        orders.withColumn("grp", F.dense_rank().over(w_rank))
+        .withColumn("groups_sum", F.sum(dec2("o_totalprice")).over(w_groups).cast("double"))
+        .select("o_orderkey", "groups_sum")
+    )

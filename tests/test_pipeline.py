@@ -127,3 +127,28 @@ def test_multimodal_frame_sampling(spark, sf_dir):
 def test_decode_stub_raises_without_pil():
     with pytest.raises(NotImplementedError):
         multimodal._decode_real(b"xx")
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with nprobe=4/16 cells must recover most of the exact top-5
+    (unlike hyperplane LSH, IVF probes the *nearest* cells by learned
+    centroid similarity, so moderate-cosine neighbors stay reachable);
+    planted near-duplicates must always be found."""
+    import random as pyrandom
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(q, e, "vec_id", "vec_id", k=5).collect()
+    approx = similarity.ivf_topk(q, e, "vec_id", "vec_id", k=5, nprobe=4).collect()
+    truth = {(r.qid, r.cid) for r in exact}
+    got = {(r.qid, r.cid) for r in approx}
+    assert len(got & truth) / len(truth) >= 0.5
+
+    originals = e.filter(F.col("vec_id") < 10).collect()
+    rng = pyrandom.Random(7)
+    planted = spark.createDataFrame(
+        [(1000 + r.vec_id, [x + rng.gauss(0, 0.01) for x in r.embedding]) for r in originals],
+        "vec_id long, embedding array<float>",
+    )
+    hits = {r.qid: r.cid for r in similarity.ivf_topk(planted, e, "vec_id", "vec_id", k=1).collect()}
+    assert all(hits.get(1000 + r.vec_id) == r.vec_id for r in originals)
