@@ -427,3 +427,42 @@ def func_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(emb, F.lit(0.0).cast("float")).alias("has_zero"),
         F.round(compat.array_distance(emb, half), 9).alias("dist_to_half"),
     )
+
+
+# ---- UDF / UDAF / UDTF extension surface (§2.10) ---------------------------
+
+@register(
+    "udx_grouped_agg_cents",
+    """
+    SELECT event_type,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+    FROM events GROUP BY event_type
+    """,
+    tags=("udx", "aggregate"),
+)
+def udx_grouped_agg_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF (AggregateUDFImpl analog, expr/src/udaf.rs:376):
+    GROUPED_AGG pandas UDF summing exact integer cents — order-
+    insensitive, so it hash-matches the oracle despite Arrow batch
+    nondeterminism."""
+    from ..functions import udx
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(udx.cents_sum("value").alias("total_cents"))
+
+
+@register(
+    "udx_generate_series",
+    """
+    SELECT CAST(unnest(generate_series(1, 1000, 7)) AS BIGINT) AS s
+    """,
+    tags=("udx", "udtf"),
+)
+def udx_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (TableFunctionImpl analog — the reference's own
+    example table function IS generate_series,
+    core/src/datasource/function.rs:29,36)."""
+    from ..functions import udx
+
+    spark.udtf.register("gen_series", udx.make_generate_series_udtf())
+    return spark.sql("SELECT * FROM gen_series(1, 1000, 7)")

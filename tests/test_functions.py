@@ -15,7 +15,7 @@ from rust_query_engine_greatest_spark.queries import REGISTRY
 
 from tests.conftest import assert_frames_match
 
-FUNC = sorted(n for n in REGISTRY if n.startswith(("func_", "greatest_")))
+FUNC = sorted(n for n in REGISTRY if n.startswith(("func_", "greatest_", "udx_")))
 
 
 @pytest.mark.parametrize("name", FUNC)
@@ -186,3 +186,77 @@ def test_percentile_approx_close(spark, sf_dir):
     med = l.select(F.median("l_extendedprice")).collect()[0][0]
     app = l.select(F.percentile_approx("l_extendedprice", 0.5, 10000)).collect()[0][0]
     assert abs(app - med) / med < 0.02
+
+
+# ---- §2.10 extension surface ------------------------------------------------
+
+def test_greatest_udf_differential_vs_builtin(spark):
+    """The reference proves its native greatest kernel against PySpark's
+    built-in (tests/greatest_test.py:29-90); we prove the pandas-UDF
+    kernel the same way — per-row equality including the NaN/NULL
+    contract (NaN wins, NULL skipped, all-NULL → NULL;
+    greatest.rs:261-278, :370-384) and the reference fixture
+    [7,5,6,9] (tests/greatest_test.py:96-101)."""
+    import math
+    import random as pyrandom
+
+    from rust_query_engine_greatest_spark.functions import udx
+
+    nan = float("nan")
+    fixture = [
+        (1.0, 5.0, 3.0), (7.0, 2.0, 2.0), (3.0, 6.0, 1.0), (4.0, 5.0, 9.0),  # → 5,7,6,9
+        (None, None, None), (nan, 1.0, None), (-1.0, nan, nan),
+        (float("inf"), nan, 1.0), (-0.0, 0.0, None),
+    ]
+    rng = pyrandom.Random(13)
+    for _ in range(200):
+        fixture.append(tuple(
+            rng.choice([None, nan, rng.uniform(-1e6, 1e6), float(rng.randint(-5, 5))])
+            for _ in range(3)
+        ))
+    df = spark.createDataFrame(fixture, "a double, b double, c double")
+    rows = df.select(
+        udx.greatest_udf("a", "b", "c").alias("mine"),
+        F.greatest("a", "b", "c").alias("builtin"),
+    ).collect()
+    assert [5.0, 7.0, 6.0, 9.0] == [r.mine for r in rows[:4]]
+    for r in rows:
+        if r.builtin is None:
+            assert r.mine is None
+        elif math.isnan(r.builtin):
+            assert math.isnan(r.mine)
+        else:
+            assert r.mine == r.builtin
+
+
+def test_greatest_udf_arity_error():
+    from rust_query_engine_greatest_spark.functions import udx
+
+    with pytest.raises(ValueError, match="at least 2"):
+        udx.greatest_udf("a")
+
+
+def test_cents_sum_as_window_function(spark):
+    """WindowUDF extension point (expr/src/udwf.rs:291): the GROUPED_AGG
+    pandas UDF applied over a window partition."""
+    from pyspark.sql.window import Window
+
+    from rust_query_engine_greatest_spark.functions import udx
+
+    df = spark.createDataFrame(
+        [("a", 1.25), ("a", 2.50), ("b", 0.10), ("b", None)], "g string, v double"
+    )
+    got = {
+        (r.g, r.wc)
+        for r in df.select("g", udx.cents_sum("v").over(Window.partitionBy("g")).alias("wc")).collect()
+    }
+    assert got == {("a", 375), ("b", 10)}
+
+
+def test_generate_series_udtf_negative_step_and_error(spark):
+    from rust_query_engine_greatest_spark.functions import udx
+
+    gs = udx.make_generate_series_udtf()
+    assert [r.s for r in gs(F.lit(5), F.lit(1), F.lit(-2)).collect()] == [5, 3, 1]
+    with pytest.raises(Exception, match="step must not be zero"):
+        gs(F.lit(1), F.lit(5), F.lit(0)).collect()
