@@ -617,17 +617,17 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "setop_except_all",
     """
-    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45
+    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 47
     EXCEPT ALL
-    SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.08
+    SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.09
     """,
     tags=("setop",),
 )
 def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL (multiset semantics)."""
     (l,) = _t(spark, sf_dir, "lineitem")
-    a = l.filter(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("k"))
-    b = l.filter(F.col("l_discount") > 0.08).select(F.col("l_suppkey").alias("k"))
+    a = l.filter(F.col("l_quantity") > 47).select(F.col("l_suppkey").alias("k"))
+    b = l.filter(F.col("l_discount") > 0.09).select(F.col("l_suppkey").alias("k"))
     return a.exceptAll(b)
 
 

@@ -1,0 +1,138 @@
+"""Fuzz / property tests, mirroring the reference's fuzz corpus
+(`core/tests/fuzz_cases/`: aggregate_fuzz.rs, join_fuzz.rs,
+sort_fuzz.rs, …): (a) results must be invariant under execution-mode
+permutations (AQE on/off, broadcast on/off, shuffle partitions 1 vs N —
+the Spark analog of the reference's spill-vs-not / partition-order
+permutations), and (b) randomized data through join+agg must agree with
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rust_query_engine_greatest_spark.queries import REGISTRY
+
+from tests.conftest import SF_DIR
+
+REPRESENTATIVE = [
+    "tpch_q3",          # join + agg + top-k
+    "tpch_q18",         # semi-join on agg subquery
+    "join_full",        # outer join null-matching
+    "agg_grouping_sets",
+    "window_frames",
+    "setop_except_all",
+    "events_top_users",
+]
+
+PERMUTATIONS = [
+    {"spark.sql.adaptive.enabled": "false"},
+    {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    {"spark.sql.shuffle.partitions": "1"},
+    {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "7",
+    },
+]
+
+
+def _row_multiset(df):
+    def norm(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return repr(round(v, 9))
+        if isinstance(v, list):
+            return "[" + ",".join(norm(x) for x in v) + "]"
+        return repr(v)
+
+    return sorted("|".join(norm(v) for v in row) for row in (tuple(r) for r in df.collect()))
+
+
+@pytest.fixture
+def conf_sandbox(spark):
+    touched = {}
+
+    def set_conf(d):
+        for k, v in d.items():
+            if k not in touched:
+                touched[k] = spark.conf.get(k)
+            spark.conf.set(k, v)
+
+    yield set_conf
+    for k, v in touched.items():
+        spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_result_invariant_under_execution_modes(name, spark, sf_dir, conf_sandbox):
+    baseline = _row_multiset(REGISTRY[name].build(spark, sf_dir))
+    assert baseline, f"{name} returned 0 rows — vacuous invariance"
+    for conf in PERMUTATIONS:
+        conf_sandbox(conf)
+        got = _row_multiset(REGISTRY[name].build(spark, sf_dir))
+        assert got == baseline, f"{name} changed results under {conf}"
+
+
+# ---- randomized-data differential fuzz (join_fuzz / aggregate_fuzz) --------
+
+row_st = st.tuples(
+    st.integers(min_value=0, max_value=9),                      # join/group key
+    st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+    st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=st.lists(row_st, min_size=0, max_size=25), right=st.lists(row_st, min_size=0, max_size=25))
+def test_join_agg_fuzz_vs_duckdb(spark_global, left, right):
+    """Random tiny tables through LEFT JOIN + GROUP BY must agree with
+    DuckDB bit-for-bit (integer aggregates only — no float ordering)."""
+    spark = spark_global
+    ldf = spark.createDataFrame(left, "k int, v int, s string") if left else spark.createDataFrame([], "k int, v int, s string")
+    rdf = spark.createDataFrame(right, "k int, w int, t string") if right else spark.createDataFrame([], "k int, w int, t string")
+    got = (
+        ldf.join(rdf, "k", "left")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sv"),
+            F.sum("w").alias("sw"),
+            F.max("s").alias("ms"),
+            F.min("t").alias("mt"),
+        )
+    )
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("l", pd.DataFrame(left, columns=["k", "v", "s"]).astype({"k": "int32"}) if left else pd.DataFrame({"k": pd.Series(dtype="int32"), "v": pd.Series(dtype="float64"), "s": pd.Series(dtype="object")}))
+    con.register("r", pd.DataFrame(right, columns=["k", "w", "t"]).astype({"k": "int32"}) if right else pd.DataFrame({"k": pd.Series(dtype="int32"), "w": pd.Series(dtype="float64"), "t": pd.Series(dtype="object")}))
+    want = con.sql(
+        """
+        SELECT l.k, COUNT(*) AS n, SUM(l.v) AS sv, SUM(r.w) AS sw,
+               MAX(l.s) AS ms, MIN(r.t) AS mt
+        FROM l LEFT JOIN r ON l.k = r.k
+        GROUP BY l.k
+        """
+    ).fetchall()
+
+    def norm(rows):
+        return sorted(
+            "|".join("NULL" if v is None else str(int(v)) if isinstance(v, float) and not math.isnan(v) and v == int(v) else str(v) for v in row)
+            for row in rows
+        )
+
+    assert norm([tuple(r) for r in got.collect()]) == norm([tuple(r) for r in want])
+    con.close()
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    return spark
