@@ -114,10 +114,13 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-cost supplier (adapted: TESTDATA has no partsupp, so the
     part↔supplier relation is the distinct (l_partkey,l_suppkey) bridge
-    from lineitem, and ps_supplycost → s_acctbal). Correlated scalar
-    subquery expressed as min-aggregate + equi-join, which is exactly the
-    reference optimizer's ScalarSubqueryToJoin rewrite
-    (optimizer/src/scalar_subquery_to_join.rs)."""
+    from lineitem, and ps_supplycost → s_acctbal). The correlated scalar
+    subquery (reference ScalarSubqueryToJoin,
+    optimizer/src/scalar_subquery_to_join.rs) is expressed as a window
+    min over p_partkey + filter — one pass over the candidate set, so
+    the expensive lineitem-bridge subtree is built ONCE (the min-agg +
+    self-join form builds it twice; at 100 TB that second scan is the
+    bottleneck)."""
     part, lineitem, supplier, nation, region = _t(
         spark, sf_dir, "part", "lineitem", "supplier", "nation", "region"
     )
@@ -132,10 +135,10 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bridge, F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
     )
-    min_bal = cand.groupBy(F.col("p_partkey").alias("mk")).agg(F.min("s_acctbal").alias("min_bal"))
+    w = Window.partitionBy("p_partkey")
     return (
-        cand.join(F.broadcast(min_bal),
-                  (cand.p_partkey == min_bal.mk) & (cand.s_acctbal == min_bal.min_bal))
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(20)
@@ -689,12 +692,18 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts/supplier relationship (adapted: partsupp → lineitem bridge;
     comment-LIKE exclusion → negative-balance supplier exclusion).
     NOT IN → left-anti join (reference lowers EXCEPT/NOT-IN the same way,
-    expr/src/logical_plan/builder.rs:1035-1058)."""
+    expr/src/logical_plan/builder.rs:1035-1058).
+
+    Plan shape: no pre-distinct of the bridge — COUNT(DISTINCT
+    l_suppkey) dedupes inside the aggregate and the anti-join is
+    per-suppkey, so the extra distinct would only add a full-width
+    shuffle. Both joins broadcast (map-side); the single exchange is the
+    final partial/final distinct-aggregate."""
     lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
-    bridge = lineitem.select("l_partkey", "l_suppkey").distinct()
     bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        bridge.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(
             F.broadcast(
                 part.filter((F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20, 25, 30))
@@ -880,18 +889,29 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers who kept orders waiting (adapted: receipt/commit dates
     absent → the 'blocking' supplier is the one whose latest ship date
     equals the order's latest, on multi-supplier finalized orders —
-    preserving q21's exists/not-exists correlation shape via aggregates)."""
+    preserving q21's exists/not-exists correlation shape via aggregates).
+
+    Plan shape: both per-order and per-(order,supplier) statistics come
+    from windows over ONE hash exchange on l_orderkey — the
+    (l_orderkey, l_suppkey) window and the dropDuplicates reuse that
+    clustering (HashPartitioning on a subset of the keys satisfies the
+    ClusteredDistribution), so the filtered lineitem is scanned once and
+    shuffled once, versus twice-scanned + thrice-shuffled in the
+    aggregate/self-join form."""
     lineitem, orders, supplier = _t(spark, sf_dir, "lineitem", "orders", "supplier")
     f_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
-    li = lineitem.join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"), F.max("l_shipdate").alias("o_max")
+    li = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
     )
-    per_supp = li.groupBy(F.col("l_orderkey").alias("k"), "l_suppkey").agg(
-        F.max("l_shipdate").alias("s_max")
-    )
+    w_order = Window.partitionBy("l_orderkey")
+    w_supp = Window.partitionBy("l_orderkey", "l_suppkey")
     return (
-        per_supp.join(per_order, (F.col("k") == F.col("l_orderkey")) & (F.col("n_supp") >= 2) & (F.col("s_max") == F.col("o_max")))
+        li.withColumn("o_max", F.max("l_shipdate").over(w_order))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w_order)))
+        .withColumn("s_max", F.max("l_shipdate").over(w_supp))
+        .filter((F.col("n_supp") >= 2) & (F.col("s_max") == F.col("o_max")))
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
