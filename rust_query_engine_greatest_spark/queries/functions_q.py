@@ -466,3 +466,43 @@ def udx_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("gen_series", udx.make_generate_series_udtf())
     return spark.sql("SELECT * FROM gen_series(1, 1000, 7)")
+
+
+@register(
+    "func_map_suite",
+    """
+    SELECT n_nationkey,
+           array_to_string(list_sort(map_keys(m)), ',')   AS mk_csv,
+           array_to_string(list_sort(map_values(m)), ',') AS mv_csv,
+           m['name'][1]                                   AS elem_name,
+           m['zzz'][1]                                    AS elem_missing,
+           m['region']                                    AS extract_region,
+           cardinality(m)                                 AS msize,
+           len(m['region']) > 0                           AS has_region
+    FROM (SELECT n_nationkey,
+                 MAP(['name','region'], [n_name, CAST(n_regionkey AS VARCHAR)]) AS m
+          FROM nation)
+    """,
+    tags=("functions", "map"),
+)
+def func_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map registry (functions-nested/src/{map,map_keys,map_values,
+    map_extract}.rs): construction from key/value arrays, key/value
+    listing, element access (present + missing key -> NULL),
+    map_extract's singleton-list contract (compat), cardinality, and
+    key-containment. All primitives stay JVM-side (no UDF)."""
+    n = load_table(spark, sf_dir, "nation")
+    m = F.map_from_arrays(
+        F.array(F.lit("name"), F.lit("region")),
+        F.array(F.col("n_name"), F.col("n_regionkey").cast("string")),
+    )
+    return n.select(
+        "n_nationkey",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("mk_csv"),
+        F.array_join(F.array_sort(F.map_values(m)), ",").alias("mv_csv"),
+        F.element_at(m, F.lit("name")).alias("elem_name"),
+        F.element_at(m, F.lit("zzz")).alias("elem_missing"),
+        compat.map_extract(m, F.lit("region")).alias("extract_region"),
+        F.size(m).alias("msize"),
+        F.map_contains_key(m, F.lit("region")).alias("has_region"),
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import compat
-from ..operators import distinct_on, range_join, top_k_per_group
+from ..operators import asof_join, distinct_on, range_join, top_k_per_group
 from ..operators.recursive import recursive_cte
 from ..sources.catalog import load_table
 from .base import dec2, dsum, register
@@ -188,6 +188,36 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper=("l_shipdate", "o_end"),
     )
     return out.select("o_orderkey", "l_linenumber", "l_shipdate")
+
+
+@register(
+    "join_asof",
+    """
+    SELECT l.event_id AS p_id, l.user_id AS user_id, l.ts AS p_ts,
+           r.event_id AS c_id, r.ts AS c_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+    tags=("join",),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest click at-or-before each purchase, per user
+    (attribution). The reference has no dedicated as-of operator
+    (SURVEY §2.3 end note: range conditions live inside
+    SymmetricHashJoin pruning / NestedLoop); operators.asof_join
+    provides it as equi-join-on-key + per-left-row latest pick, one
+    shuffle on the key. Deterministic here because (user_id, ts) is
+    unique in events. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    out = asof_join(purch, clicks, on="user_id", left_ts="p_ts", right_ts="c_ts")
+    return out.select("p_id", "user_id", "p_ts", "c_id", "c_ts")
 
 
 # ---- aggregation (§2.4) ---------------------------------------------------
