@@ -43,6 +43,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     what DuckDB does implicitly on the oracle side."""
     from pyspark.sql import functions as F
 
+    from . import compact
+
+    root = compact.resolve(sf_dir)
+    if root is not None:
+        # compacted copies are written post-conversion (ts already µs)
+        return spark.read.parquet(os.path.join(root, f"{name}.parquet"))
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
