@@ -506,3 +506,65 @@ def func_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("msize"),
         F.map_contains_key(m, F.lit("region")).alias("has_region"),
     )
+
+
+@register(
+    "func_string_suite2",
+    """
+    SELECT doc_id,
+           upper(lang[1]) || lower(lang[2:])                   AS ini,
+           translate(lang, 'en', 'EN')                         AS tra,
+           array_to_string(string_split(text, ' ')[1:2], ' ')  AS si2,
+           coalesce(list_position(string_split('en,fr,de,es', ','), lang), 0) AS fis,
+           trim('xx' || lang || 'xx', 'x')                     AS btr,
+           chr(65 + CAST(doc_id % 26 AS INT))                  AS ch,
+           lower(to_hex(doc_id))                               AS hx,
+           octet_length(encode(lang))                          AS olen,
+           length(lang)                                        AS clen,
+           string_split(text, ' ')[1]                          AS sta,
+           CASE WHEN nullif(lang, 'en') IS NOT NULL
+                THEN 'other' ELSE 'english' END                AS nv2,
+           struct_pack(l := lang, i := doc_id).l               AS sfield,
+           CASE WHEN isnan(CASE WHEN doc_id % 3 = 0 THEN CAST('nan' AS DOUBLE)
+                                ELSE CAST(doc_id AS DOUBLE) END)
+                THEN -1.0 ELSE CAST(doc_id AS DOUBLE) END      AS nanv,
+           power(CAST(doc_id % 10 AS DOUBLE), 2)               AS pw,
+           strftime(to_timestamp(1700000000 + doc_id), '%Y-%m-%d %H:%M:%S') AS fut,
+           strftime(to_timestamp(1700000000 + doc_id), '%Y-%m-%d %H')       AS tc,
+           length(CAST(uuid() AS VARCHAR)) = 36                AS uu
+    FROM documents
+    """,
+    tags=("functions", "string"),
+)
+def func_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry sweep #2 — the §2.8 rows not in func_string_suite:
+    initcap, translate, substr_index, find_in_set, btrim, chr, to_hex,
+    octet_length, character_length, string_to_array, nvl2,
+    named_struct + get_field (functions/src/core/), nanvl
+    (math/nanvl.rs), power, from_unixtime / to_char
+    (datetime/{from_unixtime,to_char}.rs → date_format), and uuid
+    (string/uuid.rs — nondeterministic, so asserted by shape: 36-char
+    RFC-4122 string, compared as a boolean both sides)."""
+    d = load_table(spark, sf_dir, "documents")
+    did, lang, t = F.col("doc_id"), F.col("lang"), F.col("text")
+    nan_or_id = F.when(did % 3 == 0, F.lit(float("nan"))).otherwise(did.cast("double"))
+    return d.select(
+        "doc_id",
+        F.initcap(lang).alias("ini"),
+        F.translate(lang, "en", "EN").alias("tra"),
+        F.substring_index(t, " ", 2).alias("si2"),
+        F.expr("find_in_set(lang, 'en,fr,de,es')").alias("fis"),
+        F.btrim(F.concat(F.lit("xx"), lang, F.lit("xx")), F.lit("x")).alias("btr"),
+        F.expr("char(65 + CAST(doc_id % 26 AS INT))").alias("ch"),
+        F.lower(F.hex(did)).alias("hx"),
+        F.octet_length(lang).alias("olen"),
+        F.char_length(lang).alias("clen"),
+        F.split(t, " ").getItem(0).alias("sta"),
+        F.nvl2(F.nullif(lang, F.lit("en")), F.lit("other"), F.lit("english")).alias("nv2"),
+        F.named_struct(F.lit("l"), lang, F.lit("i"), did).getField("l").alias("sfield"),
+        F.nanvl(nan_or_id, F.lit(-1.0)).alias("nanv"),
+        F.pow((did % 10).cast("double"), F.lit(2)).alias("pw"),
+        F.from_unixtime(F.lit(1700000000) + did).alias("fut"),
+        F.date_format(F.timestamp_seconds(F.lit(1700000000) + did), "yyyy-MM-dd HH").alias("tc"),
+        (F.length(F.expr("uuid()")) == 36).alias("uu"),
+    )
