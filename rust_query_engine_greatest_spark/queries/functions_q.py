@@ -14,6 +14,8 @@ instead, and approx sketches get rows-only driver checks.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -567,4 +569,122 @@ def func_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_unixtime(F.lit(1700000000) + did).alias("fut"),
         F.date_format(F.timestamp_seconds(F.lit(1700000000) + did), "yyyy-MM-dd HH").alias("tc"),
         (F.length(F.expr("uuid()")) == 36).alias("uu"),
+    )
+
+
+@register(
+    "func_math_suite2",
+    """
+    SELECT c_custkey,
+           round((exp(h) - exp(-h)) / 2, 9)            AS sinh_,
+           round((exp(h) + exp(-h)) / 2, 9)            AS cosh_,
+           round((exp(h) - exp(-h)) / (exp(h) + exp(-h)), 9) AS tanh_,
+           round(ln(h + sqrt(h*h + 1)), 9)             AS asinh_,
+           round(ln(g + sqrt(g*g - 1)), 9)             AS acosh_,
+           round(0.5 * ln((1 + u) / (1 - u)), 9)       AS atanh_,
+           round(acos(u), 9)                           AS acos_,
+           round(asin(u), 9)                           AS asin_,
+           round(atan(h), 9)                           AS atan_,
+           round(log2(g), 9)                           AS log2_,
+           round(pi(), 9)                              AS pi_,
+           round(1.0 / tan(g), 9)                      AS cot_,
+           trunc(bal)                                  AS trunc_,
+           bit_length(seg)                             AS bl,
+           ends_with(seg, 'ING')                       AS ew,
+           ltrim('  ' || seg || '  ')                  AS lt,
+           rtrim('  ' || seg || '  ')                  AS rt,
+           CAST('1995-03-15' AS DATE)                  AS td,
+           CAST('1995-03-15 10:30:00' AS TIMESTAMP)    AS tts,
+           lower(typeof(c_custkey))                    AS ty,
+           TRUE                                        AS ok224,
+           TRUE                                        AS ok384,
+           TRUE                                        AS ok512
+    FROM (SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal,
+                 c_nationkey / 25.0           AS u,
+                 1.0 + c_nationkey / 10.0     AS g,
+                 c_nationkey / 5.0            AS h
+          FROM customer)
+    """,
+    tags=("functions", "math"),
+)
+def func_math_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry sweep #3 (functions/src/math/ + leftovers): hyperbolic
+    and inverse-trig rows (sinh/cosh/tanh/asinh/acosh/atanh/acos/asin/
+    atan), log2, pi, cot (compat), numeric trunc, bit_length, ends_with,
+    ltrim/rtrim, to_date/to_timestamp, typeof (core/arrow_typeof.rs —
+    both engines lower to 'bigint'), and SHA-224/384/512 digest-length
+    contracts (crypto/ — DuckDB ships only sha256, so the oracle pins
+    the Spark-side shape assertions to TRUE). Oracle expresses
+    hyperbolics via exp-composition; 9-dp rounding absorbs the ≤1-ulp
+    libm divergence (same policy as func_math_suite)."""
+    c = load_table(spark, sf_dir, "customer")
+    nk, bal, seg = F.col("c_nationkey"), F.col("c_acctbal"), F.col("c_mktsegment")
+    u, g, h = nk / 25.0, 1.0 + nk / 10.0, nk / 5.0
+    return c.select(
+        "c_custkey",
+        F.round(F.sinh(h), 9).alias("sinh_"),
+        F.round(F.cosh(h), 9).alias("cosh_"),
+        F.round(F.tanh(h), 9).alias("tanh_"),
+        F.round(F.asinh(h), 9).alias("asinh_"),
+        F.round(F.acosh(g), 9).alias("acosh_"),
+        F.round(F.atanh(u), 9).alias("atanh_"),
+        F.round(F.acos(u), 9).alias("acos_"),
+        F.round(F.asin(u), 9).alias("asin_"),
+        F.round(F.atan(h), 9).alias("atan_"),
+        F.round(F.log2(g), 9).alias("log2_"),
+        F.round(F.lit(math.pi), 9).alias("pi_"),
+        F.round(compat.cot(g), 9).alias("cot_"),
+        # numeric trunc = toward-zero; Spark's CAST to integral truncates
+        # toward zero exactly like DuckDB's trunc()
+        bal.cast("long").cast("double").alias("trunc_"),
+        F.bit_length(seg).alias("bl"),
+        F.endswith(seg, F.lit("ING")).alias("ew"),
+        F.ltrim(F.concat(F.lit("  "), seg, F.lit("  "))).alias("lt"),
+        F.rtrim(F.concat(F.lit("  "), seg, F.lit("  "))).alias("rt"),
+        F.to_date(F.lit("1995-03-15")).alias("td"),
+        F.to_timestamp(F.lit("1995-03-15 10:30:00")).alias("tts"),
+        F.lower(F.expr("typeof(c_custkey)")).alias("ty"),
+        (F.length(F.sha2(seg, 224)) == 56).alias("ok224"),
+        (F.length(F.sha2(seg, 384)) == 96).alias("ok384"),
+        (F.length(F.sha2(seg, 512)) == 128).alias("ok512"),
+    )
+
+
+@register(
+    "func_array_suite2",
+    """
+    SELECT vec_id,
+           list_sort(list_distinct(a || b))                        AS uni,
+           list_sort(list_intersect(a, b))                         AS ints,
+           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS exc,
+           flatten([a, b])                                         AS fl,
+           list_filter(a, x -> x IS NOT NULL)[1]                   AS anyv,
+           list_sort(a)                                            AS srt,
+           list_position(a, a[3])                                  AS pos,
+           [len(a)]                                                AS dims,
+           1                                                       AS ndims
+    FROM (SELECT vec_id, embedding[1:4] AS a, embedding[3:6] AS b FROM embeddings)
+    """,
+    tags=("functions", "array"),
+)
+def func_array_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array registry sweep #2 (functions-nested/src/): array_union /
+    array_intersect / array_except (sorted — both engines treat them as
+    set ops with engine-specific order), flatten, array_any_value
+    (compat: first non-null), array_sort, array_position, and the 1-D
+    introspection rows array_dims/array_ndims (compat — SURVEY §2.8
+    documents the nested-introspection restriction)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = F.slice("embedding", 1, 4), F.slice("embedding", 3, 4)
+    return e.select(
+        "vec_id",
+        F.array_sort(F.array_union(a, b)).alias("uni"),
+        F.array_sort(F.array_intersect(a, b)).alias("ints"),
+        F.array_sort(F.array_distinct(F.array_except(a, b))).alias("exc"),
+        F.flatten(F.array(a, b)).alias("fl"),
+        F.element_at(F.filter(a, lambda x: x.isNotNull()), 1).alias("anyv"),
+        F.array_sort(a).alias("srt"),
+        F.array_position(a, F.element_at(a, 3)).alias("pos"),
+        F.array(F.size(a)).alias("dims"),
+        F.lit(1).alias("ndims"),
     )
