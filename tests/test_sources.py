@@ -107,3 +107,19 @@ def test_compacted_layout_preserves_results(spark, sf_dir):
         assert root and os.path.exists(os.path.join(root, "lineitem.parquet", "_SUCCESS"))
     finally:
         compact.deactivate()
+
+
+def test_object_store_conf_and_gating(spark):
+    """§2.1 object-store row: conf assembly is pure and the remote read
+    path fails with a setup hint (no connector jars in this container)."""
+    from rust_query_engine_greatest_spark.sources import object_store as obj
+
+    conf = obj.s3a_conf(access_key="AK", secret_key="SK",
+                        endpoint="http://minio:9000", anonymous=False)
+    assert conf["spark.hadoop.fs.s3a.access.key"] == "AK"
+    assert conf["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    anon = obj.s3a_conf(anonymous=True)
+    assert "AnonymousAWSCredentialsProvider" in anon["spark.hadoop.fs.s3a.aws.credentials.provider"]
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="object-store read"):
+        obj.read_remote(spark, "s3a://no-such-bucket/table/")
