@@ -5,6 +5,7 @@ from .explain import (
     assert_read_schema_only,
     assert_take_ordered,
     assert_whole_stage_codegen,
+    count_shuffle_exchanges,
     plan_string,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "assert_read_schema_only",
     "assert_take_ordered",
     "assert_whole_stage_codegen",
+    "count_shuffle_exchanges",
     "plan_string",
 ]

@@ -84,3 +84,10 @@ def assert_whole_stage_codegen(df: DataFrame) -> str:
         f"no codegen spans:\n{plan}"
     )
     return plan
+
+
+def count_shuffle_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators (hash/range/roundrobin) in
+    the physical plan — BroadcastExchange excluded. The scale currency:
+    each one is a full network redistribution of its input at 100 TB."""
+    return len(re.findall(r"\(\d+\) Exchange\b", plan_string(df)))

@@ -73,3 +73,35 @@ def test_scalar_subquery_is_broadcast_not_cartesian(spark, sf_dir):
     df = REGISTRY["tpch_q11"].build(spark, sf_dir)
     assert_no_cartesian(df)
     assert_broadcast_join(df)
+
+
+def test_q21_windows_share_one_exchange(spark, sf_dir):
+    """q21's per-order and per-(order,supplier) windows must reuse one
+    hash exchange on l_orderkey; the only other shuffle is the final
+    s_name aggregate. Shuffle count 2 is the whole point of the
+    window-over-one-exchange rewrite (vs 3+ in the agg/self-join form)."""
+    from rust_query_engine_greatest_spark.plans import count_shuffle_exchanges
+
+    df = REGISTRY["tpch_q21"].build(spark, sf_dir)
+    assert count_shuffle_exchanges(df) == 2
+
+
+def test_q2_min_cost_supplier_two_shuffles(spark, sf_dir):
+    """q2: one shuffle for the distinct part↔supplier bridge, one for
+    the min-balance window; every dimension side broadcasts."""
+    from rust_query_engine_greatest_spark.plans import count_shuffle_exchanges
+
+    df = REGISTRY["tpch_q2"].build(spark, sf_dir)
+    assert count_shuffle_exchanges(df) == 2
+    assert_broadcast_join(df, min_count=3)
+
+
+def test_asof_join_single_shuffle_no_cartesian(spark, sf_dir):
+    """operators.asof_join: the per-left-row latest pick rides one
+    shuffle (window on the synthetic row id); the key join itself must
+    not plan as a cartesian product."""
+    from rust_query_engine_greatest_spark.plans import count_shuffle_exchanges
+
+    df = REGISTRY["join_asof"].build(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_shuffle_exchanges(df) <= 2
