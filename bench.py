@@ -80,7 +80,33 @@ def main() -> None:
                 print(f"bench {name} failed: {e}", file=sys.stderr)
                 times[key] = -1.0
     total = round(sum(t for t in times.values() if t > 0), 4)
-    print(json.dumps({
+    # In-memory variant — the reference's `tpch_mem` mode (bench.sh:73,
+    # BASELINE.md second table): same queries over cached columnar
+    # tables, isolating compute from IO. Disable: SPARK_GRAFT_BENCH_MEM=0.
+    times_mem: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_MEM", "1") != "0":
+        try:
+            from rust_query_engine_greatest_spark.sources import catalog as _catalog
+
+            _catalog.cache_tables(spark, SF_DIR)
+            tpch = [n for n in names if n.startswith("tpch_")]
+            for name in tpch:  # warm the cached plans
+                REGISTRY[name].build(spark, SF_DIR).collect()
+            for _ in range(max(2, ITERS - 2)):
+                for name in tpch:
+                    key = name.replace("tpch_", "")
+                    try:
+                        t0 = time.perf_counter()
+                        REGISTRY[name].build(spark, SF_DIR).collect()
+                        dt = time.perf_counter() - t0
+                        times_mem[key] = round(min(times_mem.get(key, float("inf")), dt), 4)
+                    except Exception as e:
+                        print(f"bench-mem {name} failed: {e}", file=sys.stderr)
+                        times_mem[key] = -1.0
+            _catalog.uncache_tables(SF_DIR)
+        except Exception as e:
+            print(f"mem pass skipped: {e}", file=sys.stderr)
+    out = {
         "metric": "tpch_total_best",
         "value": total,
         "unit": "sec",
@@ -88,7 +114,11 @@ def main() -> None:
         "sf": sf,
         "layout": layout,
         "compact_s": compact_s,
-    }))
+    }
+    if times_mem:
+        out["queries_mem"] = times_mem
+        out["mem_total_best"] = round(sum(t for t in times_mem.values() if t > 0), 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

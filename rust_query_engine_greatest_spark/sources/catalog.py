@@ -32,6 +32,38 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (sf_dir, table) -> cached DataFrame; MemTable/MemoryExec analog
+# (SURVEY §2.1, core/src/datasource/memory.rs). Populated by
+# cache_tables(), consulted by load_table().
+_MEMORY: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def cache_tables(spark: SparkSession, sf_dir: str,
+                 parallelism: int | None = None) -> None:
+    """Materialize every table into Spark's columnar in-memory cache —
+    the reference's MemTable path (`tpch_mem` bench mode,
+    benchmarks/bench.sh:73). Big tables are repartitioned up to
+    `parallelism` first: a cached table inherits its scan's partition
+    count, and a 1-row-group parquet file would otherwise pin every
+    downstream stage to one task."""
+    parallelism = parallelism or spark.sparkContext.defaultParallelism
+    for name in TABLES:
+        key = (os.path.abspath(sf_dir), name)
+        if key in _MEMORY:
+            continue
+        df = load_table(spark, sf_dir, name)
+        if df.rdd.getNumPartitions() < parallelism and name in (
+                "lineitem", "orders", "events", "customer", "part"):
+            df = df.repartition(parallelism)
+        df = df.cache()
+        df.count()  # materialize now so queries measure compute, not load
+        _MEMORY[key] = df
+
+
+def uncache_tables(sf_dir: str | None = None) -> None:
+    for key in [k for k in _MEMORY if sf_dir is None or k[0] == os.path.abspath(sf_dir)]:
+        _MEMORY.pop(key).unpersist()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Path may be a single file or a partitioned dir.
@@ -45,6 +77,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     from . import compact
 
+    mem = _MEMORY.get((os.path.abspath(sf_dir), name))
+    if mem is not None:
+        return mem
     root = compact.resolve(sf_dir)
     if root is not None:
         # compacted copies are written post-conversion (ts already µs)
