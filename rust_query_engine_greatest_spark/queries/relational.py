@@ -734,6 +734,30 @@ def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "empty_relation",
+    "SELECT CAST(NULL AS BIGINT) AS id WHERE FALSE",
+    tags=("values",),
+)
+def empty_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EmptyExec (physical-plan/src/empty.rs:39) — the 0-row relation.
+    The check here IS the 0/0 row count + schema agreement; Spark plans
+    it as LocalRelation <empty> (PropagateEmptyRelation, same trivial-
+    plan pruning as the reference's optimizer §4.2)."""
+    return spark.range(0).select(F.col("id"))
+
+
+@register(
+    "placeholder_row",
+    "SELECT CAST(1 AS BIGINT) AS one",
+    tags=("values",),
+)
+def placeholder_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PlaceholderRowExec (physical-plan/src/placeholder_row.rs:41) —
+    the 1-row relation that SELECT-without-FROM scans."""
+    return spark.range(1).select((F.col("id") + 1).alias("one"))
+
+
+@register(
     "pivot_status",
     """
     SELECT l_returnflag,

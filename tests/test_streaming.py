@@ -46,3 +46,16 @@ def test_watermark_drops_windows_near_stream_end(spark, sf_dir, oracle):
         "SELECT COUNT(DISTINCT (floor(epoch(ts)/300), event_type)) FROM events"
     ).fetchone()[0]
     assert 0 < n_emitted < n_all
+
+
+def test_pipeline_breaking_plan_rejected(spark, sf_dir):
+    """SanityCheckPlan parity (core/src/physical_optimizer/
+    sanity_checker.rs): the reference rejects plans that can't execute
+    on unbounded input; Structured Streaming does the same at analysis
+    time — a global sort on a stream (no watermark, not in complete
+    aggregation) must raise AnalysisException, not run."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    stream = read_events_stream(spark, sf_dir)
+    with pytest.raises(AnalysisException):
+        run_to_memory(stream.orderBy("ts"), "should_reject", spark)
