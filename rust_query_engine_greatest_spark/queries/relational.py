@@ -222,6 +222,32 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- aggregation (§2.4) ---------------------------------------------------
 @register(
+    "agg_salted_two_phase",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v_sum,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("aggregate", "scale"),
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation (operators/salted.py): groupBy(key+salt)
+    partials merged by groupBy(key) — exact for decomposable aggs, and
+    the oracle is the plain GROUP BY, proving the rewrite. The salt is
+    xxhash64 of the row (deterministic). Reference has no skew story
+    (SURVEY §2.2: one partition per key, hot or not); this is part of
+    the added at-scale surface."""
+    from ..operators.salted import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events")[0].withColumn("value", dec2("value"))
+    out = salted_aggregate(
+        ev, ["event_type"],
+        [("value", "sum", "v_sum"), ("event_id", "count", "n")],
+        n_salts=16,
+    )
+    return out.withColumn("v_sum", F.col("v_sum").cast("double"))
+@register(
     "agg_registry",
     """
     SELECT l_returnflag,

@@ -100,3 +100,46 @@ def test_agg_approx_within_tolerance(spark, sf_dir, oracle):
     # near the true discrete quantile.
     assert abs(row.approx_med_qty - exact[2]) <= max(1.0, 0.02 * exact[2])
     assert abs(row.approx_p90_price - exact[3]) <= 0.02 * exact[3]
+
+
+def test_salted_aggregate_equals_plain(spark, sf_dir):
+    """operators/salted.py: the salted two-phase rewrite is exact for
+    decomposable aggs — identical rows to the direct groupBy."""
+    from rust_query_engine_greatest_spark.operators.salted import salted_aggregate
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    salted = salted_aggregate(
+        ev, ["event_type"],
+        [("value", "sum", "v_sum"), ("event_id", "count", "n"),
+         ("ts", "min", "first_ts"), ("ts", "max", "last_ts")],
+        n_salts=16,
+    )
+    plain = ev.groupBy("event_type").agg(
+        F.sum("value").alias("v_sum"), F.count("event_id").alias("n"),
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+    s = {tuple(r) for r in salted.collect()}
+    p = {tuple(r) for r in plain.collect()}
+    assert {r[:1] + r[2:] for r in s} == {r[:1] + r[2:] for r in p}  # float sum order differs
+    assert sorted(round(r[1], 6) for r in s) == sorted(round(r[1], 6) for r in p)
+
+
+def test_salted_aggregate_rejects_non_decomposable(spark):
+    from rust_query_engine_greatest_spark.operators.salted import salted_aggregate
+
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_aggregate(spark.range(5), ["id"], [("id", "median", "m")])
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    """Salted replicate join returns exactly the plain join's rows."""
+    from rust_query_engine_greatest_spark.operators.salted import salted_join
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    salted = salted_join(ev, cust, on="user_id", n_salts=8)
+    plain = ev.join(cust, "user_id")
+    assert salted.count() == plain.count()
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}

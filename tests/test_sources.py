@@ -123,3 +123,32 @@ def test_object_store_conf_and_gating(spark):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="object-store read"):
         obj.read_remote(spark, "s3a://no-such-bucket/table/")
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """sources/bucketing.py: bucketed-by-key tables join with ZERO
+    Exchange operators — the write-time clustering satisfies the join's
+    ClusteredDistribution (at 100 TB this is the fact-to-fact join
+    strategy; per-query RepartitionExec paid once at ingest)."""
+    from rust_query_engine_greatest_spark.plans import count_shuffle_exchanges, plan_string
+    from rust_query_engine_greatest_spark.sources import bucketing
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    bucketing.write_bucketed(li, "li_b", ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+    bucketing.write_bucketed(od, "od_b", ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+        joined = bucketing.bucketed_join(spark, "li_b", "od_b", on=["l_orderkey"])
+        assert count_shuffle_exchanges(joined) == 0, plan_string(joined)
+        assert "BroadcastExchange" not in plan_string(joined)
+        # and it computes the right thing
+        n = joined.count()
+        expect = li.join(od, "l_orderkey").count()
+        assert n == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS od_b")
