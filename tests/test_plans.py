@@ -105,3 +105,28 @@ def test_asof_join_single_shuffle_no_cartesian(spark, sf_dir):
     df = REGISTRY["join_asof"].build(spark, sf_dir)
     assert_no_cartesian(df)
     assert count_shuffle_exchanges(df) <= 2
+
+
+def test_count_min_max_answered_from_parquet_stats(spark, sf_dir):
+    """AggregateStatistics parity (§4.3, aggregate_statistics.rs — the
+    reference answers COUNT/MIN/MAX from statistics without scanning):
+    Spark's DSv2 parquet path pushes the whole aggregate into the scan
+    (PushedAggregation), reading only footer metadata. v1 path doesn't
+    support it, so this documents the exact switch a stats-heavy
+    deployment flips."""
+    from rust_query_engine_greatest_spark.plans import plan_string
+
+    prev = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("lo"),
+            F.max("l_orderkey").alias("hi"),
+        )
+        assert "PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]" in plan_string(df)
+        row = df.collect()[0]
+        full = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        assert row.n == full.count()
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev)
