@@ -688,3 +688,39 @@ def func_array_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.size(a)).alias("dims"),
         F.lit(1).alias("ndims"),
     )
+
+
+@register(
+    "func_datetime_suite2",
+    """
+    SELECT n_nationkey,
+           current_date() IS NOT NULL                         AS cd_ok,
+           EXTRACT(year FROM now()) >= 2024                   AS now_ok,
+           length(strftime(now(), '%H:%M:%S')) = 8            AS ct_ok,
+           timezone('America/New_York', TIMESTAMPTZ '2024-06-01 12:00:00+00:00')
+             = TIMESTAMP '2024-06-01 08:00:00'                AS tz_ok
+    FROM nation
+    """,
+    tags=("functions", "datetime"),
+)
+def func_datetime_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-deterministic datetime rows (functions/src/datetime/{now,
+    current_date,current_time}.rs + to_local_time), proven by shape the
+    way the reference's own tests treat wall-clock values: current_date
+    non-null, now() in a sane year, the SURVEY §2.8 current_time
+    emulation (date_format(now(),'HH:mm:ss') — Spark has no
+    time-of-day type), and a fixed-instant timezone conversion
+    (convert_timezone ≈ to_local_time) checked against its known
+    answer. Session tz is UTC on both engines."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.current_date().isNotNull().alias("cd_ok"),
+        (F.year(F.now()) >= 2024).alias("now_ok"),
+        (F.length(F.date_format(F.now(), "HH:mm:ss")) == 8).alias("ct_ok"),
+        (
+            F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"),
+                               F.lit("2024-06-01 12:00:00").cast("timestamp"))
+            == F.lit("2024-06-01 08:00:00").cast("timestamp")
+        ).alias("tz_ok"),
+    )

@@ -130,3 +130,25 @@ def test_count_min_max_answered_from_parquet_stats(spark, sf_dir):
         assert row.n == full.count()
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path_factory):
+    """Dynamic partition pruning (§4.3 — the reference only has static
+    hive-partition pruning, listing/helpers.rs; Spark additionally
+    prunes at runtime from the joined dim's values): a partitioned fact
+    joined to a filtered dim must carry a dynamicpruningexpression in
+    its PartitionFilters."""
+    from rust_query_engine_greatest_spark.plans import plan_string
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+    d = str(tmp_path_factory.mktemp("dpp"))
+    load_table(spark, sf_dir, "events").write.mode("overwrite") \
+        .partitionBy("event_type").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("click", 2)], "event_type string, w int"
+    ).filter(F.col("w") == 1)
+    j = fact.join(dim, "event_type").agg(F.count(F.lit(1)).alias("n"))
+    assert "dynamicpruningexpression" in plan_string(j)
+    n = j.collect()[0].n
+    assert n == load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").count()
