@@ -724,3 +724,48 @@ def func_datetime_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.lit("2024-06-01 08:00:00").cast("timestamp")
         ).alias("tz_ok"),
     )
+
+
+@register(
+    "func_sql_dialect",
+    """
+    SELECT vec_id,
+           a[1] = 0.0                                        AS z1,
+           lower(to_hex(vec_id))                             AS hx,
+           array_to_string(string_split('x.y.z', '.')[1:2], '.') AS si,
+           a[1:3]                                            AS pb,
+           round(sqrt(power(a[1]-b[1], 2) + power(a[2]-b[2], 2)
+                    + power(a[3]-b[3], 2) + power(a[4]-b[4], 2)), 9) AS dist,
+           [len(a)]                                          AS dims
+    FROM (SELECT vec_id,
+                 list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS a,
+                 list_transform(embedding[3:6], x -> CAST(x AS DOUBLE)) AS b
+          FROM embeddings)
+    """,
+    tags=("functions", "sql-dialect"),
+)
+def func_sql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL lifecycle end-to-end with DataFusion-dialect names
+    (§3.1 SessionContext::sql parity + §4.4's function-registration
+    shim, functions/sql_names.py): the whole query is a spark.sql(...)
+    string over a registered view, calling iszero / to_hex /
+    substr_index / array_pop_back / array_distance / array_dims — all
+    inlined by Catalyst as SQL UDFs (no Python boundary; asserted in
+    tests/test_functions.py)."""
+    from ..functions.sql_names import register_sql_names
+
+    register_sql_names(spark)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings_v")
+    return spark.sql("""
+        SELECT vec_id,
+               iszero(a[0])                            AS z1,
+               to_hex(vec_id)                          AS hx,
+               substr_index('x.y.z', '.', 2)           AS si,
+               array_pop_back(a)                       AS pb,
+               round(array_distance(a, b), 9)          AS dist,
+               array_dims(a)                           AS dims
+        FROM (SELECT vec_id,
+                     transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE)) AS a,
+                     transform(slice(embedding, 3, 4), x -> CAST(x AS DOUBLE)) AS b
+              FROM embeddings_v)
+    """)

@@ -260,3 +260,25 @@ def test_generate_series_udtf_negative_step_and_error(spark):
     assert [r.s for r in gs(F.lit(5), F.lit(1), F.lit(-2)).collect()] == [5, 3, 1]
     with pytest.raises(Exception, match="step must not be zero"):
         gs(F.lit(1), F.lit(5), F.lit(0)).collect()
+
+
+def test_sql_dialect_names_stay_jvm_side(spark):
+    """functions/sql_names.py: the dialect shim must inline as Catalyst
+    expressions — a plan containing BatchEvalPython/PythonUDF would mean
+    the names fell back to the slow path."""
+    from rust_query_engine_greatest_spark.functions.sql_names import register_sql_names
+    from rust_query_engine_greatest_spark.plans import plan_string
+
+    names = register_sql_names(spark)
+    assert "date_bin" in names and "array_distance" in names
+    df = spark.sql("""
+        SELECT iszero(CAST(id AS DOUBLE)) z, to_hex(id) h,
+               array_distance(array(CAST(id AS DOUBLE), 0.0), array(0.0, 0.0)) d,
+               date_bin(3600, timestamp_seconds(id * 1000), TIMESTAMP '1970-01-01') b
+        FROM range(5)
+    """)
+    p = plan_string(df)
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+    rows = df.collect()
+    assert rows[0].z is True and rows[1].z is False
+    assert rows[3].d == 3.0
