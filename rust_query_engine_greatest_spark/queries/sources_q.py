@@ -1,0 +1,67 @@
+"""Source/sink round-trips as oracle-checked registry entries
+(SURVEY §2.1): each query WRITES a table through a sink format, READS
+it back through the matching scan, and aggregates — the oracle runs the
+same aggregate on the original parquet, so a format that loses rows,
+types, or values hash-mismatches.
+
+Round-trip staging goes under spark-warehouse/ (repo scratch, never the
+read-only TESTDATA)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import readers, writers
+from ..sources.catalog import load_table
+from .base import dec2, dsum, register
+
+_STAGE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "..", "..", "spark-warehouse", "roundtrip")
+
+# the shared aggregate both sides compute (order-insensitive, decimal-exact)
+_ORACLE_AGG = """
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+    FROM customer GROUP BY c_mktsegment
+"""
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), dsum(dec2("c_acctbal"), "bal")
+    )
+
+
+@register("sink_parquet_roundtrip", _ORACLE_AGG, tags=("sources", "sink"))
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSinkExec + ParquetExec (insert.rs:50 / parquet/mod.rs:263):
+    write_parquet → scan → aggregate equals the original table."""
+    dst = os.path.join(_STAGE, "customer_parquet")
+    writers.write_parquet(load_table(spark, sf_dir, "customer"), dst)
+    return _agg(spark.read.parquet(dst))
+
+
+@register("source_csv_roundtrip", _ORACLE_AGG, tags=("sources", "csv"))
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CsvExec (csv.rs:74): write_csv (header) → read_csv with explicit
+    schema → aggregate. Exercises delimiter/header/typed-read."""
+    dst = os.path.join(_STAGE, "customer_csv")
+    cust = load_table(spark, sf_dir, "customer")
+    writers.write_csv(cust, dst)
+    back = readers.read_csv(spark, dst, schema=cust.schema, header=True)
+    return _agg(back)
+
+
+@register("source_ndjson_roundtrip", _ORACLE_AGG, tags=("sources", "json"))
+def source_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NdJsonExec (json.rs:53): write_ndjson → read_ndjson (schema
+    inference) → aggregate."""
+    dst = os.path.join(_STAGE, "customer_ndjson")
+    cust = load_table(spark, sf_dir, "customer")
+    writers.write_ndjson(cust, dst)
+    back = readers.read_ndjson(spark, dst).select(*cust.columns)
+    return _agg(back)
