@@ -282,3 +282,11 @@ def test_sql_dialect_names_stay_jvm_side(spark):
     rows = df.collect()
     assert rows[0].z is True and rows[1].z is False
     assert rows[3].d == 3.0
+    # string_to_array must treat the delimiter literally (reference /
+    # Postgres semantics), even when it's a regex metacharacter
+    row = spark.sql(
+        "SELECT string_to_array('a|b|c', '|') a, string_to_array('a.b+c', '.') b, "
+        "string_to_array('x^y', '^') c, string_to_array('abc', '') d"
+    ).collect()[0]
+    assert row.a == ["a", "b", "c"] and row.b == ["a", "b+c"]
+    assert row.c == ["x", "y"] and row.d == ["abc"]
