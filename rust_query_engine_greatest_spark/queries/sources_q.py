@@ -65,3 +65,34 @@ def source_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     writers.write_ndjson(cust, dst)
     back = readers.read_ndjson(spark, dst).select(*cust.columns)
     return _agg(back)
+
+
+@register("source_arrow_roundtrip", _ORACLE_AGG, tags=("sources", "arrow"))
+def source_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrowExec (arrow_file.rs:50): distributed Arrow-IPC write
+    (per-partition files, no driver hop) → mapInArrow scan → aggregate.
+    The reference's native columnar interchange format, round-tripped
+    through Spark's Arrow boundary."""
+    dst = os.path.join(_STAGE, "customer_arrow")
+    cust = load_table(spark, sf_dir, "customer")
+    writers.write_arrow_ipc(cust, dst)
+    back = readers.read_arrow_ipc(spark, dst, cust.schema)
+    return _agg(back)
+
+
+@register(
+    "source_memory_table",
+    """
+    SELECT seg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS tot
+    FROM (VALUES ('A', 10), ('A', 32), ('B', 7)) AS t(seg, v)
+    GROUP BY seg
+    """,
+    tags=("sources", "memory"),
+)
+def source_memory_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MemoryExec/MemTable (memory.rs:44): createDataFrame from driver
+    rows → distributed aggregation."""
+    df = spark.createDataFrame([("A", 10), ("A", 32), ("B", 7)], "seg string, v long")
+    return df.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("tot")
+    )

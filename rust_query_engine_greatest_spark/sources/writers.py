@@ -35,13 +35,19 @@ def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
-def write_arrow_ipc(df: DataFrame, path: str) -> int:
+def write_arrow_ipc(df: DataFrame, path: str, mode: str = "overwrite") -> int:
     """Distributed Arrow IPC sink: each partition serializes its batches
-    to one .arrow file (task-side, no driver hop); returns file count."""
+    to one .arrow file (task-side, no driver hop); returns file count.
+    mode='overwrite' clears previous .arrow files first — task files are
+    uuid-named, so without it a rerun would silently double the data."""
+    import glob
+
     import pyarrow as pa
 
     os.makedirs(path, exist_ok=True)
-    schema_holder = {}
+    if mode == "overwrite":
+        for old in glob.glob(os.path.join(path, "part-*.arrow")):
+            os.remove(old)
 
     def encode(batches):
         import os as _os
