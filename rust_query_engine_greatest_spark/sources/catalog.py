@@ -65,6 +65,22 @@ def uncache_tables(sf_dir: str | None = None) -> None:
         _MEMORY.pop(key).unpersist()
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make the catalog correct in ANY caller-provided SparkSession (the
+    driver passes its own, without session.py's confs): TIMESTAMP(NANOS)
+    parquet (events.ts) is unreadable unless nanosAsLong is on
+    (PARQUET_TYPE_ILLEGAL otherwise), and the ns→µs + oracle-hash
+    contract assumes a UTC session. Both are runtime-settable; no-ops
+    when session.py already configured them."""
+    try:
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # never block a read over a conf we can't touch
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Path may be a single file or a partitioned dir.
 
@@ -77,6 +93,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     from . import compact
 
+    _ensure_session_confs(spark)
     mem = _MEMORY.get((os.path.abspath(sf_dir), name))
     if mem is not None:
         return mem
