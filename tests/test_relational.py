@@ -143,3 +143,24 @@ def test_salted_join_equals_plain(spark, sf_dir):
     plain = ev.join(cust, "user_id")
     assert salted.count() == plain.count()
     assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_asof_join_tolerance(spark):
+    """asof_join tolerance_seconds: matches older than the window are
+    dropped (→ NULL), mirroring pd.merge_asof(tolerance=...)."""
+    import datetime as dt
+
+    quotes = spark.createDataFrame(
+        [("A", dt.datetime(2024, 1, 1, 10, 0), 100.0)],
+        "sym string, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", dt.datetime(2024, 1, 1, 10, 4)),   # 240s after quote
+         ("A", dt.datetime(2024, 1, 1, 11, 0))],  # 3600s after quote
+        "sym string, tts timestamp",
+    )
+    out = asof_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+                    tolerance_seconds=300)
+    got = {(r.tts.hour, r.tts.minute): r.px for r in out.collect()}
+    assert got[(10, 4)] == 100.0
+    assert got[(11, 0)] is None
