@@ -15,5 +15,6 @@ from . import pipeline_q  # noqa: F401, E402
 from . import events_q  # noqa: F401, E402
 from . import streaming_q  # noqa: F401, E402
 from . import sources_q  # noqa: F401, E402
+from . import harness_q  # noqa: F401, E402
 
 __all__ = ["REGISTRY", "Query", "register"]
