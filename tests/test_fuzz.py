@@ -136,3 +136,44 @@ def test_join_agg_fuzz_vs_duckdb(spark_global, left, right):
 @pytest.fixture(scope="session")
 def spark_global(spark):
     return spark
+
+
+# ---- greatest randomized differential (greatest.rs:422-450 stress) ---------
+
+g_row = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),
+    st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),
+    st.one_of(st.none(), st.floats(min_value=-1e6, max_value=1e6,
+                                   allow_nan=False, allow_infinity=False)),
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(g_row, min_size=1, max_size=30), use_nan=st.booleans())
+def test_greatest_fuzz_vs_duckdb(spark_global, rows, use_nan):
+    """Randomized greatest over mixed int/double columns with NULLs (and
+    optionally NaN injected into one column) must agree with DuckDB's
+    GREATEST — the same differential method as the reference's
+    many-arg/random tests (tests/greatest_test.py:422-450), with DuckDB
+    replacing 'Spark as oracle' since our engine IS Spark. Both engines
+    skip NULLs and rank NaN above any number."""
+    spark = spark_global
+    sdf = spark.createDataFrame(rows, "a long, b long, c double")
+    if use_nan:
+        cexpr = F.when(F.col("c") < 0, F.lit(float("nan"))).otherwise(F.col("c"))
+    else:
+        cexpr = F.col("c")
+    got = sorted(
+        ("NaN" if r.g is not None and math.isnan(r.g) else ("NULL" if r.g is None else round(r.g, 9))
+         for r in sdf.select(F.greatest(F.col("a"), F.col("b"), cexpr).alias("g")).collect()),
+        key=str)
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("t", pd.DataFrame(rows, columns=["a", "b", "c"]))
+    nan_c = "CASE WHEN c < 0 THEN CAST('nan' AS DOUBLE) ELSE c END" if use_nan else "c"
+    want = sorted(
+        ("NaN" if v[0] is not None and math.isnan(v[0]) else ("NULL" if v[0] is None else round(v[0], 9))
+         for v in con.sql(f"SELECT greatest(CAST(a AS DOUBLE), CAST(b AS DOUBLE), {nan_c}) FROM t").fetchall()),
+        key=str)
+    assert got == want
