@@ -171,3 +171,55 @@ def events_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("users"),
     )
+
+
+@register(
+    "events_sessionize_batch",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS sid, COUNT(*) AS n_events,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("events", "window", "session"),
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): 30-minute-gap session
+    boundaries via lag → flag → running sum, then per-session rollup —
+    the exact-oracle batch twin of the stateful streaming
+    `stream_sessionize` (applyInPandasWithState), proving identical
+    session semantics both ways.
+
+    Plan shape: lag-window, running-sum window, AND the (user_id, sid)
+    aggregate all reuse ONE hash exchange on user_id (HashPartitioning
+    on a key subset satisfies the aggregate's ClusteredDistribution) —
+    the same single-shuffle discipline as q21."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.select(
+        "user_id", "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) > gap_us),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )

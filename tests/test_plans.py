@@ -152,3 +152,13 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path_factory):
     assert "dynamicpruningexpression" in plan_string(j)
     n = j.collect()[0].n
     assert n == load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").count()
+
+
+def test_sessionize_batch_single_exchange(spark, sf_dir):
+    """events_sessionize_batch: lag window, running-sum window, and the
+    (user_id, sid) aggregate must all reuse ONE hash exchange on
+    user_id (subset-key clustering satisfaction — the q21 discipline)."""
+    from rust_query_engine_greatest_spark.plans import count_shuffle_exchanges
+
+    df = REGISTRY["events_sessionize_batch"].build(spark, sf_dir)
+    assert count_shuffle_exchanges(df) == 1
