@@ -152,3 +152,32 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS od_b")
+
+
+def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path_factory):
+    """At-scale ingest contract: with partitionOverwriteMode=dynamic,
+    INSERT OVERWRITE replaces only the partitions present in the new
+    data — the daily-reprocess pattern (static mode would wipe the whole
+    table). Reference has no partitioned-write story at all; this is
+    Spark-side added surface."""
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+    d = str(tmp_path_factory.mktemp("dpo"))
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(d)
+    before = {r.event_type: r.n for r in
+              spark.read.parquet(d).groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # rewrite ONLY the 'click' partition with a single synthetic row
+        one = ev.filter(F.col("event_type") == "click").limit(1)
+        one.write.partitionBy("event_type").mode("overwrite").parquet(d)
+        after = {r.event_type: r.n for r in
+                 spark.read.parquet(d).groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert after["click"] == 1                      # replaced
+        for k in before:
+            if k != "click":
+                assert after[k] == before[k], k         # untouched
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
