@@ -5,7 +5,11 @@
    the oracle_sql()[name] in DuckDB over the same tables; compare
    row-count, column names, and an order-insensitive value hash.
 
-Usage: python tools/driver_emulator.py [sf_dir]
+Usage: python tools/driver_emulator.py [sf_dir] [--vanilla]
+
+--vanilla runs against a bare SparkSession (no session.py confs) — the
+shape of the REAL driver's session; catches any query that silently
+depends on our factory's configuration (e.g. nanosAsLong, UTC tz).
 """
 
 from __future__ import annotations
@@ -22,7 +26,9 @@ import __spark_entry__ as entrymod  # noqa: E402
 from rust_query_engine_greatest_spark.session import get_spark  # noqa: E402
 from rust_query_engine_greatest_spark.sources.catalog import TABLES  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+VANILLA = "--vanilla" in sys.argv[1:]
+SF_DIR = ARGS[0] if ARGS else "/root/testdata/sf0.01"
 
 
 def norm_cell(v):
@@ -59,7 +65,19 @@ def value_hash(cols, rows):
 
 
 def main():
-    spark = get_spark(app_name="driver-emulator", cpus=8)
+    if VANILLA:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("driver-emulator-vanilla")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark(app_name="driver-emulator", cpus=8)
     df = entrymod.entry(spark)
     n = len(df.collect())
     print(f"smoke entry(): OK rows={n} schema={[f.name for f in df.schema.fields]}")
