@@ -113,3 +113,36 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_bytes": frames})
 
     return media.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = ("media_id long, payload binary, "
+                 "meta struct<kind:string,mime:string,width:int,height:int,duration_ms:bigint>")
+
+
+def resize_images(media: DataFrame, target_w: int = 16, target_h: int = 16) -> DataFrame:
+    """mapInPandas resize: payload in, downsampled payload + UPDATED
+    typed metadata (width/height) out — the Spark-side contract a real
+    PIL `Image.resize` drops into. The deterministic fake keeps every
+    (target_w*target_h)-th byte via a numpy stride so output size is
+    exactly w*h bytes; the real decoder (`_decode_real`) stays gated
+    behind the PIL import per the environment contract."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = target_w * target_h
+        for pdf in batches:
+            payloads = []
+            metas = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(buf) == 0:
+                    out = b""
+                else:
+                    idx = np.linspace(0, len(buf) - 1, num=min(n_out, len(buf))).astype(np.int64)
+                    out = buf[idx].tobytes()
+                payloads.append(out)
+                m = dict(meta) if meta is not None else {}
+                m["width"], m["height"] = target_w, target_h
+                metas.append(m)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads, "meta": metas})
+
+    return media.mapInPandas(op, schema=RESIZE_SCHEMA)

@@ -152,3 +152,21 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     )
     hits = {r.qid: r.cid for r in similarity.ivf_topk(planted, e, "vec_id", "vec_id", k=1).collect()}
     assert all(hits.get(1000 + r.vec_id) == r.vec_id for r in originals)
+
+
+def test_multimodal_resize_contract(spark, sf_dir):
+    """resize_images: output payload is exactly target_w*target_h bytes
+    (for payloads at least that large), metadata width/height are
+    rewritten, and the op is deterministic."""
+    from rust_query_engine_greatest_spark.pipeline import multimodal as mm
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = mm.media_from_documents(docs)
+    out = mm.resize_images(media, target_w=8, target_h=8).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.meta.width == 8 and r.meta.height == 8
+        assert len(r.payload) <= 64 and len(r.payload) > 0
+    again = {r.media_id: bytes(r.payload) for r in mm.resize_images(media, 8, 8).collect()}
+    assert {r.media_id: bytes(r.payload) for r in out} == again
