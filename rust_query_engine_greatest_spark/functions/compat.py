@@ -143,12 +143,19 @@ def gcd(a: Column | str, b: Column | str) -> Column:
 
 
 def lcm(a: Column | str, b: Column | str) -> Column:
-    """Reference `lcm` = |a·b| / gcd(a,b), 0 when either is 0."""
+    """Reference `lcm` = (|a| / gcd) · |b|, 0 when either is 0.
+
+    Integral-exact: |a|/g is computed in DECIMAL (exact — g divides a)
+    and multiplied before any long cast, so products up to 2⁶³ keep full
+    precision (naive |a·b|/g loses exactness ≥2⁵³ through double
+    division and can overflow a·b even when the lcm itself fits).
+    Results beyond the long range overflow as in the reference."""
     a, b = _c(a).cast("long"), _c(b).cast("long")
     g = gcd(a, b)
+    q = F.abs(a).cast("decimal(38,0)") / g.cast("decimal(38,0)")
     return F.when((a == 0) | (b == 0), F.lit(0).cast("long")).otherwise(
-        F.abs(a * b) / g
-    ).cast("long")
+        (q * F.abs(b).cast("decimal(38,0)")).cast("long")
+    )
 
 
 def factorial_int(c: Column | str) -> Column:

@@ -52,29 +52,61 @@ def asof_join(
     tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, the latest right row with right_ts <= left_ts
-    (per `on` key) — the classic as-of join.
+    (per `on` key) — the classic as-of join, left-outer semantics.
 
-    Implementation: equi-join on the key with ts residual, then
-    distinct-on (max right_ts per left row). Shuffles once on `on`;
-    the window re-uses the same partitioning (no second shuffle of the
-    probe side's key). For unkeyed/huge-range cases use
-    `applyInPandas` + pd.merge_asof per key group instead.
+    Implementation: the union-merge formulation — tag both sides, union
+    on (key, ts), and take `last(right_struct, ignorenulls)` over a
+    running window per key. ONE exchange total, hash-partitioned on the
+    natural key; no join operator and no synthetic row ids (the previous
+    monotonically_increasing_id + per-row window added a max-cardinality
+    shuffle and was fragile under AQE re-planning — VERDICT r1 item 4).
+    Right-ts ties are resolved deterministically by taking the greatest
+    right struct. Null join keys never match (equi-join semantics): such
+    left rows bypass the window and emit null right columns.
     """
-    # precondition: apart from `on`, left/right column names are disjoint
-    r = right.withColumnRenamed(on, "__rkey")
-    left = left.withColumn("__lid", F.monotonically_increasing_id())
-    cond = (left[on] == r["__rkey"]) & (r[right_ts] <= left[left_ts])
-    if tolerance_seconds is not None:
-        cond = cond & (
-            r[right_ts].cast("timestamp").cast("double")
-            >= left[left_ts].cast("timestamp").cast("double") - tolerance_seconds
-        )
-    joined = left.join(r, cond, "left").drop("__rkey")
-    # deterministic pick per left row: latest right_ts (stable when
-    # right_ts is unique per key)
-    w = Window.partitionBy("__lid").orderBy(F.desc_nulls_last(F.col(right_ts)))
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__lid")
+    from pyspark.sql import types as T
+
+    lcols = list(left.columns)
+    rcols = [c for c in right.columns if c != on]
+    l_struct_t = T.StructType([left.schema[c] for c in lcols])
+    r_struct_t = T.StructType([right.schema[c] for c in rcols])
+
+    lu = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*lcols).alias("__l"),
+        F.lit(None).cast(r_struct_t).alias("__r"),
     )
+    ru = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_struct_t).alias("__l"),
+        F.struct(*rcols).alias("__r"),
+    )
+    merged = lu.filter(F.col("__k").isNotNull()).unionByName(
+        ru.filter(F.col("__k").isNotNull())
+    )
+    # Right rows sort before left rows at equal ts (is_left asc), so a
+    # right row AT the left ts is visible to it; __r in the order makes
+    # equal-ts right rows resolve to the max struct, deterministically.
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__is_left", "__r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = merged.withColumn("__pick", F.last("__r", ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col("__pick")[right_ts].cast("timestamp").cast("double")
+            >= F.col("__ts").cast("timestamp").cast("double") - tolerance_seconds
+        )
+        picked = picked.withColumn("__pick", F.when(in_tol, F.col("__pick")))
+    matched = picked.filter(F.col("__is_left") == 1).select(
+        F.col("__l.*"), *[F.col(f"__pick.{c}").alias(c) for c in rcols]
+    )
+    null_key = left.filter(F.col(on).isNull()).select(
+        "*", *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols]
+    )
+    return matched.unionByName(null_key)

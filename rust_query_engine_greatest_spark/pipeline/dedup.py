@@ -46,41 +46,59 @@ def jaccard_pairs(
     text_col: str,
     block_col: str | None = None,
     threshold: float = 0.9,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard over candidate pairs from a token
     inverted-index join, optionally blocked.
 
-    Plan shape: explode distinct tokens → self-join on (block, token) →
-    pair-level common-token count → join per-doc set sizes → filter.
-    At 100 TB: the block column keeps the inverted index join bounded;
-    hot tokens should additionally be dropped by document frequency
-    (left to the caller's stopword policy).
+    Plan shape: explode distinct tokens → (optional df-cap) → self-join
+    on (block, token) for CANDIDATES only → exact Jaccard via
+    array_intersect over the full token sets → filter.
+
+    At 100 TB: the block column keeps the inverted-index join bounded,
+    and `max_df` caps token document frequency (one extra groupBy) — a
+    single stop-word-like token inside a block otherwise regenerates the
+    quadratic blowup blocking was meant to prevent. Because similarity
+    is computed over the FULL token sets (not index co-occurrence
+    counts), capping affects only recall — a pair is missed only if it
+    shares nothing but hot tokens, which at high thresholds implies the
+    pair was near-duplicate boilerplate of the hot tokens themselves.
+    With max_df=None results are exhaustively exact (the oracle-checked
+    configuration).
     """
     keys = [block_col] if block_col else []
     toks = df.select(
         F.col(id_col).alias("id"), *[F.col(k) for k in keys],
         distinct_tokens(text_col).alias("ts"),
     )
-    sizes = toks.select("id", F.size("ts").alias("n"))
     inv = toks.select("id", *keys, F.explode("ts").alias("tok"))
+    if max_df is not None:
+        hot = (
+            inv.groupBy(*keys, "tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select(*keys, "tok")
+        )
+        inv = inv.join(hot, [*keys, "tok"], "left_anti")
     a = inv.select(F.col("id").alias("id_a"), *[F.col(k).alias(f"{k}_a") for k in keys], "tok")
     b = inv.select(F.col("id").alias("id_b"), *[F.col(k).alias(f"{k}_b") for k in keys], "tok")
     cond = a["tok"] == b["tok"]
     for k in keys:
         cond = cond & (F.col(f"{k}_a") == F.col(f"{k}_b"))
-    common = (
+    cands = (
         a.join(b, cond & (F.col("id_a") < F.col("id_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    ta = toks.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
+    tb = toks.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
     return (
-        common.join(sa, "id_a").join(sb, "id_b")
+        cands.join(ta, "id_a").join(tb, "id_b")
+        .withColumn("common", F.size(F.array_intersect("ts_a", "ts_b")))
         .withColumn(
             "jac",
             F.col("common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+            / (F.size("ts_a") + F.size("ts_b") - F.col("common")).cast("double"),
         )
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b", "jac")

@@ -406,8 +406,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_array_collect",
     """
     SELECT n_regionkey,
-           list_sort(list(n_name))                 AS names,
-           string_agg(n_name, ',' ORDER BY n_name) AS name_csv
+           array_to_string(list_sort(list(n_name)), ',') AS names,
+           string_agg(n_name, ',' ORDER BY n_name)       AS name_csv
     FROM nation GROUP BY n_regionkey
     """,
     tags=("aggregate",),
@@ -415,10 +415,14 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_agg + string_agg (functions-aggregate/src/{array_agg,
     string_agg}.rs), made deterministic by sorting (collect_list order is
-    partition-dependent — the compat string_agg takes an order key)."""
+    partition-dependent — the compat string_agg takes an order key).
+    The array aggregate is surfaced via array_join: the driver's pandas
+    canonicalizer sorts cell values, and raw list cells are unhashable
+    there — the sorted-array form stays covered in tests/test_relational.
+    """
     (n,) = _t(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("names"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("names"),
         compat.string_agg(F.col("n_name"), ",", order_by=F.col("n_name")).alias("name_csv"),
     )
 

@@ -733,13 +733,22 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     Correlated AVG subquery → per-part aggregate + rejoin. l_quantity is
     integer-valued so the double AVG is exact/order-independent."""
     lineitem, part = _t(spark, sf_dir, "lineitem", "part")
-    p = part.filter(F.col("p_brand") == "Brand#11")
-    avg_q = lineitem.groupBy(F.col("l_partkey").alias("ak")).agg(
+    p = part.filter(F.col("p_brand") == "Brand#11").select("p_partkey")
+    # Scale shape: semi-filter the fact to the brand's partkeys FIRST, then
+    # aggregate — the per-partkey AVG only needs rows for those partkeys,
+    # so the aggregate (and its broadcast) is dimension-sized, not
+    # |part|-sized. Broadcasting an unfiltered fact aggregate would OOM at
+    # 100× (VERDICT r1 item 3).
+    li = (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("ak")).agg(
         (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
     )
     return (
-        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(avg_q), F.col("l_partkey") == F.col("ak"))
+        li.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("ak"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg((F.sum(dec2("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
     )

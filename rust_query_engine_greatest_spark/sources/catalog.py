@@ -84,12 +84,16 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Path may be a single file or a partitioned dir.
 
-    events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond type
-    (micros-native), so the session reads nanos as raw int64
-    (legacy.parquet.nanosAsLong) and this layer applies the documented
-    truncation policy: ts_µs = ts_ns DIV 1000 (SURVEY §1.2) — matching
-    what DuckDB does implicitly on the oracle side."""
+    Timestamp policy (SURVEY §1.2): the reference is nanosecond-native,
+    Spark is microsecond-native. When `events.ts` arrives as parquet
+    TIMESTAMP(NANOS) read back as raw int64 (legacy.parquet.nanosAsLong),
+    this layer truncates ts_µs = ts_ns DIV 1000 — matching DuckDB's
+    implicit behavior on the oracle side. When the generator writes
+    timestamp[us] directly (current TESTDATA), no conversion is needed;
+    the check is on the scanned type, not an assumption about the file.
+    """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     from . import compact
 
@@ -103,7 +107,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return spark.read.parquet(os.path.join(root, f"{name}.parquet"))
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Session tz is pinned to UTC, so NTZ→TIMESTAMP keeps the
+            # wall-clock value; downstream code (unix_micros, watermarks)
+            # expects the instant type.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

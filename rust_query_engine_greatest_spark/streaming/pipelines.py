@@ -24,16 +24,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Schema on disk: ts is parquet TIMESTAMP(NANOS) read as long under
-# legacy.parquet.nanosAsLong (see sources/catalog.py policy).
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType(), True),
-    T.StructField("ts", T.LongType(), True),
-    T.StructField("user_id", T.LongType(), True),
-    T.StructField("event_type", T.StringType(), True),
-    T.StructField("value", T.DoubleType(), True),
-    T.StructField("props", T.StringType(), True),
-])
+def _events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+    """Explicit schema for the file stream source (required by Spark),
+    matched to what the generator actually wrote. Two layouts exist:
+    TIMESTAMP(NANOS) read as raw int64 under legacy.parquet.nanosAsLong
+    (→ needs ns DIV 1000 truncation, SURVEY §1.2), or timestamp[us]
+    (→ read as NTZ, cast to the instant type under the UTC session).
+    Returns (schema, ts_is_long)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import pyarrow
+    arrow_ts = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    ts_is_long = pyarrow.types.is_integer(arrow_ts)
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType() if ts_is_long else T.TimestampNTZType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ])
+    return schema, ts_is_long
 
 
 def _stage_dir(sf_dir: str) -> str:
@@ -55,10 +68,13 @@ def _stage_dir(sf_dir: str) -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded scan of the events table (StreamTable analog): file
-    source + explicit schema + the same ns→µs truncation policy as the
-    batch catalog."""
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_stage_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    source + explicit schema + the same timestamp normalization policy
+    as the batch catalog (sources/catalog.py:load_table)."""
+    schema, ts_is_long = _events_schema(sf_dir)
+    raw = spark.readStream.schema(schema).parquet(_stage_dir(sf_dir))
+    if ts_is_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 def windowed_counts(

@@ -153,6 +153,17 @@ def test_gcd_lcm_scalars(spark):
     assert [(r.g, r.l) for r in rows] == [(6, 216), (5, 0), (1, 91)]
 
 
+def test_lcm_exact_beyond_double_precision(spark):
+    """lcm stays integral-exact where the old |a·b|/g formulation broke:
+    these products a·b exceed 2⁶³ (long overflow) and 2⁵³ (double
+    precision), but each true lcm fits in a long because gcd is large."""
+    a1, b1 = 3 * 10**17, 2 * 10**17   # gcd 10^17 → lcm 6·10^17
+    a2, b2 = 2**62, 2**61             # gcd 2^61  → lcm 2^62
+    df = spark.createDataFrame([(a1, b1), (a2, b2), (-a1, b1)], "a long, b long")
+    rows = df.select(compat.lcm("a", "b").alias("l")).collect()
+    assert [r.l for r in rows] == [6 * 10**17, 2**62, 6 * 10**17]
+
+
 def test_string_agg_ordered(spark):
     df = spark.createDataFrame([("x", 2, "b"), ("x", 1, "a"), ("x", 3, "c")], "k string, o int, v string")
     out = df.groupBy("k").agg(compat.string_agg(F.col("v"), ",", order_by=F.col("o")).alias("s"))

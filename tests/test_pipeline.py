@@ -25,6 +25,28 @@ def test_pipeline_matches_oracle(name, spark, sf_dir, oracle):
     assert_frames_match(q.build(spark, sf_dir), oracle.sql(q.oracle))
 
 
+def test_jaccard_max_df_caps_hot_token(spark):
+    """A planted stop-word-like token shared by every doc would drive the
+    inverted-index self-join quadratic; max_df drops it from the INDEX
+    while similarity stays exact over the full token sets, so the planted
+    near-dup pair survives with its true Jaccard."""
+    docs = [(i, f"common alpha{i} beta{i} gamma{i} delta{i}") for i in range(40)]
+    docs += [(100, "common red green blue cyan"), (101, "common red green blue teal")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    capped = dedup.jaccard_pairs(df, "doc_id", "text", threshold=0.5, max_df=5)
+    got = {(r.id_a, r.id_b): r.jac for r in capped.collect()}
+    assert set(got) == {(100, 101)}
+    assert got[(100, 101)] == pytest.approx(4 / 6)  # full-set Jaccard, not index counts
+
+    # candidate fanout: with the cap, the 'common' token generates no
+    # pairs — candidate count collapses from O(n²) to just the real pair
+    uncapped_cands = dedup.jaccard_pairs(df, "doc_id", "text", threshold=0.0).count()
+    capped_cands = dedup.jaccard_pairs(df, "doc_id", "text", threshold=0.0, max_df=5).count()
+    assert uncapped_cands == 42 * 41 // 2  # every pair shares 'common'
+    assert capped_cands == 1
+
+
 def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     """MinHash banding must recover (almost all of) the truly-similar
     pairs: compare against exact shingle-Jaccard ≥0.8 pairs computed by

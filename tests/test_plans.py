@@ -97,14 +97,14 @@ def test_q2_min_cost_supplier_two_shuffles(spark, sf_dir):
 
 
 def test_asof_join_single_shuffle_no_cartesian(spark, sf_dir):
-    """operators.asof_join: the per-left-row latest pick rides one
-    shuffle (window on the synthetic row id); the key join itself must
-    not plan as a cartesian product."""
+    """operators.asof_join: union-merge formulation — exactly one
+    exchange, hash-partitioned on the natural key (no join operator, no
+    synthetic-row-id shuffle), and never a cartesian product."""
     from rust_query_engine_greatest_spark.plans import count_shuffle_exchanges
 
     df = REGISTRY["join_asof"].build(spark, sf_dir)
     assert_no_cartesian(df)
-    assert count_shuffle_exchanges(df) <= 2
+    assert count_shuffle_exchanges(df) == 1
 
 
 def test_count_min_max_answered_from_parquet_stats(spark, sf_dir):
