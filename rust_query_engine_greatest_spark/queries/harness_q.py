@@ -127,3 +127,273 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.sum(dec2("value")).over(w).cast("double").alias("v_1h"),
     )
+
+
+# --- ClickBench family breadth (reference benchmarks/queries/clickbench/
+# queries.sql, 43 queries). Each entry below re-expresses one FAMILY the
+# suite exercises that the two original cb_* shapes did not: regex
+# carving (Q28), global COUNT(DISTINCT) (Q5-6), point lookup (Q19),
+# empty results (Q19's miss case), deep LIMIT/OFFSET pagination
+# (Q38-42), exact quantiles, wide multi-sum scans (Q29), per-minute
+# time-series rollups (Q43), HAVING over string-length stats (Q27-28),
+# and CASE-carved grouping keys (Q38). ----------------------------------
+
+
+@register(
+    "cb_regex_extract_key",
+    r"""
+    SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
+           COUNT(*) AS n,
+           CAST(SUM(length(props)) AS DOUBLE) / COUNT(*) AS avg_len
+    FROM events
+    GROUP BY k HAVING COUNT(*) > 20
+    ORDER BY n DESC, k LIMIT 10
+    """,
+    tags=("harness", "clickbench"),
+)
+def cb_regex_extract_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q28 family: regex-carve a key out of a raw payload
+    column, aggregate over it, HAVING-filter, top-N. regexp_extract is a
+    codegen JVM expression — the regex never leaves the executor. The
+    mean is expressed as exact integer SUM / COUNT (one double division)
+    so both engines produce bit-identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k"),
+            F.length("props").alias("len"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avg_len"),
+        )
+        .filter(F.col("n") > 20)
+        .orderBy(F.desc("n"), "k")
+        .limit(10)
+    )
+
+
+@register(
+    "cb_count_distinct_global",
+    """
+    SELECT COUNT(DISTINCT user_id)    AS users,
+           COUNT(DISTINCT event_type) AS types,
+           COUNT(*)                   AS n
+    FROM events
+    """,
+    tags=("harness", "clickbench"),
+)
+def cb_count_distinct_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q5/Q6 family: global COUNT(DISTINCT) without grouping.
+    Catalyst expands multiple distincts into an expand+two-phase plan —
+    partial distinct map-side, so the shuffle carries distinct keys, not
+    rows (the scale property that matters at 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("users"),
+        F.countDistinct("event_type").alias("types"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "cb_point_lookup",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events WHERE user_id = 7 ORDER BY event_id
+    """,
+    tags=("harness", "clickbench"),
+)
+def cb_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q19 family: single-key point lookup on an unindexed
+    column. The equality predicate is pushed to the parquet scan
+    (PushedFilters) so row groups whose user_id stats exclude 7 are
+    skipped without decoding."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") == 7)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "cb_empty_result",
+    """
+    SELECT event_id, value FROM events
+    WHERE value < -1e18 ORDER BY event_id LIMIT 10
+    """,
+    tags=("harness", "clickbench"),
+)
+def cb_empty_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench miss-case family: a selective predicate that matches
+    nothing must return a clean empty result (schema intact, no scan
+    error). Intentionally 0 rows — the check here is agreement on
+    emptiness + schema, and parquet min/max stats prune every row group
+    before any decode."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value") < -1e18)
+        .select("event_id", "value")
+        .orderBy("event_id")
+        .limit(10)
+    )
+
+
+@register(
+    "cb_topn_offset",
+    """
+    SELECT user_id, COUNT(*) AS c FROM events
+    GROUP BY user_id ORDER BY c DESC, user_id LIMIT 10 OFFSET 20
+    """,
+    tags=("harness", "clickbench"),
+)
+def cb_topn_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q38-42 family: deep pagination — ORDER BY ... LIMIT
+    with OFFSET. Spark has no OFFSET in the DataFrame API pre-3.4-SQL,
+    but `offset()` exists in 3.5+/4.x and plans as
+    GlobalLimit(offset+limit)+drop — a driver-bounded top-(k+offset),
+    not a full sort. Ties broken by user_id for determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "user_id")
+        .offset(20)
+        .limit(10)
+    )
+
+
+@register(
+    "cb_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.90), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tags=("harness", "clickbench"),
+)
+def cb_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench quantile family over the raw value column: exact
+    continuous percentiles per group (F.percentile == DuckDB
+    quantile_cont, linear interpolation; round(6) absorbs last-ulp
+    divergence in the interpolation step)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@register(
+    "cb_wide_sums",
+    """
+    SELECT """ + ",\n           ".join(
+        f"CAST(SUM(CAST(value AS DECIMAL(12,2)) + {i}) AS DOUBLE) AS s{i}"
+        for i in range(10)
+    ) + """
+    FROM events
+    """,
+    tags=("harness", "clickbench"),
+)
+def cb_wide_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q29 family: many SUM expressions over one scan — all
+    ten aggregates ride a single pass (one partial-agg over the scan, no
+    repeated reads), each in exact decimal then surfaced as double."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(*[
+        F.sum(dec2("value") + F.lit(i)).cast("double").alias(f"s{i}")
+        for i in range(10)
+    ])
+
+
+@register(
+    "cb_minute_series",
+    """
+    SELECT date_trunc('minute', ts) AS m, COUNT(*) AS n
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-06 00:00:00'
+    GROUP BY m ORDER BY m LIMIT 100 OFFSET 10
+    """,
+    tags=("harness", "clickbench"),
+)
+def cb_minute_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q43 family: per-minute time-series rollup with a date
+    window and pagination. The ts range predicate is pushed to the scan;
+    date_trunc stays codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-06 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("minute", "ts").alias("m"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("m")
+        .offset(10)
+        .limit(100)
+    )
+
+
+@register(
+    "cb_len_stats_having",
+    """
+    SELECT event_type,
+           CAST(SUM(length(props)) AS DOUBLE) / COUNT(*) AS l,
+           COUNT(*) AS c,
+           MIN(props) AS first_props
+    FROM events WHERE props <> ''
+    GROUP BY event_type HAVING COUNT(*) > 100
+    ORDER BY l DESC, event_type LIMIT 25
+    """,
+    tags=("harness", "clickbench"),
+)
+def cb_len_stats_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q27/Q28 family: string-length statistics + MIN(string)
+    per group with a HAVING floor. Mean as exact SUM/COUNT division."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("props") != "")
+        .groupBy("event_type")
+        .agg(
+            (F.sum(F.length("props")).cast("double") / F.count(F.lit(1))).alias("l"),
+            F.count(F.lit(1)).alias("c"),
+            F.min("props").alias("first_props"),
+        )
+        .filter(F.col("c") > 100)
+        .orderBy(F.desc("l"), "event_type")
+        .limit(25)
+    )
+
+
+@register(
+    "cb_case_carved_key",
+    """
+    SELECT event_type,
+           CASE WHEN user_id % 10 = 0 THEN props ELSE '' END AS src,
+           COUNT(*) AS pv
+    FROM events WHERE value >= 0
+    GROUP BY event_type, src
+    ORDER BY pv DESC, event_type, src LIMIT 10 OFFSET 100
+    """,
+    tags=("harness", "clickbench"),
+)
+def cb_case_carved_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q38 family: a CASE-carved grouping key (Src/Dst
+    traffic-source shape) + deep OFFSET pagination, fully tie-broken for
+    determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    src = F.when(F.col("user_id") % 10 == 0, F.col("props")).otherwise(F.lit("")).alias("src")
+    return (
+        ev.filter(F.col("value") >= 0)
+        .groupBy("event_type", src)
+        .agg(F.count(F.lit(1)).alias("pv"))
+        .orderBy(F.desc("pv"), "event_type", "src")
+        .offset(100)
+        .limit(10)
+    )
