@@ -3,12 +3,17 @@ columns with typed metadata, processed by Arrow-batched Pandas
 iterators (mapInPandas).
 
 The Spark-side contract (schema, partitioning, batch shape, UDF
-signatures) is real and tested; the *codec* step is stubbed because
-image/audio libraries are not in this container: `decode_image` raises
-NotImplementedError unless a PIL import succeeds, and the feature
-extractor uses a deterministic byte-statistics fake so pipelines remain
-end-to-end testable. Swapping in a real decoder touches ONLY the
-`_decode` internals — batch plumbing is unchanged.
+signatures) is real and tested. The codec layer is tiered:
+
+- REAL pure-NumPy decoders for PPM (P6) and BMP (24-bit uncompressed)
+  — formats whose headers are a few dozen lines of NumPy, needing no
+  external image library. `decode_image` returns an (h, w, 3) uint8
+  array; `encode_ppm` round-trips. Feature extraction and resize
+  operate on REAL pixels whenever the payload decodes.
+- Other formats (JPEG/PNG/...) stay gated behind a PIL import that is
+  absent in this container (`NotImplementedError` with an actionable
+  message), falling back to deterministic byte-statistics features so
+  pipelines remain end-to-end testable.
 
 Scale notes: binary payloads ride the scan (parquet binary columns are
 page-compressed); mapInPandas streams Arrow batches so peak memory is
@@ -58,15 +63,119 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_real(payload: bytes):
+# ---- real pure-NumPy codecs (PPM P6, BMP 24bpp) ---------------------------
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "PPM P6 is RGB"
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 parser: magic, whitespace/comment-tolerant header of
+    width/height/maxval, then raw RGB rows."""
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to EOL
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("PPM maxval != 255 (16-bit) not supported")
+    pos += 1  # single whitespace after maxval, then raster
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP (BITMAPINFOHEADER, 24 bpp, BI_RGB uncompressed): BGR rows,
+    4-byte-aligned, bottom-up (top-down when height < 0)."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_offset = int.from_bytes(payload[10:14], "little")
+    header_size = int.from_bytes(payload[14:18], "little")
+    if header_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression} not supported")
+    top_down, h = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=data_offset
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real decode → (h, w, 3) uint8 RGB. PPM/BMP are native NumPy;
+    anything else requires PIL (absent in this container → actionable
+    NotImplementedError, callers fall back to byte-statistics
+    features)."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     try:
         from PIL import Image  # noqa: F401  (not in this container)
     except ImportError as exc:
         raise NotImplementedError(
-            "image decode requires PIL/pillow — not present in this "
-            "environment; the deterministic fake feature path is used in "
-            "pipelines instead"
+            "only PPM(P6)/BMP(24bpp) decode natively; other formats need "
+            "PIL/pillow, absent in this environment — byte-statistics "
+            "fallback features are used instead"
         ) from exc
+    raise NotImplementedError("PIL present but format handler not wired")
+
+
+def _try_decode(payload: bytes) -> np.ndarray | None:
+    if payload is None or len(payload) < 2 or payload[:2] not in (b"P6", b"BM"):
+        return None
+    try:
+        return decode_image(payload)
+    except (ValueError, NotImplementedError, IndexError):
+        return None
+
+
+def _pixel_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """Real pixel statistics: per-channel mean/std (scaled to [0,1]) +
+    a (dim-6)-bin luminance histogram (L1-normalized) — deterministic,
+    resolution-invariant."""
+    px = img.astype(np.float64)
+    mean = px.mean(axis=(0, 1)) / 255.0
+    std = px.std(axis=(0, 1)) / 255.0
+    luma = px @ np.array([0.299, 0.587, 0.114])
+    hist = np.histogram(luma, bins=max(dim - 6, 1), range=(0.0, 255.0))[0].astype(np.float64)
+    hist = hist / max(hist.sum(), 1.0)
+    return np.concatenate([mean, std, hist]).astype(np.float32)
+
+
+def _block_mean_resize(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Area-average resize via bucketed accumulation (the real kernel a
+    PIL `resize(..., BOX)` computes): each source pixel contributes to
+    the target cell its center falls in — exact for integer shrink
+    factors, deterministic for all."""
+    h, w, _ = img.shape
+    yi = np.minimum((np.arange(h) * th) // h, th - 1)
+    xi = np.minimum((np.arange(w) * tw) // w, tw - 1)
+    out = np.zeros((th, tw, 3), dtype=np.float64)
+    cnt = np.zeros((th, tw, 1), dtype=np.float64)
+    np.add.at(out, (yi[:, None], xi[None, :]), img.astype(np.float64))
+    np.add.at(cnt, (yi[:, None], xi[None, :]), 1.0)
+    return np.rint(out / np.maximum(cnt, 1.0)).astype(np.uint8)
 
 
 def _fake_features(payload: bytes, dim: int = 16) -> np.ndarray:
@@ -80,17 +189,59 @@ def _fake_features(payload: bytes, dim: int = 16) -> np.ndarray:
     return (hist / hist.sum()).astype(np.float32)
 
 
-def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """mapInPandas feature extraction: Arrow batches in, (id, n_bytes,
-    feat) batches out."""
+def ppm_media_from_documents(docs: DataFrame, w: int = 16, h: int = 16) -> DataFrame:
+    """MEDIA_SCHEMA table whose payloads are REAL PPM(P6) images,
+    deterministically rendered from each document's text bytes (tiled
+    into the w×h×3 raster) — gives the decode path genuine pixels to
+    chew on with zero external fixtures. mapInPandas because the PPM
+    encode is a Python kernel; Arrow-batched like every other op here."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = w * h * 3
+        for pdf in batches:
+            payloads = []
+            for s in pdf["text"]:
+                raw = (s or "").encode("utf-8")
+                buf = (
+                    np.frombuffer((raw * (n // max(len(raw), 1) + 1))[:n], dtype=np.uint8)
+                    if raw else np.zeros(n, dtype=np.uint8)
+                )
+                payloads.append(encode_ppm(buf.reshape(h, w, 3)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        op, schema="media_id long, payload binary"
+    )
+    return media.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.lit(w).cast("int").alias("width"),
+            F.lit(h).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, (id, n_bytes,
+    feat) batches out. Payloads that decode (PPM/BMP) get REAL pixel
+    statistics; opaque formats fall back to byte statistics."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def feat(b):
+            img = _try_decode(b)
+            return (_pixel_features(img, dim) if img is not None
+                    else _fake_features(b, dim)).tolist()
+
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)).astype("int64"),
-                "feat": payloads.map(lambda b: _fake_features(b, dim).tolist()),
+                "feat": payloads.map(feat),
             })
 
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
@@ -121,11 +272,10 @@ RESIZE_SCHEMA = ("media_id long, payload binary, "
 
 def resize_images(media: DataFrame, target_w: int = 16, target_h: int = 16) -> DataFrame:
     """mapInPandas resize: payload in, downsampled payload + UPDATED
-    typed metadata (width/height) out — the Spark-side contract a real
-    PIL `Image.resize` drops into. The deterministic fake keeps every
-    (target_w*target_h)-th byte via a numpy stride so output size is
-    exactly w*h bytes; the real decoder (`_decode_real`) stays gated
-    behind the PIL import per the environment contract."""
+    typed metadata (width/height) out. Decodable payloads (PPM/BMP) go
+    through a REAL area-average pixel resize and re-encode as PPM;
+    opaque payloads keep the deterministic byte-stride downsample so
+    the pipeline shape is format-independent."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_out = target_w * target_h
@@ -133,15 +283,21 @@ def resize_images(media: DataFrame, target_w: int = 16, target_h: int = 16) -> D
             payloads = []
             metas = []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
-                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
-                if len(buf) == 0:
-                    out = b""
+                img = _try_decode(bytes(payload) if payload is not None else None)
+                if img is not None:
+                    out = encode_ppm(_block_mean_resize(img, target_w, target_h))
                 else:
-                    idx = np.linspace(0, len(buf) - 1, num=min(n_out, len(buf))).astype(np.int64)
-                    out = buf[idx].tobytes()
+                    buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                    if len(buf) == 0:
+                        out = b""
+                    else:
+                        idx = np.linspace(0, len(buf) - 1, num=min(n_out, len(buf))).astype(np.int64)
+                        out = buf[idx].tobytes()
                 payloads.append(out)
                 m = dict(meta) if meta is not None else {}
                 m["width"], m["height"] = target_w, target_h
+                if img is not None:
+                    m["mime"] = "image/x-portable-pixmap"
                 metas.append(m)
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads, "meta": metas})
 

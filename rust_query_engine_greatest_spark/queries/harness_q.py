@@ -397,3 +397,126 @@ def cb_case_carved_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(100)
         .limit(10)
     )
+
+
+# --- IMDB/JOB + H2O-join harness shapes (reference benchmarks/queries/
+# imdb/*.sql = the Join Order Benchmark, benchmarks/src/imdb/; H2O join
+# task alongside the existing h2o_groupby_highcard). JOB's signature:
+# many-way star joins, highly selective dimension predicates, LIKE /
+# NOT LIKE / OR-chains on strings, and MIN() result aggregates — the
+# optimizer-stress family the TPC-H suite doesn't cover. --------------
+
+
+@register(
+    "job_star_min",
+    """
+    SELECT MIN(p.p_name)          AS min_part,
+           MIN(s.s_name)          AS min_supp,
+           MIN(o.o_orderdate)     AS first_order
+    FROM lineitem l, orders o, customer c, nation n, part p, supplier s
+    WHERE l.l_orderkey = o.o_orderkey
+      AND o.o_custkey  = c.c_custkey
+      AND c.c_nationkey = n.n_nationkey
+      AND l.l_partkey  = p.p_partkey
+      AND l.l_suppkey  = s.s_suppkey
+      AND n.n_name = 'FRANCE'
+      AND p.p_type LIKE '%BRASS'
+      AND o.o_orderpriority = '1-URGENT'
+    """,
+    tags=("harness", "job"),
+)
+def job_star_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOB 1a shape (benchmarks/queries/imdb/1a.sql): 6-way star join,
+    every dimension carrying a selective predicate, MIN() outputs.
+    Catalyst reorders the joins by the filtered cardinalities and
+    broadcasts every dimension side — the exact optimization JOB was
+    built to stress. Written as comma-joins in the oracle to prove the
+    WHERE-clause join-condition extraction path too."""
+    l, o, c, n, p, s = (load_table(spark, sf_dir, t) for t in
+                        ("lineitem", "orders", "customer", "nation", "part", "supplier"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n.filter(F.col("n_name") == "FRANCE"), c.c_nationkey == n.n_nationkey)
+        .join(p.filter(F.col("p_type").like("%BRASS")), l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .filter(o.o_orderpriority == "1-URGENT")
+        .agg(
+            F.min("p_name").alias("min_part"),
+            F.min("s_name").alias("min_supp"),
+            F.min("o_orderdate").alias("first_order"),
+        )
+    )
+
+
+@register(
+    "job_like_or_chain",
+    """
+    SELECT p.p_brand, COUNT(*) AS n, MIN(p.p_name) AS min_name
+    FROM part p, lineitem l
+    WHERE p.p_partkey = l.l_partkey
+      AND p.p_name NOT LIKE '%blue%'
+      AND (p.p_name LIKE '%red%' OR p.p_name LIKE '%green%')
+      AND l.l_quantity > 40
+    GROUP BY p.p_brand ORDER BY n DESC, p.p_brand LIMIT 10
+    """,
+    tags=("harness", "job"),
+)
+def job_like_or_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOB's NOT LIKE + OR-of-LIKEs predicate chain (1a.sql's mc.note
+    carving) — disjunctive string predicates stay JVM-codegen and are
+    evaluated on the dimension BEFORE the join, so the fact side probes
+    an already-filtered broadcast."""
+    p, l = load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "lineitem")
+    pf = p.filter(
+        ~F.col("p_name").like("%blue%")
+        & (F.col("p_name").like("%red%") | F.col("p_name").like("%green%"))
+    )
+    return (
+        l.filter(F.col("l_quantity") > 40)
+        .join(pf, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("p_name").alias("min_name"))
+        .orderBy(F.desc("n"), "p_brand")
+        .limit(10)
+    )
+
+
+@register(
+    "h2o_join_bigsmall",
+    """
+    WITH dim AS (
+      SELECT user_id, min(event_type) AS seg,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS dim_v
+      FROM events WHERE user_id % 20 = 0 GROUP BY user_id
+    )
+    SELECT e.event_type, d.seg,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS v
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY e.event_type, d.seg
+    """,
+    tags=("harness", "h2o"),
+)
+def h2o_join_bigsmall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2O db-benchmark join task (big table × small keyed dim, then
+    re-aggregate): the dim is derived small (5% of users) → broadcast
+    side; the fact never shuffles for the join, only for the final
+    two-key aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.filter(F.col("user_id") % 20 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.min("event_type").alias("seg"),
+            F.sum(dec2("value")).cast("double").alias("dim_v"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("event_type", "seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("value")).cast("double").alias("v"),
+        )
+    )

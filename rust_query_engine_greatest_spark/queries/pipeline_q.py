@@ -244,6 +244,31 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", F.col("feat").cast("array<double>").alias("feat"))
 
 
+@register("multimodal_decode_stats", None, tags=("pipeline", "multimodal"))
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode path: render each document into a genuine
+    PPM(P6) payload, decode it back to pixels with the pure-NumPy
+    codec, and emit per-channel pixel means + a resize pass
+    (16×16 → 4×4 area-average, re-encoded PPM → fixed 59-byte payload).
+    Python codec boundary → rows-only driver check; decode/resize
+    kernels are golden-checked against NumPy in test_pipeline.py."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.ppm_media_from_documents(d)
+    feats = multimodal.extract_features(media).select(
+        "media_id",
+        F.col("feat")[0].cast("double").alias("r_mean"),
+        F.col("feat")[1].cast("double").alias("g_mean"),
+        F.col("feat")[2].cast("double").alias("b_mean"),
+    )
+    small = multimodal.resize_images(media, 4, 4).select(
+        "media_id",
+        F.length("payload").alias("resized_bytes"),
+        F.col("meta.width").alias("w"),
+        F.col("meta.height").alias("h"),
+    )
+    return feats.join(small, "media_id")
+
+
 @register("sim_topk_ivf", None, tags=("pipeline", "similarity"))
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (16 deterministic k-means cells, nprobe=4): cell-local

@@ -96,3 +96,23 @@ def source_memory_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n"), F.sum("v").alias("tot")
     )
+
+
+@register("source_avro_roundtrip", _ORACLE_AGG, tags=("sources", "avro"))
+def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AvroExec (avro.rs:38) via the pure-Python fallback path (no
+    spark-avro jar in this container): per-partition executor-side
+    container encode (deflate) → binaryFile + mapInPandas decode →
+    aggregate equals the source table. Flat record schema with nullable
+    primitive unions — the spec subset avro_fallback.py implements."""
+    import shutil
+
+    from ..sources import avro_fallback
+
+    dst = os.path.join(_STAGE, "customer_avro")
+    cust = load_table(spark, sf_dir, "customer")
+    shutil.rmtree(dst, ignore_errors=True)
+    n_files = avro_fallback.write_avro_fallback(cust, dst)
+    assert n_files >= 1
+    back = readers.read_avro(spark, dst).select(*cust.columns)
+    return _agg(back)

@@ -47,16 +47,17 @@ def read_ndjson(
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """AvroExec analog (avro.rs:38). Needs org.apache.spark:spark-avro
-    on the classpath; absent in this environment → actionable error."""
+    """AvroExec analog (avro.rs:38). Prefers the native spark-avro
+    source (splittable, full type coverage); when the jar is absent
+    (this container) falls back to the pure-Python container decoder in
+    avro_fallback.py — distributed via binaryFile + mapInPandas, flat
+    record schemas with null/deflate codecs."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as exc:  # AnalysisException: Failed to find data source
-        raise NotImplementedError(
-            "Avro source requires the spark-avro package "
-            "(--packages org.apache.spark:spark-avro_2.13:<version>); "
-            "not available in this environment"
-        ) from exc
+    except Exception:  # AnalysisException: Failed to find data source
+        from .avro_fallback import read_avro_fallback
+
+        return read_avro_fallback(spark, path)
 
 
 def read_arrow_ipc(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:

@@ -146,9 +146,11 @@ def test_multimodal_frame_sampling(spark, sf_dir):
     assert all(len(r.frame_bytes) <= 64 for r in rows)
 
 
-def test_decode_stub_raises_without_pil():
-    with pytest.raises(NotImplementedError):
-        multimodal._decode_real(b"xx")
+def test_decode_gate_raises_without_pil_for_opaque_formats():
+    """PPM/BMP decode natively; anything else stays gated on PIL with an
+    actionable error (absent in this container)."""
+    with pytest.raises(NotImplementedError, match="PIL|pillow"):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
 
 
 def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
@@ -192,3 +194,84 @@ def test_multimodal_resize_contract(spark, sf_dir):
         assert len(r.payload) <= 64 and len(r.payload) > 0
     again = {r.media_id: bytes(r.payload) for r in mm.resize_images(media, 8, 8).collect()}
     assert {r.media_id: bytes(r.payload) for r in out} == again
+
+
+# ---- real multimodal codec (pure-NumPy PPM/BMP) --------------------------
+
+def _gradient(h=8, w=8):
+    import numpy as np
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(x * 255 // max(w - 1, 1)), (y * 255 // max(h - 1, 1)),
+                     ((x + y) * 255 // max(h + w - 2, 1))], axis=-1).astype(np.uint8)
+
+
+def test_ppm_roundtrip_and_comment_header():
+    import numpy as np
+    from rust_query_engine_greatest_spark.pipeline import multimodal as mm
+    img = _gradient()
+    assert np.array_equal(mm.decode_image(mm.encode_ppm(img)), img)
+    # whitespace/comment-tolerant header per the netpbm spec
+    hacked = b"P6\n# a comment\n 8\t8 \n255\n" + img.tobytes()
+    assert np.array_equal(mm.decode_image(hacked), img)
+
+
+def test_bmp_decode_bottom_up_with_padding():
+    """Hand-built 24bpp BMP (3x2: stride pads 9->12 bytes, bottom-up
+    BGR rows) must decode to the RGB source."""
+    import numpy as np
+    from rust_query_engine_greatest_spark.pipeline import multimodal as mm
+    img = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                    [[10, 20, 30], [40, 50, 60], [70, 80, 90]]], dtype=np.uint8)
+    h, w = 2, 3
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for row in img[::-1]:          # bottom-up
+        raster += row[:, ::-1].tobytes()    # BGR
+        raster += b"\x00" * (stride - w * 3)
+    header = (b"BM" + (54 + len(raster)).to_bytes(4, "little") + b"\x00" * 4
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + h.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(raster).to_bytes(4, "little")
+              + b"\x00" * 16)
+    assert np.array_equal(mm.decode_image(header + raster), img)
+
+
+def test_block_mean_resize_exact():
+    import numpy as np
+    from rust_query_engine_greatest_spark.pipeline import multimodal as mm
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:2, :2] = 100   # quadrant means are exact for 2x integer shrink
+    img[:2, 2:] = 200
+    img[2:, :2] = 40
+    img[2:, 2:] = 8
+    out = mm._block_mean_resize(img, 2, 2)
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0, 0] == 100 and out[0, 1, 0] == 200
+    assert out[1, 0, 0] == 40 and out[1, 1, 0] == 8
+
+
+def test_multimodal_decode_stats_real_pixels(spark, sf_dir):
+    """End-to-end registry entry: PPM render -> decode -> pixel means
+    match a NumPy golden computed from the same text bytes; resized
+    payload is a real 4x4 PPM (11-byte header + 48 raster bytes)."""
+    import numpy as np
+    from rust_query_engine_greatest_spark.queries import REGISTRY
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+    rows = {r["media_id"]: r
+            for r in REGISTRY["multimodal_decode_stats"].build(spark, sf_dir).collect()}
+    docs = {r["doc_id"]: r["text"]
+            for r in load_table(spark, sf_dir, "documents").limit(50).collect()}
+    n = 16 * 16 * 3
+    for doc_id, text_val in list(docs.items())[:10]:
+        raw = (text_val or "").encode("utf-8")
+        buf = np.frombuffer((raw * (n // max(len(raw), 1) + 1))[:n], dtype=np.uint8)
+        px = buf.reshape(16, 16, 3).astype(np.float64)
+        got = rows[doc_id]
+        for ch, name in enumerate(["r_mean", "g_mean", "b_mean"]):
+            assert got[name] == pytest.approx(px[:, :, ch].mean() / 255.0, rel=1e-6)
+        assert got["resized_bytes"] == len(b"P6\n4 4\n255\n") + 4 * 4 * 3
+        assert (got["w"], got["h"]) == (4, 4)
