@@ -106,6 +106,25 @@ def main() -> None:
             _catalog.uncache_tables(SF_DIR)
         except Exception as e:
             print(f"mem pass skipped: {e}", file=sys.stderr)
+    # Training-pipeline ops (dedup/ANN/text) — reported under their own
+    # keys so the headline tpch metric stays comparable across rounds;
+    # best-of-2 (they are an order heavier than the tpch queries).
+    # Disable: SPARK_GRAFT_BENCH_PIPELINE=0.
+    times_pipe: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_PIPELINE", "1") != "0":
+        pipe = ["dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
+                "text_quality", "text_langid", "sim_topk_bruteforce"]
+        for name in [n for n in pipe if n in REGISTRY]:
+            try:
+                REGISTRY[name].build(spark, SF_DIR).collect()  # warm
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    REGISTRY[name].build(spark, SF_DIR).collect()
+                    dt = time.perf_counter() - t0
+                    times_pipe[name] = round(min(times_pipe.get(name, float("inf")), dt), 4)
+            except Exception as e:
+                print(f"bench-pipeline {name} failed: {e}", file=sys.stderr)
+                times_pipe[name] = -1.0
     out = {
         "metric": "tpch_total_best",
         "value": total,
@@ -118,6 +137,9 @@ def main() -> None:
     if times_mem:
         out["queries_mem"] = times_mem
         out["mem_total_best"] = round(sum(t for t in times_mem.values() if t > 0), 4)
+    if times_pipe:
+        out["queries_pipeline"] = times_pipe
+        out["pipeline_total_best"] = round(sum(t for t in times_pipe.values() if t > 0), 4)
     print(json.dumps(out))
 
 

@@ -26,6 +26,19 @@ from pyspark.sql import functions as F
 from .text import distinct_tokens, fingerprint_md5
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the scan delivers fewer partitions
+    than cores. Single-row-group parquet (the TESTDATA layout; also any
+    small-file corner of a real lake) otherwise serializes the heavy
+    per-row hashing these operators do onto one task — one cheap
+    narrow-row shuffle buys full-cluster fan-out for everything after.
+    No-op when the scan is already parallel (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 8):
+        return df.repartition(target)
+    return df
+
+
 # ---- exact ---------------------------------------------------------------
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -67,6 +80,7 @@ def jaccard_pairs(
     configuration).
     """
     keys = [block_col] if block_col else []
+    df = _ensure_parallelism(df)
     toks = df.select(
         F.col(id_col).alias("id"), *[F.col(k) for k in keys],
         distinct_tokens(text_col).alias("ts"),
@@ -117,17 +131,34 @@ def word_shingles(text_col: str, k: int = 3) -> Column:
     )
 
 
-def _seeded_min_hash(shingles: Column, seed: int) -> Column:
-    # NB: the lambda must take exactly ONE arg — a second arg (even a
-    # defaulted one) makes PySpark treat it as the (element, index) form
-    # and bind the array index to it.
-    return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed))))
-
-
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per seed j, min over shingles of
-    xxhash64(shingle, j). Array of num_hashes longs, all JVM-side."""
-    return F.array(*[_seeded_min_hash(shingles, j) for j in range(num_hashes)])
+    """MinHash signature, Carter-Wegman style: hash every shingle ONCE
+    with two independent xxhash64 seeds, then derive the j-th hash
+    family as h1' + j·h2' (2-universal — the standard replacement for
+    num_hashes independent full hash passes). Cuts the per-row work
+    from num_hashes×|shingles| string hashes to 2×|shingles| hashes +
+    cheap long arithmetic. The whole signature is ONE aggregate fold
+    over the shingles updating num_hashes accumulator slots — a single
+    pass, so the two base hashes are computed once per shingle even
+    after Catalyst collapses projections (a per-j array_min formulation
+    would re-hash every shingle per j). h1 is folded to 62 bits and h2
+    to 31 so h1' + 63·h2' can never overflow a long (ANSI-safe; hash
+    quality is unaffected for min-comparison purposes).
+    NB: transform/aggregate lambdas must take exactly ONE positional
+    form — an extra defaulted arg binds the (element, index) variant."""
+    pair = F.transform(
+        shingles,
+        lambda s: F.struct(
+            F.shiftrightunsigned(F.xxhash64(s), 2).alias("h1"),
+            F.shiftrightunsigned(F.xxhash64(s, F.lit(1)), 33).alias("h2"),
+        ),
+    )
+    seq = F.sequence(F.lit(0).cast("long"), F.lit(num_hashes - 1).cast("long"))
+    return F.aggregate(
+        pair,
+        F.array_repeat(F.lit((1 << 62) + (63 << 31)).cast("long"), num_hashes),
+        lambda acc, p: F.zip_with(acc, seq, lambda a, j: F.least(a, p["h1"] + j * p["h2"])),
+    )
 
 
 def minhash_lsh_pairs(
@@ -149,10 +180,21 @@ def minhash_lsh_pairs(
     sub-quadratic path; no cross join anywhere.
     """
     rows = num_hashes // bands
-    base = df.select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh"))
+    # Repartition BEFORE attaching the heavy projections: Catalyst keeps
+    # projections where they are written, so repartitioning after would
+    # leave all shingle+signature work below the exchange — on however
+    # few partitions the scan produced (one, for single-row-group
+    # parquet).
+    base = _ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh")
+    )
     base = base.filter(F.size("sh") > 0).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # Band rows carry (id, band) ONLY — the shingle arrays would
+    # otherwise ride the explode ×bands through the bucket shuffle
+    # (bands× the heaviest column); they are joined back just for the
+    # surviving candidate pairs below.
     banded = base.select(
-        "id", "sh",
+        "id",
         F.explode(
             F.array(*[
                 F.struct(
@@ -162,21 +204,24 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("id", "sh", "bb.band_id", "bb.band_hash")
-    a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_id", "band_hash")
-    b = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band_id", "band_hash")
+    ).select("id", "bb.band_id", "bb.band_hash")
+    a = banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
+    b = banded.select(F.col("id").alias("id_b"), "band_id", "band_hash")
     cand = (
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
     if not verify:
-        return cand.select("id_a", "id_b")
+        return cand
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.withColumn("jac", inter / union)
+        cand.join(sh_a, "id_a").join(sh_b, "id_b")
+        .withColumn("jac", inter / union)
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
     )
@@ -224,7 +269,7 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming via 16-bit
     band bucketing (pigeonhole: distance ≤3 ⇒ ≥1 of 4 bands equal)."""
-    base = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("fp"))
+    base = _ensure_parallelism(df).select(F.col(id_col).alias("id"), simhash64(text_col).alias("fp"))
     width = 64 // bands
     mask = (1 << width) - 1
     banded = base.select(

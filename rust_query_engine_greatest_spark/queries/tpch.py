@@ -124,15 +124,24 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, lineitem, supplier, nation, region = _t(
         spark, sf_dir, "part", "lineitem", "supplier", "nation", "region"
     )
-    bridge = lineitem.select("l_partkey", "l_suppkey").distinct()
+    pf = part.filter((F.col("p_type") == "STANDARD") & (F.col("p_size") < 15))
+    # Semi-filter the fact by the selective part predicate BEFORE the
+    # distinct: the bridge's dedup shuffle then carries only the ~4% of
+    # lineitem rows whose part qualifies, instead of the whole fact —
+    # the dominant exchange in this plan at any scale.
+    bridge = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(pf.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .distinct()
+    )
     eu_supp = (
         supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
               F.col("n_regionkey") == F.col("r_regionkey"))
     )
     cand = (
-        part.filter((F.col("p_type") == "STANDARD") & (F.col("p_size") < 15))
-        .join(bridge, F.col("p_partkey") == F.col("l_partkey"))
+        pf.join(bridge, F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
     )
     w = Window.partitionBy("p_partkey")
