@@ -100,3 +100,24 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     every session deterministically."""
     ev = read_events_stream(spark, sf_dir)
     return _run(sessionize_stateful(ev, 30), "sessions", spark)
+
+
+@register(
+    "stream_dedup",
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark, the
+    unbounded twin of pipeline dedup_exact): the source is staged to
+    deliver EVERY event twice (at-least-once delivery), dedup keys on
+    event_id, so the memory sink must equal the plain events table —
+    both surviving copies are identical rows, making the pick
+    deterministic. Watermark horizon bounds the dedup state; with a
+    single availableNow batch no duplicate can outlive it."""
+    from ..streaming.pipelines import stream_dedup
+
+    ev = read_events_stream(spark, sf_dir, duplicated=True)
+    return _run(stream_dedup(ev, key_cols=["event_id"]), "sdedup", spark)

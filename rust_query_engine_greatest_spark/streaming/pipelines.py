@@ -66,12 +66,15 @@ def _stage_dir(sf_dir: str) -> str:
     return d
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(spark: SparkSession, sf_dir: str, duplicated: bool = False) -> DataFrame:
     """Unbounded scan of the events table (StreamTable analog): file
     source + explicit schema + the same timestamp normalization policy
-    as the batch catalog (sources/catalog.py:load_table)."""
+    as the batch catalog (sources/catalog.py:load_table). With
+    duplicated=True the source delivers every event twice
+    (at-least-once fixture for stream_dedup)."""
     schema, ts_is_long = _events_schema(sf_dir)
-    raw = spark.readStream.schema(schema).parquet(_stage_dir(sf_dir))
+    src = stage_events_duplicated(sf_dir) if duplicated else _stage_dir(sf_dir)
+    raw = spark.readStream.schema(schema).parquet(src)
     if ts_is_long:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
@@ -204,3 +207,49 @@ def run_to_memory(stream_df: DataFrame, name: str, spark: SparkSession) -> DataF
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication — the unbounded twin of
+    pipeline/dedup.exact_dedup: drop re-deliveries of the same key
+    inside the watermark horizon via dropDuplicatesWithinWatermark
+    (state pruned once the watermark passes, so state size is bounded
+    by the delay window's distinct keys — the property that keeps this
+    runnable forever at 100 TB/day ingest; plain dropDuplicates grows
+    state without bound). Default key = content fingerprint (md5 of
+    type+value+props), matching the batch operator's
+    normalized-content policy; pass e.g. ["event_id"] for
+    delivery-level (exactly-once) dedup."""
+    keyed = events.withColumn(
+        "fp",
+        F.md5(F.concat_ws("|", "event_type", F.col("value").cast("string"), "props"))
+        if not key_cols
+        else F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]),
+    )
+    return (
+        keyed.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+def stage_events_duplicated(sf_dir: str) -> str:
+    """A stream-source dir that delivers every event TWICE (two links to
+    the same parquet) — the at-least-once-delivery fixture the dedup
+    operator exists for."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/root/repo/.stream_stage/{tag}/events_dup"
+    os.makedirs(d, exist_ok=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    for name in ("part-00000.parquet", "part-00001.parquet"):
+        link = os.path.join(d, name)
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    return d
