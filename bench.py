@@ -22,6 +22,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # 5 iterations = the reference's own protocol (benchmarks/bench.sh:336);
 # best-of-5 also damps the ±20-30% run-to-run noise of this VM.
 ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
+# Wall-clock budget: the optional passes (tpch_mem, pipeline) are
+# skipped once exceeded so the bench ALWAYS emits its JSON line even
+# when the VM runs 2x slow — the headline tpch numbers are never cut.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+_T0 = time.time()
 
 
 def bench_names() -> list[str]:
@@ -84,7 +89,7 @@ def main() -> None:
     # BASELINE.md second table): same queries over cached columnar
     # tables, isolating compute from IO. Disable: SPARK_GRAFT_BENCH_MEM=0.
     times_mem: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_MEM", "1") != "0":
+    if os.environ.get("SPARK_GRAFT_BENCH_MEM", "1") != "0" and time.time() - _T0 < BUDGET_S * 0.6:
         try:
             from rust_query_engine_greatest_spark.sources import catalog as _catalog
 
@@ -108,20 +113,22 @@ def main() -> None:
             print(f"mem pass skipped: {e}", file=sys.stderr)
     # Training-pipeline ops (dedup/ANN/text) — reported under their own
     # keys so the headline tpch metric stays comparable across rounds;
-    # best-of-2 (they are an order heavier than the tpch queries).
-    # Disable: SPARK_GRAFT_BENCH_PIPELINE=0.
+    # warm + ONE timed pass (they are an order heavier than the tpch
+    # queries, and the whole bench must stay inside the driver's
+    # budget). Disable: SPARK_GRAFT_BENCH_PIPELINE=0.
     times_pipe: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_PIPELINE", "1") != "0":
         pipe = ["dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
                 "text_quality", "text_langid", "sim_topk_bruteforce"]
         for name in [n for n in pipe if n in REGISTRY]:
+            if time.time() - _T0 > BUDGET_S:
+                print(f"bench-pipeline budget exhausted before {name}", file=sys.stderr)
+                break
             try:
                 REGISTRY[name].build(spark, SF_DIR).collect()  # warm
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    REGISTRY[name].build(spark, SF_DIR).collect()
-                    dt = time.perf_counter() - t0
-                    times_pipe[name] = round(min(times_pipe.get(name, float("inf")), dt), 4)
+                t0 = time.perf_counter()
+                REGISTRY[name].build(spark, SF_DIR).collect()
+                times_pipe[name] = round(time.perf_counter() - t0, 4)
             except Exception as e:
                 print(f"bench-pipeline {name} failed: {e}", file=sys.stderr)
                 times_pipe[name] = -1.0

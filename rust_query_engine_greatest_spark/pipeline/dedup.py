@@ -231,29 +231,35 @@ def minhash_lsh_pairs(
 
 def simhash64(text_col: str) -> Column:
     """64-bit SimHash: per token hash, each bit votes ±1; fingerprint bit
-    = sign of the vote sum. Expressed as 64 aggregate folds over the
-    token hash array (JVM-side; ~64 cheap bit ops per token)."""
+    = sign of the vote sum. ONE aggregate fold over the token hashes
+    updating all 64 vote slots per token, with the fingerprint assembled
+    in the finish lambda — 64 separate bit_vote aggregates would each
+    get the tokenize+hash subtree inlined by CollapseProject and re-hash
+    every token 64× (measured on the MinHash sibling, BENCH_NOTES r3).
+    Bit i is tested with a precomputed mask literal (shiftright's
+    numBits arg must be a Python int, not a Column); bit 63's mask is
+    the sign-bit pattern -2⁶³."""
     toks = distinct_tokens(text_col)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def bit_vote(i: int) -> Column:
-        # single-arg merge lambda (see _seeded_min_hash note); i captured
-        # by this closure, not a default arg
-        return F.aggregate(
-            hashes,
+    masks = F.array(*[
+        F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)
+    ])
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+        lambda acc: F.aggregate(
+            F.zip_with(
+                acc, masks,
+                lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+            ),
             F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bit_cols = []
-    for i in range(64):
-        vote = bit_vote(i)
-        bit_cols.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).alias(f"b{i}"))
-    fp = F.lit(0).cast("long")
-    for i, b in enumerate(bit_cols):
-        fp = fp.bitwiseOR(F.shiftleft(b, i))
-    return fp
+            lambda a, b: a.bitwiseOR(b),
+        ),
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -313,8 +319,15 @@ def embedding_dup_pairs(
     cond = F.col("id_a") < F.col("id_b")
     for k in keys:
         cond = cond & (F.col(f"{k}_a") == F.col(f"{k}_b"))
+    pairs = a.join(b, cond)
+    # Re-spread the candidate pairs before the cosine projection: the
+    # block join has at most |blocks| meaningful partitions (and AQE
+    # happily coalesces a few-MB join output to ONE), while the cosine
+    # is the expensive part — interpreted per-element array math. The
+    # round-robin exchange is tiny relative to the compute it fans out.
+    pairs = pairs.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return (
-        a.join(b, cond)
+        pairs
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

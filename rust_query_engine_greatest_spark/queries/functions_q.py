@@ -1096,3 +1096,59 @@ def func_null_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN a > b THEN 'gt' WHEN a <= b THEN 'le' ELSE 'null' END AS cmp3
         FROM {_NULL_EDGE_VALUES}
     """)
+
+
+_CAST_EDGE_VALUES = """
+    (VALUES (1, '42'), (2, '  42  '), (3, '-7'), (4, '3.9'),
+            (5, 'abc'), (6, ''), (7, CAST(NULL AS VARCHAR)),
+            (8, '9223372036854775807'), (9, '9223372036854775808'))
+      AS t(id, s)
+"""
+
+
+@register(
+    "func_cast_edge",
+    f"""
+    SELECT id,
+           CASE WHEN regexp_matches(trim(s), '^[+-]?[0-9]+$')
+                THEN TRY_CAST(s AS BIGINT) END AS as_long,
+           TRY_CAST(s AS DOUBLE)           AS as_double,
+           CASE WHEN TRY_CAST(s AS DOUBLE) >= 9223372036854775807
+                THEN 9223372036854775807
+                WHEN TRY_CAST(s AS DOUBLE) <= -9223372036854775808
+                THEN -9223372036854775808
+                ELSE TRY_CAST(trunc(TRY_CAST(s AS DOUBLE)) AS BIGINT)
+           END AS dbl_to_long,
+           TRY_CAST(s AS BOOLEAN)          AS as_bool,
+           CAST(CASE WHEN regexp_matches(trim(s), '^[+-]?[0-9]+$')
+                     THEN TRY_CAST(s AS BIGINT) END AS VARCHAR) AS back_to_str
+    FROM {_CAST_EDGE_VALUES}
+    """,
+    tags=("functions", "edge"),
+)
+def func_cast_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast edge rows (reference cast.rs semantics, expressed through
+    try_cast so both engines return NULL instead of erroring): padded
+    numerics (both trim), decimal strings to BIGINT (NULL — neither
+    truncates through string casts), non-numeric/empty/NULL strings,
+    LONG_MAX, and LONG_MAX+1 (overflow → NULL). double→long: Spark
+    TRUNCATES toward zero where DuckDB ROUNDS half-away — the oracle
+    pins the shared semantics with an explicit trunc(); overflowing
+    doubles (2⁶³ after the LONG_MAX string parse) need TRY_CAST on the
+    outer cast too, since DuckDB's plain CAST errors; DuckDB also
+    accepts decimal STRINGS for integer casts ('3.9' → 4) where Spark
+    NULLs them, so the oracle regex-guards string→BIGINT to
+    integer-looking strings; Spark's double→long SATURATES at
+    LONG_MIN/MAX (legacy-cast semantics, reproduced via CASE) where
+    DuckDB NULLs out-of-range. '42' → boolean is
+    NULL in DuckDB but true in Spark (numeric-string bool casts differ)
+    — not exercised; only definitional rows are."""
+    return spark.sql(f"""
+        SELECT id,
+               TRY_CAST(s AS BIGINT)         AS as_long,
+               TRY_CAST(s AS DOUBLE)         AS as_double,
+               TRY_CAST(TRY_CAST(s AS DOUBLE) AS BIGINT) AS dbl_to_long,
+               TRY_CAST(s AS BOOLEAN)        AS as_bool,
+               CAST(TRY_CAST(s AS BIGINT) AS STRING) AS back_to_str
+        FROM {_CAST_EDGE_VALUES.replace("AS VARCHAR", "AS STRING")}
+    """)
