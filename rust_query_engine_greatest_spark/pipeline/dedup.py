@@ -119,6 +119,36 @@ def jaccard_pairs(
     )
 
 
+def _bucket_pairs(banded: DataFrame, bucket_cols: list[str]) -> DataFrame:
+    """(id, bucket) rows → distinct candidate (id_a < id_b) pairs that
+    share a bucket. ONE groupBy shuffle + in-bucket pair expansion —
+    not a bucket self-join, which would execute the whole upstream
+    subtree twice (both join inputs) and shuffle it twice. LSH bucket
+    membership is small by construction, so the per-bucket pair
+    explosion is the candidate set itself, not a blow-up; a hot bucket
+    here means the banding parameters are wrong, not the plan."""
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
+    return (
+        banded.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
 # ---- MinHash + LSH --------------------------------------------------------
 
 def word_shingles(text_col: str, k: int = 3) -> Column:
@@ -205,14 +235,7 @@ def minhash_lsh_pairs(
             ])
         ).alias("bb"),
     ).select("id", "bb.band_id", "bb.band_hash")
-    a = banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
-    b = banded.select(F.col("id").alias("id_b"), "band_id", "band_hash")
-    cand = (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _bucket_pairs(banded, ["band_id", "band_hash"])
     if not verify:
         return cand
     sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -279,19 +302,18 @@ def simhash_pairs(
     width = 64 // bands
     mask = (1 << width) - 1
     banded = base.select(
-        "id", "fp",
+        "id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_id"),
                      F.shiftright("fp", b * width).bitwiseAND(F.lit(mask)).alias("band_val"))
             for b in range(bands)
         ])).alias("bb"),
-    ).select("id", "fp", "bb.band_id", "bb.band_val")
-    a = banded.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "band_id", "band_val")
-    b2 = banded.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "band_id", "band_val")
+    ).select("id", "bb.band_id", "bb.band_val")
+    cand = _bucket_pairs(banded, ["band_id", "band_val"])
+    fa = base.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
+    fb = base.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
     return (
-        a.join(b2, ["band_id", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        cand.join(fa, "id_a").join(fb, "id_b")
         .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

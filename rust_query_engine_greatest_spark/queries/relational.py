@@ -939,3 +939,95 @@ def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("groups_sum", F.sum(dec2("o_totalprice")).over(w_groups).cast("double"))
         .select("o_orderkey", "groups_sum")
     )
+
+
+@register(
+    "unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (SELECT l_orderkey, l_linenumber,
+                 l_quantity AS qty, l_extendedprice AS price, l_tax AS tax
+          FROM lineitem)
+    UNPIVOT (val FOR metric IN (qty, price, tax))
+    """,
+    tags=("relational", "unpivot"),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — wide measures to (metric, value) rows (the SQL
+    -standard inverse of pivot_status; Spark DataFrame `unpivot`,
+    Spark 3.4+). Never-null measures here, so the engines' differing
+    null-row elision defaults cannot diverge."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    wide = l.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_tax").alias("tax"),
+    )
+    return wide.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["qty", "price", "tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+_WINDOW_EDGE_VALUES = """
+    (VALUES (1, 'a', 10,   1.5),
+            (2, 'a', 20,   CAST(NULL AS DOUBLE)),
+            (3, 'a', CAST(NULL AS INT), 2.5),
+            (4, 'a', 20,   3.5),
+            (5, 'b', 5,    CAST(NULL AS DOUBLE)),
+            (6, 'b', CAST(NULL AS INT), CAST(NULL AS DOUBLE)),
+            (7, 'c', 1,    9.0))
+      AS t(id, grp, ord, v)
+"""
+
+
+@register(
+    "window_null_edge",
+    f"""
+    SELECT id, grp,
+           row_number()  OVER w                                    AS rn,
+           rank()        OVER (PARTITION BY grp
+                               ORDER BY ord ASC NULLS LAST)        AS rk,
+           lag(v, 1, -1.0)  OVER w                                 AS lag_def,
+           lead(v, 1, -1.0) OVER w                                 AS lead_def,
+           first_value(v IGNORE NULLS) OVER w                      AS first_nn,
+           last_value(v IGNORE NULLS)  OVER
+             (PARTITION BY grp ORDER BY ord ASC NULLS LAST, id
+              ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING)                    AS last_nn,
+           count(v)      OVER w                                    AS n_nn,
+           CAST(sum(CAST(v AS DECIMAL(12,2))) OVER w AS DOUBLE)    AS run_sum
+    FROM {_WINDOW_EDGE_VALUES}
+    WINDOW w AS (PARTITION BY grp ORDER BY ord ASC NULLS LAST, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("relational", "window", "edge"),
+)
+def window_null_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window edges the mega-suites don't pin: NULLs in the ORDER key
+    (explicit NULLS LAST so both engines agree), NULL measure values
+    (count/sum skip them, IGNORE NULLS first/last reach past them,
+    lag/lead defaults fill row-boundary gaps — note defaults do NOT
+    replace NULL values in range, only missing rows), rank ties on a
+    non-unique key next to row_number's total order, and a singleton
+    partition. Frames written ROWS-explicit because rank needs the
+    default RANGE frame while running sums need deterministic ROWS."""
+    df = spark.sql(f"SELECT * FROM {_WINDOW_EDGE_VALUES}")
+    w = Window.partitionBy("grp").orderBy(F.asc_nulls_last("ord"), "id")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wrank = Window.partitionBy("grp").orderBy(F.asc_nulls_last("ord"))
+    return df.select(
+        "id", "grp",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wrank).alias("rk"),
+        F.lag("v", 1, -1.0).over(w).alias("lag_def"),
+        F.lead("v", 1, -1.0).over(w).alias("lead_def"),
+        F.first("v", ignorenulls=True).over(wrows).alias("first_nn"),
+        F.last("v", ignorenulls=True).over(wall).alias("last_nn"),
+        F.count("v").over(wrows).alias("n_nn"),
+        F.sum(F.col("v").cast("decimal(12,2)")).over(wrows).cast("double").alias("run_sum"),
+    )

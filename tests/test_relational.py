@@ -11,7 +11,7 @@ from rust_query_engine_greatest_spark.queries import REGISTRY
 from tests.conftest import assert_frames_match
 
 REL_PREFIXES = ("join_", "agg_", "window_", "sort_", "topk_", "setop_", "distinct_on",
-                "unnest_", "values_", "pivot_", "recursive_", "empty_", "placeholder_",
+                "unnest_", "values_", "pivot_", "unpivot_", "recursive_", "empty_", "placeholder_",
                 "cb_", "h2o_", "job_")
 REL = sorted(
     n for n in REGISTRY
