@@ -91,3 +91,45 @@ def count_shuffle_exchanges(df: DataFrame) -> int:
     the physical plan — BroadcastExchange excluded. The scale currency:
     each one is a full network redistribution of its input at 100 TB."""
     return len(re.findall(r"\(\d+\) Exchange\b", plan_string(df)))
+
+
+def broadcast_subtrees(df: DataFrame) -> list[str]:
+    """The text subtree under each BroadcastExchange in the simple-mode
+    plan (tree glyphs ':-', '+-', ':', '   ' encode depth as marker
+    column). Lets tests reason about WHAT is being broadcast."""
+    lines = plan_string(df, "simple").splitlines()
+
+    def depth(line: str) -> int:
+        m = re.search(r"[+:]-", line)
+        return m.start() if m else -1
+
+    out = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = depth(line)
+        sub = [line]
+        for nxt in lines[i + 1:]:
+            nd = depth(nxt)
+            if 0 <= nd <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+def assert_broadcasts_are_dimension_bounded(
+    df: DataFrame, fact_marker: str, dim_marker: str
+) -> None:
+    """Scale guard: any broadcast side that reads the fact table must
+    have been reduced by a join/semi-join with the dimension first —
+    broadcasting an unfiltered fact aggregate is the classic plan that
+    works at sf0.1 and OOMs at 100× (VERDICT r1 item 3)."""
+    subs = broadcast_subtrees(df)
+    assert subs, "expected at least one BroadcastExchange"
+    for sub in subs:
+        if fact_marker in sub:
+            assert dim_marker in sub, (
+                f"broadcast side reads the fact ({fact_marker}) without the "
+                f"dimension reduction ({dim_marker}):\n{sub}"
+            )

@@ -162,3 +162,29 @@ def test_sessionize_batch_single_exchange(spark, sf_dir):
 
     df = REGISTRY["events_sessionize_batch"].build(spark, sf_dir)
     assert count_shuffle_exchanges(df) == 1
+
+
+def test_q17_broadcast_sides_dimension_bounded(spark, sf_dir):
+    """tpch_q17's per-part AVG rides a broadcast; its input must be the
+    brand-semi-filtered lineitem (dimension-sized at any SF), never the
+    raw fact aggregate (VERDICT r1 item 3 — OOMs at 100x)."""
+    from rust_query_engine_greatest_spark.plans.explain import (
+        assert_broadcasts_are_dimension_bounded,
+    )
+
+    df = REGISTRY["tpch_q17"].build(spark, sf_dir)
+    assert_broadcasts_are_dimension_bounded(df, "l_partkey", "p_partkey")
+
+
+def test_minhash_candidates_no_self_join(spark, sf_dir):
+    """LSH candidate generation is a single groupBy over band buckets —
+    no join operator (a bucket self-join would execute and shuffle the
+    signature subtree twice)."""
+    from rust_query_engine_greatest_spark.pipeline import dedup
+    from rust_query_engine_greatest_spark.plans.explain import plan_string
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs(d, "doc_id", "text", verify=False)
+    plan = plan_string(cand, "simple")
+    assert "Join" not in plan, f"candidate generation must not join:\n{plan}"
