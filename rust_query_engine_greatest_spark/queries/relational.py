@@ -1031,3 +1031,35 @@ def window_null_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("v").over(wrows).alias("n_nn"),
         F.sum(F.col("v").cast("decimal(12,2)")).over(wrows).cast("double").alias("run_sum"),
     )
+
+
+@register(
+    "sort_multikey_nulls",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    ORDER BY event_type ASC,
+             nullif(value, 0.0) DESC NULLS LAST,
+             user_id ASC,
+             event_id ASC
+    LIMIT 500
+    """,
+    tags=("relational", "sort"),
+)
+def sort_multikey_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key external sort (reference benchmarks/src/sort.rs's
+    mixed-key workload): string + nullable-double (injected NULLs via
+    nullif, explicit NULLS LAST) + two integer tiebreakers, fused with
+    the limit into TakeOrderedAndProject (per-partition heaps + driver
+    merge — never a full global sort for a bounded result)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "user_id", "event_type", "value")
+        .orderBy(
+            F.asc("event_type"),
+            F.desc_nulls_last(F.nullif(F.col("value"), F.lit(0.0))),
+            F.asc("user_id"),
+            F.asc("event_id"),
+        )
+        .limit(500)
+    )
