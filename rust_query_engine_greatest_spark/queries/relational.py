@@ -1063,3 +1063,56 @@ def sort_multikey_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(500)
     )
+
+
+@register(
+    "join_null_safe",
+    """
+    SELECT a.id AS id_a, b.id AS id_b, a.k AS k
+    FROM (VALUES (1, 'x'), (2, CAST(NULL AS VARCHAR)), (3, 'y'), (4, CAST(NULL AS VARCHAR)))
+           AS a(id, k)
+    JOIN (VALUES (10, 'x'), (20, CAST(NULL AS VARCHAR)), (30, 'z'))
+           AS b(id, k)
+      ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    tags=("relational", "join"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (reference HashJoinExec's null_equals_null
+    mode, hash_join.rs; Spark `<=>`, SQL IS NOT DISTINCT FROM): NULL
+    keys MATCH each other — the opposite of the equi-join default
+    pinned by the join_* suite. Still a hash join, not a theta join:
+    Catalyst plans <=> as an equi-key with null-safe comparison."""
+    a = spark.createDataFrame([(1, "x"), (2, None), (3, "y"), (4, None)], "id int, k string")
+    b = spark.createDataFrame([(10, "x"), (20, None), (30, "z")], "id int, k string")
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["id"].alias("id_a"), b["id"].alias("id_b"), a["k"].alias("k")
+    )
+
+
+@register(
+    "agg_empty_input",
+    """
+    SELECT COUNT(*)                          AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s,
+           MIN(l_quantity)                   AS mn,
+           MAX(l_quantity)                   AS mx,
+           CAST(SUM(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+    FROM lineitem WHERE l_quantity < -1
+    """,
+    tags=("relational", "aggregate", "edge"),
+)
+def agg_empty_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregate over an empty input must emit exactly ONE row:
+    count 0, sums/mins/maxes NULL (SQL standard; the reference pins
+    this in aggregate.slt's empty-relation blocks). A grouped aggregate
+    would emit zero rows instead — this entry pins the ungrouped case
+    the optimizer must not 'optimize away'."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    return l.filter(F.col("l_quantity") < -1).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec2("l_quantity")).cast("double").alias("s"),
+        F.min("l_quantity").alias("mn"),
+        F.max("l_quantity").alias("mx"),
+        F.sum(F.when(F.col("l_quantity") > 0, 1).otherwise(0)).cast("long").alias("n_pos"),
+    )

@@ -188,3 +188,14 @@ def test_minhash_candidates_no_self_join(spark, sf_dir):
     cand = dedup.minhash_lsh_pairs(d, "doc_id", "text", verify=False)
     plan = plan_string(cand, "simple")
     assert "Join" not in plan, f"candidate generation must not join:\n{plan}"
+
+
+def test_null_safe_join_plans_as_hash_join(spark, sf_dir):
+    """<=> must plan as an equi hash join (null-safe key comparison),
+    never degrade to a nested-loop theta join."""
+    from rust_query_engine_greatest_spark.plans.explain import plan_string
+
+    df = REGISTRY["join_null_safe"].build(spark, sf_dir)
+    plan = plan_string(df, "simple")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
