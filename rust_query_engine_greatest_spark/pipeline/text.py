@@ -102,3 +102,45 @@ def fingerprint_xxhash(text: Column | str) -> Column:
     the md5 variant."""
     c = F.col(text) if isinstance(text, str) else text
     return F.xxhash64(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def winnow_fingerprints(
+    df, id_col: str, text_col: str, k: int = 5, w: int = 4
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every character k-gram of the
+    normalized text, slide a w-window over the hash sequence, keep each
+    window's minimum, dedupe per document. The paper's guarantee: any
+    shared substring of length >= w+k-1 between two documents yields a
+    shared fingerprint — the local-min property random sampling lacks.
+
+    Plan shape (linear, codegen): explode gram positions to rows →
+    substring+xxhash64 per gram (each computed exactly ONCE — an
+    array-of-hashes formulation with array_min over slices would get
+    the whole hash array re-inlined per window by CollapseProject,
+    going quadratic per document; see BENCH_NOTES r3) → running min via
+    a ROWS window frame partitioned by doc → collect_set. One shuffle
+    on the doc id, reused by the final aggregation.
+
+    Returns (id, fps sorted array<long>); docs shorter than k hash the
+    whole text as their single gram."""
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(F.col(id_col).alias("id"), norm.alias("t"))
+    grams = base.select(
+        "id", "t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - k + 1, F.lit(1)))
+        ).alias("i"),
+    ).select("id", F.col("i"), F.xxhash64(F.col("t").substr(F.col("i"), F.lit(k))).alias("h"))
+    win = Window.partitionBy("id").orderBy("i").rowsBetween(0, w - 1)
+    n_win = Window.partitionBy("id")
+    mins = (
+        grams.withColumn("m", F.min("h").over(win))
+        .withColumn("n_grams", F.count(F.lit(1)).over(n_win))
+        # full windows only (tail stubs would over-select); short docs
+        # (< w grams) keep their single all-gram window at i = 1
+        .filter((F.col("i") <= F.col("n_grams") - w + 1) | ((F.col("n_grams") < w) & (F.col("i") == 1)))
+    )
+    return mins.groupBy("id").agg(F.array_sort(F.collect_set("m")).alias("fps"))

@@ -277,3 +277,14 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs brute force asserted in test_pipeline.py."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(e.filter(F.col("vec_id") < 10), e, "vec_id", "vec_id", k=5)
+
+
+@register("text_winnow", None, tags=("pipeline", "text"))
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS) over documents — rows-only driver
+    check (fingerprints are xxhash64-engine-specific); the SIGMOD'03
+    shared-substring guarantee and window-selection semantics are
+    property-tested in test_pipeline.py."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = text.winnow_fingerprints(d, "doc_id", "text", k=5, w=4)
+    return fps.select("id", F.size("fps").alias("n_fps"))

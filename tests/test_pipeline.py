@@ -275,3 +275,38 @@ def test_multimodal_decode_stats_real_pixels(spark, sf_dir):
             assert got[name] == pytest.approx(px[:, :, ch].mean() / 255.0, rel=1e-6)
         assert got["resized_bytes"] == len(b"P6\n4 4\n255\n") + 4 * 4 * 3
         assert (got["w"], got["h"]) == (4, 4)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """SIGMOD'03 winnowing guarantee: documents sharing a substring of
+    length >= w+k-1 (here 8) MUST share at least one fingerprint; and
+    identical docs have identical fingerprint sets."""
+    from rust_query_engine_greatest_spark.pipeline import text as T
+    shared = "zqxjkwvb unique shared run"   # >> w+k-1 chars
+    docs = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, "totally different prefix " + shared + " and suffix here"),
+        (3, "no overlap with the others at all, none whatsoever"),
+        (4, "alpha beta " + shared + " gamma delta"),  # dup of 1
+        (5, "xy"),                                      # shorter than k
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = {r["id"]: set(r["fps"]) for r in T.winnow_fingerprints(df, "doc_id", "text").collect()}
+    assert fps[1] & fps[2], "shared substring must yield a shared fingerprint"
+    assert fps[1] == fps[4], "identical docs -> identical fingerprint sets"
+    assert not (fps[3] & fps[1]) or len(fps[3] & fps[1]) < len(fps[1] & fps[2])
+    assert len(fps[5]) == 1, "sub-k doc falls back to one whole-text gram"
+
+
+def test_winnow_window_density(spark):
+    """Selection density: winnowing keeps roughly 2/(w+1) of gram
+    hashes (paper Sec 3) — at least it must select far fewer
+    fingerprints than grams, and at least one per full window span."""
+    from pyspark.sql import functions as F
+    from rust_query_engine_greatest_spark.pipeline import text as T
+    doc = " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    n_grams = len(doc) - 5 + 1
+    n_fps = T.winnow_fingerprints(df, "doc_id", "text", k=5, w=4).select(F.size("fps")).head()[0]
+    assert n_fps < n_grams / 2
+    assert n_fps >= n_grams // (2 * 4)
