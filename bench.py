@@ -72,8 +72,17 @@ def main() -> None:
     # with best-of across passes: a one-off GC or C2-compile spike then
     # degrades one pass of one query instead of pinning itself to
     # whichever query happened to run first.
+    # Section budgeting (r3 lesson: the pipeline section must ALWAYS
+    # report — BENCH_r03.json lost its dedup/ANN numbers to a slow VM).
+    # tpch timed passes stop adding iterations past 55% of budget; the
+    # pipeline section runs NEXT (one timed pass, before the optional
+    # mem variant) with the remainder reserved for it; the mem pass is
+    # the one that gets skipped under pressure.
     times: dict[str, float] = {}
-    for _ in range(ITERS):
+    for it in range(ITERS):
+        if it > 0 and time.time() - _T0 > BUDGET_S * 0.55:
+            print(f"bench-tpch stopped after pass {it} (budget)", file=sys.stderr)
+            break
         for name in names:
             key = name.replace("tpch_", "")
             try:
@@ -85,11 +94,51 @@ def main() -> None:
                 print(f"bench {name} failed: {e}", file=sys.stderr)
                 times[key] = -1.0
     total = round(sum(t for t in times.values() if t > 0), 4)
+    # Training-pipeline ops (dedup/ANN/text) — reported under their own
+    # keys so the headline tpch metric stays comparable across rounds;
+    # warm + ONE timed pass (they are an order heavier than the tpch
+    # queries). The sketch ops run the LIBRARY operators over the real
+    # documents table (the registry entries for minhash/simhash/lsh are
+    # constructive-oracle fixtures — correctness-shaped, not perf-
+    # representative). Disable: SPARK_GRAFT_BENCH_PIPELINE=0.
+    times_pipe: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_PIPELINE", "1") != "0":
+        from rust_query_engine_greatest_spark.pipeline import dedup as _dedup
+        from rust_query_engine_greatest_spark.sources.catalog import load_table as _lt
+
+        def _minhash_real(s, d):
+            return _dedup.minhash_lsh_pairs(_lt(s, d, "documents"), "doc_id", "text", threshold=0.8)
+
+        def _simhash_real(s, d):
+            return _dedup.simhash_pairs(_lt(s, d, "documents"), "doc_id", "text", max_hamming=3)
+
+        pipe: list[tuple[str, object]] = [
+            ("dedup_exact", REGISTRY["dedup_exact"].build),
+            ("dedup_minhash", _minhash_real),
+            ("dedup_simhash", _simhash_real),
+            ("dedup_jaccard", REGISTRY["dedup_jaccard"].build),
+            ("text_quality", REGISTRY["text_quality"].build),
+            ("text_langid", REGISTRY["text_langid"].build),
+            ("sim_topk_bruteforce", REGISTRY["sim_topk_bruteforce"].build),
+        ]
+        for name, build in pipe:
+            if time.time() - _T0 > BUDGET_S:
+                print(f"bench-pipeline budget exhausted before {name}", file=sys.stderr)
+                break
+            try:
+                build(spark, SF_DIR).collect()  # warm
+                t0 = time.perf_counter()
+                build(spark, SF_DIR).collect()
+                times_pipe[name] = round(time.perf_counter() - t0, 4)
+            except Exception as e:
+                print(f"bench-pipeline {name} failed: {e}", file=sys.stderr)
+                times_pipe[name] = -1.0
     # In-memory variant — the reference's `tpch_mem` mode (bench.sh:73,
     # BASELINE.md second table): same queries over cached columnar
-    # tables, isolating compute from IO. Disable: SPARK_GRAFT_BENCH_MEM=0.
+    # tables, isolating compute from IO. Runs LAST: it is the section
+    # sacrificed when the VM runs slow. Disable: SPARK_GRAFT_BENCH_MEM=0.
     times_mem: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_MEM", "1") != "0" and time.time() - _T0 < BUDGET_S * 0.6:
+    if os.environ.get("SPARK_GRAFT_BENCH_MEM", "1") != "0" and time.time() - _T0 < BUDGET_S * 0.85:
         try:
             from rust_query_engine_greatest_spark.sources import catalog as _catalog
 
@@ -98,6 +147,9 @@ def main() -> None:
             for name in tpch:  # warm the cached plans
                 REGISTRY[name].build(spark, SF_DIR).collect()
             for _ in range(max(2, ITERS - 2)):
+                if time.time() - _T0 > BUDGET_S * 1.15:
+                    print("bench-mem stopped early (budget)", file=sys.stderr)
+                    break
                 for name in tpch:
                     key = name.replace("tpch_", "")
                     try:
@@ -111,27 +163,6 @@ def main() -> None:
             _catalog.uncache_tables(SF_DIR)
         except Exception as e:
             print(f"mem pass skipped: {e}", file=sys.stderr)
-    # Training-pipeline ops (dedup/ANN/text) — reported under their own
-    # keys so the headline tpch metric stays comparable across rounds;
-    # warm + ONE timed pass (they are an order heavier than the tpch
-    # queries, and the whole bench must stay inside the driver's
-    # budget). Disable: SPARK_GRAFT_BENCH_PIPELINE=0.
-    times_pipe: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_PIPELINE", "1") != "0":
-        pipe = ["dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
-                "text_quality", "text_langid", "sim_topk_bruteforce"]
-        for name in [n for n in pipe if n in REGISTRY]:
-            if time.time() - _T0 > BUDGET_S:
-                print(f"bench-pipeline budget exhausted before {name}", file=sys.stderr)
-                break
-            try:
-                REGISTRY[name].build(spark, SF_DIR).collect()  # warm
-                t0 = time.perf_counter()
-                REGISTRY[name].build(spark, SF_DIR).collect()
-                times_pipe[name] = round(time.perf_counter() - t0, 4)
-            except Exception as e:
-                print(f"bench-pipeline {name} failed: {e}", file=sys.stderr)
-                times_pipe[name] = -1.0
     out = {
         "metric": "tpch_total_best",
         "value": total,

@@ -61,15 +61,30 @@ def asof_join(
     monotonically_increasing_id + per-row window added a max-cardinality
     shuffle and was fragile under AQE re-planning — VERDICT r1 item 4).
     Right-ts ties are resolved deterministically by taking the greatest
-    right struct. Null join keys never match (equi-join semantics): such
-    left rows bypass the window and emit null right columns.
+    right struct over its ORDERABLE columns (map-typed right columns are
+    excluded from the tiebreak — Spark cannot sort maps — so ties that
+    differ only in unorderable columns resolve arbitrarily, as in any
+    engine). Null join keys never match (equi-join semantics): such left
+    rows bypass the window and emit null right columns. Right rows with
+    NULL right_ts never match either (`right_ts <= left_ts` is never
+    true for NULL) and are filtered before the union.
     """
     from pyspark.sql import types as T
+
+    def _orderable(dt: T.DataType) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
 
     lcols = list(left.columns)
     rcols = [c for c in right.columns if c != on]
     l_struct_t = T.StructType([left.schema[c] for c in lcols])
     r_struct_t = T.StructType([right.schema[c] for c in rcols])
+    tie_cols = [c for c in rcols if _orderable(right.schema[c].dataType)]
 
     lu = left.select(
         F.col(on).alias("__k"),
@@ -86,14 +101,19 @@ def asof_join(
         F.struct(*rcols).alias("__r"),
     )
     merged = lu.filter(F.col("__k").isNotNull()).unionByName(
-        ru.filter(F.col("__k").isNotNull())
+        ru.filter(F.col("__k").isNotNull() & F.col("__ts").isNotNull())
     )
     # Right rows sort before left rows at equal ts (is_left asc), so a
-    # right row AT the left ts is visible to it; __r in the order makes
-    # equal-ts right rows resolve to the max struct, deterministically.
+    # right row AT the left ts is visible to it; the orderable-subset
+    # struct makes equal-ts right rows resolve to the max struct,
+    # deterministically (left rows carry an all-null tiebreak struct —
+    # their relative order is irrelevant, each reads its own prefix).
+    order_keys = [F.col("__ts"), F.col("__is_left")]
+    if tie_cols:
+        order_keys.append(F.struct(*[F.col("__r")[c] for c in tie_cols]))
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__is_left", "__r")
+        .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     picked = merged.withColumn("__pick", F.last("__r", ignorenulls=True).over(w))

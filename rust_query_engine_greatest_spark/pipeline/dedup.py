@@ -119,14 +119,23 @@ def jaccard_pairs(
     )
 
 
-def _bucket_pairs(banded: DataFrame, bucket_cols: list[str]) -> DataFrame:
+def _bucket_pairs(
+    banded: DataFrame, bucket_cols: list[str], max_bucket: int = 1024
+) -> DataFrame:
     """(id, bucket) rows → distinct candidate (id_a < id_b) pairs that
     share a bucket. ONE groupBy shuffle + in-bucket pair expansion —
     not a bucket self-join, which would execute the whole upstream
     subtree twice (both join inputs) and shuffle it twice. LSH bucket
-    membership is small by construction, so the per-bucket pair
-    explosion is the candidate set itself, not a blow-up; a hot bucket
-    here means the banding parameters are wrong, not the plan."""
+    membership is small by construction when banding parameters fit the
+    corpus, BUT a degenerate band value (e.g. near-empty documents all
+    hashing one band) would otherwise put an O(n²) pair array on a
+    single executor row — an OOM, not a slowdown. `max_bucket` guards
+    that: buckets larger than the cap are excluded from pair expansion
+    (1024 ids → ≤ ~0.5M pair structs ≈ 8 MB, the largest cell we allow).
+    Like `jaccard_pairs(max_df=...)`, the cap affects RECALL only and
+    only for pairs whose every shared bucket is degenerate; use
+    `bucket_overflow(...)` on the same banded input to count/log what
+    was dropped (no silent truncation at scale)."""
     pair_structs = F.filter(
         F.flatten(
             F.transform(
@@ -142,10 +151,24 @@ def _bucket_pairs(banded: DataFrame, bucket_cols: list[str]) -> DataFrame:
     return (
         banded.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
         .select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
+    )
+
+
+def bucket_overflow(
+    banded: DataFrame, bucket_cols: list[str], max_bucket: int = 1024
+) -> DataFrame:
+    """Accounting companion to `_bucket_pairs`: one row per bucket that
+    exceeded `max_bucket` (its key columns + member count), so pipelines
+    can log/emit exactly what the hot-bucket guard dropped instead of
+    truncating silently. Same single groupBy shuffle shape."""
+    return (
+        banded.groupBy(*bucket_cols)
+        .agg(F.countDistinct("id").alias("n_ids"))
+        .filter(F.col("n_ids") > max_bucket)
     )
 
 
@@ -200,6 +223,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     verify: bool = True,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding.
 
@@ -207,7 +231,8 @@ def minhash_lsh_pairs(
     steep around s≈0.5-0.6; verify=True re-checks candidates with exact
     shingle Jaccard ≥ threshold. Scale shape: candidates only form
     within equal (band_id, band_hash) buckets — the standard
-    sub-quadratic path; no cross join anywhere.
+    sub-quadratic path; no cross join anywhere. `max_bucket` guards
+    degenerate hot buckets (see _bucket_pairs).
     """
     rows = num_hashes // bands
     # Repartition BEFORE attaching the heavy projections: Catalyst keeps
@@ -235,7 +260,7 @@ def minhash_lsh_pairs(
             ])
         ).alias("bb"),
     ).select("id", "bb.band_id", "bb.band_hash")
-    cand = _bucket_pairs(banded, ["band_id", "band_hash"])
+    cand = _bucket_pairs(banded, ["band_id", "band_hash"], max_bucket=max_bucket)
     if not verify:
         return cand
     sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -295,9 +320,11 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming via 16-bit
-    band bucketing (pigeonhole: distance ≤3 ⇒ ≥1 of 4 bands equal)."""
+    band bucketing (pigeonhole: distance ≤3 ⇒ ≥1 of 4 bands equal;
+    complete when no bucket exceeds `max_bucket` — see _bucket_pairs)."""
     base = _ensure_parallelism(df).select(F.col(id_col).alias("id"), simhash64(text_col).alias("fp"))
     width = 64 // bands
     mask = (1 << width) - 1
@@ -309,7 +336,7 @@ def simhash_pairs(
             for b in range(bands)
         ])).alias("bb"),
     ).select("id", "bb.band_id", "bb.band_val")
-    cand = _bucket_pairs(banded, ["band_id", "band_val"])
+    cand = _bucket_pairs(banded, ["band_id", "band_val"], max_bucket=max_bucket)
     fa = base.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
     fb = base.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
     return (

@@ -302,3 +302,29 @@ def resize_images(media: DataFrame, target_w: int = 16, target_h: int = 16) -> D
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads, "meta": metas})
 
     return media.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+CHANNEL_SUM_SCHEMA = "media_id long, r_sum long, g_sum long, b_sum long"
+
+
+def channel_sums(media: DataFrame) -> DataFrame:
+    """mapInPandas: decode payload → EXACT integer per-channel pixel
+    sums (int64 — no float path at all), for value-level verification
+    of decode/resize kernels. Rows whose payload does not decode are
+    dropped (same policy as sample_frames for NULL payloads)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rs, gs, bs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = _try_decode(bytes(payload) if payload is not None else None)
+                if img is None:
+                    continue
+                s = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                ids.append(mid)
+                rs.append(int(s[0]))
+                gs.append(int(s[1]))
+                bs.append(int(s[2]))
+            yield pd.DataFrame({"media_id": ids, "r_sum": rs, "g_sum": gs, "b_sum": bs})
+
+    return media.mapInPandas(op, schema=CHANNEL_SUM_SCHEMA)

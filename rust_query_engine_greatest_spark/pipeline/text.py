@@ -105,7 +105,8 @@ def fingerprint_xxhash(text: Column | str) -> Column:
 
 
 def winnow_fingerprints(
-    df, id_col: str, text_col: str, k: int = 5, w: int = 4
+    df, id_col: str, text_col: str, k: int = 5, w: int = 4,
+    hash_fn: str = "xxhash64",
 ):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every character k-gram of the
@@ -122,18 +123,28 @@ def winnow_fingerprints(
     a ROWS window frame partitioned by doc → collect_set. One shuffle
     on the doc id, reused by the final aggregation.
 
-    Returns (id, fps sorted array<long>); docs shorter than k hash the
-    whole text as their single gram."""
+    Returns (id, fps sorted array); docs shorter than k hash the whole
+    text as their single gram. NULL text is treated as '' (one
+    empty-gram fingerprint) so every input id appears in the output.
+
+    `hash_fn` picks the gram hash: "xxhash64" (fast path, array<long>
+    fps) or "md5" (hex-string fps — bit-identical in DuckDB/Spark, used
+    by the oracle-checked registry entry; min/ordering over the ASCII
+    hex strings is engine-independent binary collation)."""
     from pyspark.sql import Window
 
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    )
     base = df.select(F.col(id_col).alias("id"), norm.alias("t"))
+    gram = F.col("t").substr(F.col("i"), F.lit(k))
+    gram_hash = F.md5(gram) if hash_fn == "md5" else F.xxhash64(gram)
     grams = base.select(
         "id", "t",
         F.explode(
             F.sequence(F.lit(1), F.greatest(F.length("t") - k + 1, F.lit(1)))
         ).alias("i"),
-    ).select("id", F.col("i"), F.xxhash64(F.col("t").substr(F.col("i"), F.lit(k))).alias("h"))
+    ).select("id", F.col("i"), gram_hash.alias("h"))
     win = Window.partitionBy("id").orderBy("i").rowsBetween(0, w - 1)
     n_win = Window.partitionBy("id")
     mins = (

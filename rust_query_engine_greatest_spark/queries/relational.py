@@ -1116,3 +1116,182 @@ def agg_empty_input(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_quantity").alias("mx"),
         F.sum(F.when(F.col("l_quantity") > 0, 1).otherwise(0)).cast("long").alias("n_pos"),
     )
+
+
+# --- round-4 edge suites: sqllogictest parity beyond functions
+# (reference joins.slt 4,276 lines / window.slt 4,992 / aggregate.slt
+# 6,088 — the outer-join×frame, empty-partition-frame, wide-decimal and
+# interval edge matrices their blocks pin). ---------------------------
+
+
+@register(
+    "join_outer_frame_edge",
+    """
+    WITH a(id, k, v) AS (VALUES
+           (1, 'x', 10.0), (2, CAST(NULL AS VARCHAR), 20.0),
+           (3, 'y', 30.0), (4, 'x', 40.0)),
+         b(id, k, w) AS (VALUES
+           (10, 'x', 1.0), (20, CAST(NULL AS VARCHAR), 2.0),
+           (30, 'z', 3.0)),
+         j AS (
+           SELECT a.id AS a_id, b.id AS b_id,
+                  coalesce(a.k, b.k, '<null>') AS kk, a.v AS v, b.w AS w
+           FROM a FULL OUTER JOIN b ON a.k = b.k)
+    SELECT a_id, b_id, kk, v, w,
+           CAST(SUM(CAST(coalesce(v, 0.0) + coalesce(w, 0.0) AS DECIMAL(12,2)))
+                OVER (PARTITION BY kk
+                      ORDER BY a_id ASC NULLS LAST, b_id ASC NULLS LAST
+                      ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE) AS run,
+           COUNT(v) OVER (PARTITION BY kk
+                          ORDER BY a_id ASC NULLS LAST, b_id ASC NULLS LAST
+                          ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS n_v
+    FROM j
+    """,
+    tags=("relational", "join", "window", "edge"),
+)
+def join_outer_frame_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join null-fill × window-frame interaction (reference
+    joins.slt outer blocks × window.slt frame blocks): NULL keys do NOT
+    match in a FULL OUTER equi-join, so both sides' null-key rows emit
+    null-filled partners; a running frame over the coalesced key must
+    then treat the null-filled measure columns per aggregate rules
+    (SUM coalesced, COUNT skips NULLs). Deterministic via explicit
+    NULLS LAST on both order keys."""
+    a = spark.createDataFrame(
+        [(1, "x", 10.0), (2, None, 20.0), (3, "y", 30.0), (4, "x", 40.0)],
+        "id int, k string, v double",
+    )
+    b = spark.createDataFrame(
+        [(10, "x", 1.0), (20, None, 2.0), (30, "z", 3.0)],
+        "id int, k string, w double",
+    )
+    j = a.join(b, a["k"] == b["k"], "full").select(
+        a["id"].alias("a_id"), b["id"].alias("b_id"),
+        F.coalesce(a["k"], b["k"], F.lit("<null>")).alias("kk"),
+        a["v"].alias("v"), b["w"].alias("w"),
+    )
+    w = (
+        Window.partitionBy("kk")
+        .orderBy(F.asc_nulls_last("a_id"), F.asc_nulls_last("b_id"))
+        .rowsBetween(-1, Window.currentRow)
+    )
+    return j.select(
+        "a_id", "b_id", "kk", "v", "w",
+        F.sum((F.coalesce("v", F.lit(0.0)) + F.coalesce("w", F.lit(0.0))).cast("decimal(12,2)"))
+        .over(w).cast("double").alias("run"),
+        F.count("v").over(w).alias("n_v"),
+    )
+
+
+@register(
+    "window_empty_frame_edge",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING) AS DOUBLE) AS s_empty,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                          ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING) AS n_empty,
+           lead(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS lead2,
+           nth_value(o_orderkey, 3) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS third
+    FROM orders WHERE o_orderkey % 37 = 0
+    """,
+    tags=("relational", "window", "edge"),
+)
+def window_empty_frame_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frames over mostly-single-row partitions (reference window.slt's
+    empty-frame blocks): the filtered orders leave most custkeys with
+    ONE row, so `ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING` is an EMPTY
+    frame — SUM must yield NULL (not 0), COUNT must yield 0; lead(2)
+    and nth_value(3) fall off the partition edge → NULL. Multi-row
+    custkeys in the same result pin the non-degenerate frame
+    alongside."""
+    (o,) = _t(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wf = wp.rowsBetween(-5, -2)
+    wall = wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.filter(F.col("o_orderkey") % 37 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.sum(dec2("o_totalprice")).over(wf).cast("double").alias("s_empty"),
+        F.count(F.lit(1)).over(wf).alias("n_empty"),
+        F.lead("o_orderkey", 2).over(wp).alias("lead2"),
+        F.nth_value("o_orderkey", 3).over(wall).alias("third"),
+    )
+
+
+@register(
+    "agg_decimal_wide",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS s38,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(l_quantity AS DECIMAL(12,2))
+                         AS DECIMAL(38,4))) AS DOUBLE) AS sprod,
+           CAST(MIN(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS mn,
+           CAST(MAX(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS mx
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "aggregate", "edge"),
+)
+def agg_decimal_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Widest-decimal aggregation path (reference aggregate.slt decimal
+    blocks): SUM at precision 38 (no headroom left for Spark's +10
+    widening — exercises the overflow-checked sum path), and SUM over a
+    decimal×decimal product explicitly re-cast to DECIMAL(38,4) so both
+    engines aggregate identical exact values. The deliberate-overflow
+    sibling (ANSI-off sum → NULL, DuckDB errors instead) is pinned in
+    tests/test_relational.py — not SQL-mirrorable by design."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    wide = F.col("l_extendedprice").cast("decimal(38,2)")
+    prod = (dec2("l_extendedprice") * dec2("l_quantity")).cast("decimal(38,4)")
+    return l.groupBy("l_returnflag").agg(
+        F.sum(wide).cast("double").alias("s38"),
+        F.sum(prod).cast("double").alias("sprod"),
+        F.min(wide).cast("double").alias("mn"),
+        F.max(wide).cast("double").alias("mx"),
+    )
+
+
+@register(
+    "func_interval_edge",
+    """
+    WITH d(id, base) AS (VALUES
+        (1, DATE '2024-01-31'), (2, DATE '2024-02-29'),
+        (3, DATE '2023-02-28'), (4, DATE '2024-12-31'),
+        (5, DATE '2024-07-04'))
+    SELECT id, base,
+           CAST(base + INTERVAL 1 MONTH AS DATE)      AS plus_1m,
+           CAST(base + INTERVAL 12 MONTH AS DATE)     AS plus_12m,
+           CAST(base - INTERVAL 2 MONTH AS DATE)      AS minus_2m,
+           last_day(base)                             AS eom,
+           CAST(date_trunc('week', base) AS DATE)     AS wk,
+           base + 45                                  AS plus_45d,
+           datediff('day', DATE '2024-01-01', base)   AS since_ny
+    FROM d
+    """,
+    tags=("functions", "datetime", "edge"),
+)
+def func_interval_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/date arithmetic edges (reference date_bin/interval slt
+    blocks): month-end clamping (Jan 31 + 1 month → Feb 29 in a leap
+    year; Feb 29 + 12 months → Feb 28), negative month arithmetic,
+    last_day, ISO-Monday week truncation, day addition across month
+    boundaries, and day diffs — every case where naive day-count
+    arithmetic and calendar arithmetic disagree."""
+    rows = [(1, "2024-01-31"), (2, "2024-02-29"), (3, "2023-02-28"),
+            (4, "2024-12-31"), (5, "2024-07-04")]
+    d = spark.createDataFrame(rows, "id int, base_s string").select(
+        "id", F.col("base_s").cast("date").alias("base")
+    )
+    return d.select(
+        "id", "base",
+        F.add_months("base", 1).alias("plus_1m"),
+        F.add_months("base", 12).alias("plus_12m"),
+        F.add_months("base", -2).alias("minus_2m"),
+        F.last_day("base").alias("eom"),
+        F.date_trunc("week", "base").cast("date").alias("wk"),
+        F.date_add("base", 45).alias("plus_45d"),
+        F.datediff("base", F.lit("2024-01-01").cast("date")).alias("since_ny"),
+    )

@@ -50,11 +50,18 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """AvroExec analog (avro.rs:38). Prefers the native spark-avro
     source (splittable, full type coverage); when the jar is absent
     (this container) falls back to the pure-Python container decoder in
-    avro_fallback.py — distributed via binaryFile + mapInPandas, flat
-    record schemas with null/deflate codecs."""
+    avro_fallback.py — distributed via binaryFile + mapInArrow, nested
+    records/arrays/maps + timestamp/date/decimal logical types,
+    null/deflate codecs. Only the jar-missing AnalysisException reroutes
+    to the fallback; any other failure (missing path, corrupt file)
+    propagates with its real cause."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.format("avro").load(path)
-    except Exception:  # AnalysisException: Failed to find data source
+    except AnalysisException as exc:
+        if "Failed to find data source" not in str(exc):
+            raise
         from .avro_fallback import read_avro_fallback
 
         return read_avro_fallback(spark, path)

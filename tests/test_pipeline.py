@@ -310,3 +310,53 @@ def test_winnow_window_density(spark):
     n_fps = T.winnow_fingerprints(df, "doc_id", "text", k=5, w=4).select(F.size("fps")).head()[0]
     assert n_fps < n_grams / 2
     assert n_fps >= n_grams // (2 * 4)
+
+
+def test_bucket_pairs_hot_bucket_guard(spark):
+    """A degenerate band value (1k near-identical empty-ish docs hashing
+    into one bucket) must NOT materialize an O(n²) pair array on one
+    executor row: buckets over max_bucket are excluded from expansion
+    and reported by bucket_overflow. Healthy buckets are unaffected."""
+    rows = [(i, 0, 7777) for i in range(1000)]          # planted hot bucket
+    rows += [(2000 + i, 0, 42) for i in range(3)]       # healthy bucket
+    banded = spark.createDataFrame(rows, "id long, band_id int, band_val long")
+    pairs = dedup._bucket_pairs(banded, ["band_id", "band_val"], max_bucket=100)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(2000, 2001), (2000, 2002), (2001, 2002)}
+    ovf = dedup.bucket_overflow(banded, ["band_id", "band_val"], max_bucket=100).collect()
+    assert len(ovf) == 1 and ovf[0].n_ids == 1000 and ovf[0].band_val == 7777
+
+
+def test_simhash_template_fixture_hamming_gap(spark):
+    """Pins the constructive-oracle precondition for dedup_simhash: the
+    40 template texts (docstring in queries/pipeline_q.py) have pairwise
+    cross-template SimHash Hamming > 3, so Hamming<=3 output provably
+    equals the same-template pair set. xxhash64 is deterministic, so
+    this can never drift without a code change."""
+    import itertools
+    rows = [(t, " ".join(f"w{t}x{j}" for j in range(10))) for t in range(40)]
+    df = spark.createDataFrame(rows, "tmpl int, text string")
+    fps = {r.tmpl: r.fp for r in df.select("tmpl", dedup.simhash64("text").alias("fp")).collect()}
+    min_ham = min(
+        bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+        for a, b in itertools.combinations(fps, 2)
+    )
+    assert min_ham > 3, f"cross-template Hamming gap collapsed: {min_ham}"
+
+
+def test_winnow_md5_variant_matches_xxhash_structure(spark):
+    """The md5 hash_fn (oracle path) must select the same WINDOW
+    positions semantics as the xxhash64 fast path: identical docs agree
+    under both, NULL text survives as a single empty-gram fingerprint,
+    and the selection count stays within winnowing density bounds."""
+    from rust_query_engine_greatest_spark.pipeline import text as T
+    docs = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, None), (4, "ab")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for hash_fn in ("xxhash64", "md5"):
+        fps = {r["id"]: r["fps"] for r in
+               T.winnow_fingerprints(df, "doc_id", "text", hash_fn=hash_fn).collect()}
+        assert set(fps) == {1, 2, 3, 4}, "every input id must appear (incl. NULL text)"
+        assert fps[1] == fps[2]
+        assert len(fps[3]) == 1 and len(fps[4]) == 1

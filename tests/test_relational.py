@@ -165,3 +165,43 @@ def test_asof_join_tolerance(spark):
     got = {(r.tts.hour, r.tts.minute): r.px for r in out.collect()}
     assert got[(10, 4)] == 100.0
     assert got[(11, 0)] is None
+
+
+def test_asof_join_null_right_ts_and_map_column(spark):
+    """Right rows with NULL right_ts must never match (right_ts <= left_ts
+    is never true for NULL), and a map-typed right column must not break
+    the tie-resolution ordering (maps are excluded from the tiebreak)."""
+    import datetime as dt
+
+    quotes = spark.createDataFrame(
+        [("A", None, 999.0, {"src": "bad"}),
+         ("A", dt.datetime(2024, 1, 1, 10, 0), 100.0, {"src": "ok"}),
+         ("B", None, 888.0, {"src": "bad"})],
+        "sym string, qts timestamp, px double, attrs map<string,string>",
+    )
+    trades = spark.createDataFrame(
+        [("A", dt.datetime(2024, 1, 1, 10, 30)),
+         ("B", dt.datetime(2024, 1, 1, 10, 0))],
+        "sym string, tts timestamp",
+    )
+    out = asof_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts")
+    got = {r.sym: (r.px, r.attrs) for r in out.collect()}
+    assert got["A"] == (100.0, {"src": "ok"})   # NULL-ts quote never picked
+    assert got["B"][0] is None                   # only NULL-ts quotes -> no match
+
+
+def test_decimal_sum_overflow_yields_null_ansi_off(spark):
+    """The deliberate-overflow sibling of agg_decimal_wide: summing
+    DECIMAL(38,0) values that exceed 38 digits of headroom must yield
+    NULL under ANSI-off Spark semantics (DuckDB raises instead — not
+    SQL-mirrorable, pinned here)."""
+    big = int("9" * 38)
+    df = spark.createDataFrame(
+        [(str(big),), (str(big),), (str(big),)], "v string"
+    ).select(F.col("v").cast("decimal(38,0)").alias("v"))
+    ansi = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        assert df.agg(F.sum("v").alias("s")).head()["s"] is None
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)

@@ -85,8 +85,9 @@ def test_avro_fallback_roundtrip(spark, nation, tmp_path_factory):
 
 
 def test_avro_fallback_null_codec_and_unsupported(spark, tmp_path_factory):
-    """null-codec containers decode too; nested schemas raise the
-    documented actionable error."""
+    """null-codec containers decode too; genuinely unsupported schemas
+    (multi-branch non-null unions) raise the documented actionable
+    error."""
     import pytest as _pytest
 
     from rust_query_engine_greatest_spark.sources import avro_fallback as af
@@ -102,10 +103,41 @@ def test_avro_fallback_null_codec_and_unsupported(spark, tmp_path_factory):
     blob = af.encode_container(schema, [(1, "a"), (None, None), (3, "c")], codec="null")
     got_schema, rows = af.decode_container(blob)
     assert rows == [(1, "a"), (None, None), (3, "c")]
-    nested = {"type": "record", "name": "r",
-              "fields": [{"name": "x", "type": {"type": "array", "items": "int"}}]}
+    multi_union = {"type": "record", "name": "r",
+                   "fields": [{"name": "x", "type": ["int", "string", "null"]}]}
     with _pytest.raises(NotImplementedError, match="spark-avro jar"):
-        af._field_decoders(nested)
+        af._field_decoders(multi_union)
+
+
+def test_avro_fallback_nested_and_logical_roundtrip(spark, tmp_path_factory):
+    """Nested records/arrays/maps + timestamp-micros/date/decimal
+    logical types survive a write→read roundtrip bit-exactly, including
+    a nullable long above 2^53 (the pandas float64 corruption case the
+    Arrow path exists to avoid)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from rust_query_engine_greatest_spark.sources import avro_fallback as af
+
+    big = (1 << 53) + 1
+    src = spark.createDataFrame(
+        [
+            (1, big, dt.datetime(2024, 3, 1, 12, 30, 45, 123456),
+             dt.date(2024, 2, 29), Decimal("12345.67"),
+             {"k": "v", "k2": None}, [1, 2, None], ("inner", 7)),
+            (2, None, None, None, None, None, None, None),
+        ],
+        "id long, big long, ts timestamp, d date, dec decimal(10,2), "
+        "m map<string,string>, arr array<int>, s struct<name:string,n:long>",
+    )
+    p = str(tmp_path_factory.mktemp("avro") / "nested")
+    assert af.write_avro_fallback(src.repartition(2), p) >= 1
+    back = readers.read_avro(spark, p).select(*src.columns)
+    assert back.schema == src.schema
+    got = sorted(back.collect(), key=lambda r: r.id)
+    exp = sorted(src.collect(), key=lambda r: r.id)
+    assert got == exp
+    assert got[0].big == big  # exact above 2^53
 
 
 def test_insert_into_catalog_table(spark, nation):

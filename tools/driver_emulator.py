@@ -5,7 +5,7 @@
    the oracle_sql()[name] in DuckDB over the same tables; compare
    row-count, column names, and an order-insensitive value hash.
 
-Usage: python tools/driver_emulator.py [sf_dir] [--vanilla]
+Usage: python tools/driver_emulator.py [sf_dir] [--vanilla] [--only=a,b,...]
 
 --vanilla runs against a bare SparkSession (no session.py confs) — the
 shape of the REAL driver's session; catches any query that silently
@@ -28,6 +28,10 @@ from rust_query_engine_greatest_spark.sources.catalog import TABLES  # noqa: E40
 
 ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 VANILLA = "--vanilla" in sys.argv[1:]
+ONLY = next(
+    (set(a[len("--only="):].split(",")) for a in sys.argv[1:] if a.startswith("--only=")),
+    None,
+)
 SF_DIR = ARGS[0] if ARGS else "/root/testdata/sf0.01"
 
 
@@ -89,6 +93,8 @@ def main():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = n_weak = 0
     for name in sorted(qs):
+        if ONLY is not None and name not in ONLY:
+            continue
         try:
             sdf = qs[name](spark, SF_DIR)
             scols = sdf.columns
