@@ -13,10 +13,10 @@ except two, by one of three constructions —
    similarity stays property-tested in tests/test_pipeline.py;
 3. a cross-engine hash (md5) variant for winnowing, making the whole
    algorithm mirrorable as SQL.
-Remaining rows-only entries, each with a documented reason:
+The single remaining rows-only entry, with a documented reason:
 `multimodal_features` (byte-stats fallback features — float32 L1
-normalization has no exact SQL mirror) and `sim_topk_ivf` (learned
-centroids are data-dependent; recall pytest instead).
+normalization has no exact SQL mirror; golden byte-math is pinned in
+`multimodal_decode_stats` instead).
 """
 
 from __future__ import annotations
@@ -408,14 +408,47 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.join(small, "media_id")
 
 
-@register("sim_topk_ivf", None, tags=("pipeline", "similarity"))
+_IVF_GROUPS = 5
+
+
+@register(
+    "sim_topk_ivf",
+    f"""
+    SELECT qid, cid, CAST(1.0 AS DOUBLE) AS cos, rnk FROM (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY c.vec_id) AS rnk
+      FROM embeddings q JOIN embeddings c
+        ON c.vec_id % {_IVF_GROUPS} = q.vec_id % {_IVF_GROUPS}
+       AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10) t
+    WHERE rnk <= 5
+    """,
+    tags=("pipeline", "similarity"),
+)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (16 deterministic k-means cells, nprobe=4): cell-local
-    exact cosine — the second scale path next to LSH (SURVEY training-
-    pipeline ops). Approximate by design → rows-only driver check;
-    recall vs brute force asserted in test_pipeline.py."""
+    """IVF ANN (16 deterministic mini-k-means cells, nprobe=4): cell-
+    local exact cosine, on a one-hot constructive fixture: vec_id % 5
+    picks basis vector e_g. The 512-row training sample strides by
+    512//16 = 32, and gcd(32, 5) = 1, so the init centroids cover all 5
+    groups with exact basis vectors; Lloyd iterations are then stable
+    (each centroid's members are identical one-hots → mean = the same
+    basis vector, exactly), so assignment maps every group-g vector —
+    query and corpus alike — to the same cell, and candidacy for all
+    same-group pairs is GUARANTEED, not probabilistic. Cross-group
+    cosine is exactly 0.0 < 1.0 and each group has ≥ 60 members at
+    sf0.01, so the IVF output provably equals exact top-5 = the 5
+    smallest same-group ids (ties by cid, mirrored in the oracle).
+    Recall on real embeddings vs brute force stays in test_pipeline.py."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(e.filter(F.col("vec_id") < 10), e, "vec_id", "vec_id", k=5)
+    g = F.col("vec_id") % _IVF_GROUPS
+    onehot = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.when(i == g, F.lit(1.0)).otherwise(F.lit(0.0)).cast("float"),
+    )
+    fix = e.select("vec_id", onehot.alias("embedding"))
+    return similarity.ivf_topk(
+        fix.filter(F.col("vec_id") < 10), fix, "vec_id", "vec_id", k=5
+    )
 
 
 @register(

@@ -178,6 +178,28 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     assert all(hits.get(1000 + r.vec_id) == r.vec_id for r in originals)
 
 
+def test_ivf_onehot_centroids_are_exact_basis_vectors(spark, sf_dir):
+    """The sim_topk_ivf constructive oracle depends on mini-k-means being
+    STABLE on the one-hot fixture: the 512-row sample strides by 32
+    (coprime to 5 groups), so init covers all 5 basis vectors and every
+    Lloyd iteration reproduces them exactly — each learned centroid must
+    be a basis vector (0/1 components) covering all 5 groups."""
+    e = load_table(spark, sf_dir, "embeddings")
+    g = F.col("vec_id") % 5
+    onehot = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.when(i == g, F.lit(1.0)).otherwise(F.lit(0.0)).cast("float"),
+    )
+    fix = e.select("vec_id", onehot.alias("embedding"))
+    cent = similarity.learn_centroids(fix, "vec_id", "embedding", n_centroids=16)
+    groups = set()
+    for c in cent:
+        assert all(v in (0.0, 1.0) for v in c), c
+        assert sum(c) == 1.0
+        groups.add(c.index(1.0))
+    assert groups == {0, 1, 2, 3, 4}
+
+
 def test_multimodal_resize_contract(spark, sf_dir):
     """resize_images: output payload is exactly target_w*target_h bytes
     (for payloads at least that large), metadata width/height are
