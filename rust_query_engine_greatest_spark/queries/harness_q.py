@@ -697,3 +697,87 @@ def cb_global_minmax_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(dec2("value")).cast("double") / F.count(F.lit(1))).alias("avg_v"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- H2O db-benchmark depth (round 4): the three groupby-task shapes
+# beyond g1/g4 (h2o_groupby_highcard) and the join task
+# (h2o_join_bigsmall) — reference benchmarks/src/bin/h2o.rs:104-113. ----
+
+@register(
+    "h2o_top2_per_group",
+    """
+    SELECT event_type, user_id, value FROM (
+      SELECT event_type, user_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS order_v
+      FROM events WHERE value IS NOT NULL) sub
+    WHERE order_v <= 2
+    """,
+    tags=("harness", "h2o"),
+)
+def h2o_top2_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2O groupby q8 (h2o.rs:111): largest-2 values per key via a
+    row_number window over non-null rows. Same TakeOrdered-per-group
+    shape as topk_per_group but with the benchmark's exact NULL-filter +
+    window formulation; event_id tie-break pins determinism."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.col("event_id"))
+    return (
+        ev.withColumn("order_v", F.row_number().over(w))
+        .filter(F.col("order_v") <= 2)
+        .select("event_type", "user_id", "value")
+    )
+
+
+@register(
+    "h2o_corr_r2",
+    """
+    SELECT event_type, user_id % 10 AS bucket,
+           round(pow(corr(value, CAST(event_id % 1000 AS DOUBLE)), 2), 9) AS r2
+    FROM events GROUP BY event_type, user_id % 10
+    """,
+    tags=("harness", "h2o"),
+)
+def h2o_corr_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2O groupby q9 (h2o.rs:112): pow(corr(v1, v2), 2) over a two-key
+    group. Rounded to 9 places — corr is the one intrinsically
+    order-dependent float aggregate family (see agg_stats)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", (F.col("user_id") % 10).alias("bucket")
+    ).agg(
+        F.round(
+            F.pow(F.corr("value", (F.col("event_id") % 1000).cast("double")), 2), 9
+        ).alias("r2")
+    )
+
+
+@register(
+    "h2o_groupby_allkeys",
+    """
+    SELECT event_type, user_id % 4 AS k2, user_id % 9 AS k3,
+           CAST(ts AS DATE) AS day, length(props) % 3 AS k5,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v,
+           COUNT(*) AS count
+    FROM events
+    GROUP BY event_type, user_id % 4, user_id % 9, CAST(ts AS DATE),
+             length(props) % 3
+    """,
+    tags=("harness", "h2o"),
+)
+def h2o_groupby_allkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2O groupby q10 (h2o.rs:113): sum + count grouped by EVERY key
+    column at once — the widest-key, highest-cardinality aggregation of
+    the task; partial aggregation degrades gracefully (near-unique keys)
+    and the single hash exchange carries the composite key."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        (F.col("user_id") % 4).alias("k2"),
+        (F.col("user_id") % 9).alias("k3"),
+        F.to_date("ts").alias("day"),
+        (F.length("props") % 3).alias("k5"),
+    ).agg(
+        F.sum(dec2("value")).cast("double").alias("v"),
+        F.count(F.lit(1)).alias("count"),
+    )
