@@ -155,3 +155,76 @@ def winnow_fingerprints(
         .filter((F.col("i") <= F.col("n_grams") - w + 1) | ((F.col("n_grams") < w) & (F.col("i") == 1)))
     )
     return mins.groupBy("id").agg(F.array_sort(F.collect_set("m")).alias("fps"))
+
+
+def token_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Space-joined token n-grams of the lowercased text (array<string>);
+    empty array when the document has fewer than n tokens."""
+    toks = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
+def decontaminate(
+    docs, bench, id_col: str, text_col: str, n: int = 3,
+):
+    """Benchmark decontamination (the n-gram-overlap method used for
+    LLM training sets, e.g. GPT-3 appendix C / PaLM): a document is
+    contaminated when it shares ANY token n-gram with the benchmark
+    suite. Returns (id, n_hits) for contaminated docs — subtract from
+    the corpus with a left-anti join.
+
+    Scale shape: the benchmark suite is small and fixed → its distinct
+    n-gram set BROADCASTS; the corpus explodes grams map-side and
+    semi-aggregates per doc — the corpus is never shuffled by gram, only
+    the (doc, hit) pairs reach the one aggregation exchange. No Python
+    in the hot path."""
+    bench_grams = (
+        bench.select(F.explode(token_ngrams(F.col(text_col), n)).alias("g")).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"), F.explode(token_ngrams(F.col(text_col), n)).alias("g")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+# PII patterns — deliberately in the Java∩RE2 common regex subset so the
+# DuckDB oracle runs the IDENTICAL pattern strings.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[- ]\d{4}\b"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails then phone-shaped digit runs with typed tags —
+    pure regexp_replace chain (codegen, shuffle-free at any scale)."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0)),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0)),
+    )
+
+
+def hash_sample(df, id_col: str, hex_threshold: str = "1a"):
+    """Deterministic content-stable sampling: keep rows whose
+    md5(id)'s first two hex chars sort below `hex_threshold` —
+    fraction = int(hex_threshold, 16) / 256 (e.g. '1a' → 26/256 ≈
+    10.2%). Unlike rand()-sampling this is reproducible across runs,
+    engines, and partitionings (the property training-data pipelines
+    need for holdout/ablation splits), costs one hash per row, and
+    needs no shuffle. ASCII hex compares identically under Spark and
+    DuckDB binary collation → exact oracle."""
+    key = F.md5(F.col(id_col).cast("string"))
+    return df.filter(key < F.lit(hex_threshold)).withColumn("__sample_key", key)

@@ -592,3 +592,93 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame_bytes").alias("n"),
         byte_sum.alias("s"),
     )
+
+
+# --- Round-4 additions: the three remaining training-set curation ops
+# (decontamination, PII redaction, reproducible sampling) — each exact
+# and SQL-mirrorable. -------------------------------------------------
+
+@register(
+    "text_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), ' +') AS ts FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(list_slice(ts, u.i, u.i + 2), ' ') AS g
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS u(i)),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5)
+    SELECT doc_id AS id, COUNT(*) AS n_hits
+    FROM grams WHERE doc_id >= 5 AND g IN (SELECT g FROM bench)
+    GROUP BY doc_id
+    """,
+    tags=("pipeline", "text"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via token 3-gram overlap (the GPT-3/
+    PaLM method): docs 0-4 stand in for the benchmark suite; every other
+    doc sharing any 3-gram is flagged with its hit count. The benchmark
+    gram set broadcasts; the corpus is never shuffled by gram."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.decontaminate(
+        d.filter(F.col("doc_id") >= 5), d.filter(F.col("doc_id") < 5),
+        "doc_id", "text", n=3,
+    )
+
+
+@register(
+    "text_redact_pii",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{text.PII_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{text.PII_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{text.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{text.PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM seeded
+    """,
+    tags=("pipeline", "text"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: deterministic synthetic emails/phones are seeded
+    into each doc (the corpus itself is PII-free), then counted and
+    replaced by typed tags. Patterns live in the Java∩RE2 regex subset
+    so the oracle runs the identical strings; the redacted text is
+    compared by md5."""
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    n_email, n_phone = text.pii_counts(F.col("t"))
+    return seeded.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        F.md5(text.redact_pii(F.col("t"))).alias("redacted_md5"),
+    )
+
+
+@register(
+    "text_hash_sample",
+    """
+    SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS __sample_key
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) < '1a'
+    """,
+    tags=("pipeline", "text"),
+)
+def text_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% holdout split: md5(doc_id) first-byte
+    threshold — stable across runs/engines/partitionings, one hash per
+    row, shuffle-free (what rand()-sampling can't give a pipeline that
+    must re-materialize the same split)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.hash_sample(d.select("doc_id", "source"), "doc_id")
