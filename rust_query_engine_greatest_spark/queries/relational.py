@@ -1295,3 +1295,122 @@ def func_interval_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add("base", 45).alias("plus_45d"),
         F.datediff("base", F.lit("2024-01-01").cast("date")).alias("since_ny"),
     )
+
+
+@register(
+    "agg_float_special_keys",
+    """
+    SELECT g + CAST(0.0 AS DOUBLE) AS gk, COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           MAX(y) AS mx, MIN(y) AS mn
+    FROM (VALUES
+      ('nan'::DOUBLE, 1, 2.0::DOUBLE), (('nan'::DOUBLE) * -1, 2, 'inf'::DOUBLE),
+      (0.0::DOUBLE, 3, 'nan'::DOUBLE), ('-0.0'::DOUBLE, 4, '-inf'::DOUBLE),
+      ('inf'::DOUBLE, 5, 1.0::DOUBLE), (1.5::DOUBLE, 6, 0.5::DOUBLE),
+      (1.5::DOUBLE, 7, 'nan'::DOUBLE)) v(g, x, y)
+    GROUP BY g
+    """,
+    tags=("aggregate", "edge"),
+)
+def agg_float_special_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqllogictest aggregate.slt matrix row the function edges don't
+    cover: GROUP BY over IEEE special values. Spark canonicalizes both
+    NaN bit patterns into ONE group and -0.0 with +0.0 (SQLConf
+    canonicalization the reference engine shares via Arrow group-by
+    normalization); MAX treats NaN as greater than +Inf and MIN keeps
+    -Inf below every finite. `g + 0.0` canonicalizes the emitted key's
+    zero sign so both engines print 0.0. Runs on VALUES — engine
+    semantics, not data."""
+    v = spark.sql(
+        """
+        SELECT g, x, y FROM VALUES
+          (CAST('NaN' AS DOUBLE), 1, CAST(2.0 AS DOUBLE)),
+          (CAST('NaN' AS DOUBLE) * -1, 2, CAST('Infinity' AS DOUBLE)),
+          (CAST(0.0 AS DOUBLE), 3, CAST('NaN' AS DOUBLE)),
+          (CAST('-0.0' AS DOUBLE), 4, CAST('-Infinity' AS DOUBLE)),
+          (CAST('Infinity' AS DOUBLE), 5, CAST(1.0 AS DOUBLE)),
+          (CAST(1.5 AS DOUBLE), 6, CAST(0.5 AS DOUBLE)),
+          (CAST(1.5 AS DOUBLE), 7, CAST('NaN' AS DOUBLE)) AS v(g, x, y)
+        """
+    )
+    return v.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.max("y").alias("mx"),
+        F.min("y").alias("mn"),
+    ).select(
+        (F.col("g") + F.lit(0.0)).alias("gk"), "n", "sx", "mx", "mn"
+    )
+
+
+@register(
+    "join_float_special_keys",
+    """
+    WITH a(k, va) AS (VALUES ('nan'::DOUBLE, 1), (0.0::DOUBLE, 2), (1.5::DOUBLE, 3)),
+         b(k, vb) AS (VALUES (('nan'::DOUBLE) * -1, 10), ('-0.0'::DOUBLE, 20),
+                             (2.5::DOUBLE, 30))
+    SELECT a.k + CAST(0.0 AS DOUBLE) AS k, va, vb
+    FROM a JOIN b ON a.k = b.k
+    """,
+    tags=("join", "edge"),
+)
+def join_float_special_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqllogictest joins.slt matrix row: equi-join over IEEE special
+    keys. Spark's EqualTo follows its NaN semantics (NaN = NaN is TRUE;
+    -0.0 keys canonicalized to +0.0), so a NaN row on each side matches
+    across different NaN bit patterns and ±0.0 match each other — the
+    same behavior the reference inherits from Arrow row equality, and
+    DuckDB's documented float comparison. Key re-emitted as k + 0.0 to
+    canonicalize the printed zero sign."""
+    a = spark.sql(
+        "SELECT k, va FROM VALUES (CAST('NaN' AS DOUBLE), 1), "
+        "(CAST(0.0 AS DOUBLE), 2), (CAST(1.5 AS DOUBLE), 3) AS a(k, va)"
+    )
+    b = spark.sql(
+        "SELECT k, vb FROM VALUES (CAST('NaN' AS DOUBLE) * -1, 10), "
+        "(CAST('-0.0' AS DOUBLE), 20), (CAST(2.5 AS DOUBLE), 30) AS b(k, vb)"
+    )
+    return a.join(b, a["k"] == b["k"]).select(
+        (a["k"] + F.lit(0.0)).alias("k"), "va", "vb"
+    )
+
+
+@register(
+    "window_range_null_peers",
+    """
+    WITH v(id, grp, ord, x) AS (VALUES
+      (1, 'a', 10, 1), (2, 'a', 10, 2), (3, 'a', 20, 4),
+      (4, 'a', NULL, 8), (5, 'a', NULL, 16),
+      (6, 'b', NULL, 1), (7, 'b', 5, 2), (8, 'b', 5, 4), (9, 'b', 6, 8))
+    SELECT id, grp,
+           CAST(sum(x) OVER (PARTITION BY grp ORDER BY ord ASC NULLS FIRST
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS run,
+           CAST(count(*) OVER (PARTITION BY grp ORDER BY ord ASC NULLS FIRST
+                               RANGE BETWEEN CURRENT ROW
+                                         AND CURRENT ROW) AS BIGINT) AS peers
+    FROM v
+    """,
+    tags=("relational", "window", "edge"),
+)
+def window_range_null_peers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window.slt matrix row: RANGE frames over a NULL-bearing numeric
+    order key. All NULL rows are PEERS — one shared frame (CURRENT ROW
+    in RANGE means 'through the last peer', so every NULL row sees the
+    whole NULL block, and equal keys aggregate as a block) — vs ROWS
+    frames which would split them. NULLS FIRST pins the block to the
+    partition start on both engines."""
+    df = spark.sql(
+        "SELECT * FROM VALUES (1,'a',10,1),(2,'a',10,2),(3,'a',20,4),"
+        "(4,'a',CAST(NULL AS INT),8),(5,'a',CAST(NULL AS INT),16),"
+        "(6,'b',CAST(NULL AS INT),1),(7,'b',5,2),(8,'b',5,4),(9,'b',6,8)"
+        " AS v(id, grp, ord, x)"
+    )
+    w = Window.partitionBy("grp").orderBy(F.asc_nulls_first("ord"))
+    run = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    cur = w.rangeBetween(Window.currentRow, Window.currentRow)
+    return df.select(
+        "id", "grp",
+        F.sum("x").over(run).alias("run"),
+        F.count(F.lit(1)).over(cur).alias("peers"),
+    )
