@@ -177,3 +177,116 @@ def test_greatest_fuzz_vs_duckdb(spark_global, rows, use_nan):
          for v in con.sql(f"SELECT greatest(CAST(a AS DOUBLE), CAST(b AS DOUBLE), {nan_c}) FROM t").fetchall()),
         key=str)
     assert got == want
+
+
+# ---- sort / limit / distinct-string / window fuzz (sort_fuzz.rs,
+# limit_fuzz.rs, distinct_count_string_fuzz.rs, window coverage) -------------
+
+s_row = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+    st.one_of(st.none(), st.sampled_from(["", "a", "b", "ab", "é", "Z"])),
+    st.integers(min_value=0, max_value=10**6),  # unique-ish tiebreak
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(s_row, min_size=0, max_size=30),
+       limit=st.integers(min_value=0, max_value=10),
+       offset=st.integers(min_value=0, max_value=5))
+def test_sort_limit_offset_fuzz_vs_duckdb(spark_global, rows, limit, offset):
+    """Random multi-key ORDER BY (mixed asc/desc, NULLS FIRST/LAST) +
+    LIMIT/OFFSET must produce the IDENTICAL row sequence as DuckDB —
+    the reference's sort_fuzz + limit_fuzz, engine-differential. The
+    trailing id column makes the order total, so the comparison is
+    order-SENSITIVE (unlike the multiset checks above)."""
+    spark = spark_global
+    sdf = spark.createDataFrame(rows, "k int, s string, id long") if rows else \
+        spark.createDataFrame([], "k int, s string, id long")
+    got = [
+        tuple(r) for r in sdf.orderBy(
+            F.asc_nulls_first("k"), F.desc_nulls_last("s"), F.asc("id")
+        ).offset(offset).limit(limit).collect()
+    ]
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("t", pd.DataFrame(rows, columns=["k", "s", "id"]) if rows else
+                 pd.DataFrame({"k": pd.Series(dtype="float64"),
+                               "s": pd.Series(dtype="object"),
+                               "id": pd.Series(dtype="int64")}))
+    want = [
+        (None if v[0] is None or (isinstance(v[0], float) and math.isnan(v[0])) else int(v[0]),
+         v[1], int(v[2]))
+        for v in con.sql(
+            "SELECT k, s, id FROM t ORDER BY k ASC NULLS FIRST, s DESC NULLS LAST, id "
+            f"LIMIT {limit} OFFSET {offset}").fetchall()
+    ]
+    con.close()
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(st.one_of(st.none(), st.text(
+    alphabet="abé □\t0", min_size=0, max_size=4)), min_size=0, max_size=40))
+def test_distinct_count_string_fuzz_vs_duckdb(spark_global, rows):
+    """COUNT(DISTINCT s) and the distinct set itself over random short
+    strings (unicode, whitespace, empty, NULL) must agree with DuckDB
+    (distinct_count_string_fuzz.rs). NULL is excluded from COUNT but
+    kept by DISTINCT-the-operator in both engines."""
+    spark = spark_global
+    data = [(s,) for s in rows]
+    sdf = spark.createDataFrame(data, "s string") if data else spark.createDataFrame([], "s string")
+    got_n = sdf.agg(F.count_distinct("s")).collect()[0][0]
+    got_set = sorted((r.s if r.s is not None else "\x00NULL") for r in sdf.distinct().collect())
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("t", pd.DataFrame({"s": pd.Series(rows, dtype="object")}))
+    want_n = con.sql("SELECT COUNT(DISTINCT s) FROM t").fetchone()[0]
+    want_set = sorted((v[0] if v[0] is not None else "\x00NULL")
+                      for v in con.sql("SELECT DISTINCT s FROM t").fetchall())
+    con.close()
+    assert got_n == want_n
+    assert got_set == want_set
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+    st.integers(min_value=0, max_value=10**6),
+), min_size=1, max_size=30))
+def test_window_fuzz_vs_duckdb(spark_global, rows):
+    """row_number + running SUM + lag over random partitions/orders must
+    agree with DuckDB bit-for-bit (the window analog of aggregate_fuzz:
+    integer measures only, total order via the id tiebreak)."""
+    from pyspark.sql.window import Window
+
+    spark = spark_global
+    sdf = spark.createDataFrame(rows, "k int, v int, id long")
+    w = Window.partitionBy("k").orderBy("id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    got = sorted(tuple(r) for r in sdf.select(
+        "k", "id",
+        F.row_number().over(w).alias("rn"),
+        F.sum("v").over(wrun).alias("run"),
+        F.lag("v", 1).over(w).alias("prev"),
+    ).collect())
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("t", pd.DataFrame(rows, columns=["k", "v", "id"]))
+    want = sorted(
+        (int(r[0]), int(r[1]), int(r[2]),
+         None if r[3] is None or (isinstance(r[3], float) and math.isnan(r[3])) else int(r[3]),
+         None if r[4] is None or (isinstance(r[4], float) and math.isnan(r[4])) else int(r[4]))
+        for r in con.sql(
+            """
+            SELECT k, id, row_number() OVER w AS rn,
+                   sum(v) OVER (PARTITION BY k ORDER BY id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+                   lag(v, 1) OVER w AS prev
+            FROM t WINDOW w AS (PARTITION BY k ORDER BY id)
+            """).fetchall())
+    con.close()
+    assert got == want
