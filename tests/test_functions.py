@@ -301,3 +301,56 @@ def test_sql_dialect_names_stay_jvm_side(spark):
     ).collect()[0]
     assert row.a == ["a", "b", "c"] and row.b == ["a", "b+c"]
     assert row.c == ["x", "y"] and row.d == ["abc"]
+
+
+# ---- run_greatest: the reference's list-in/list-out Python API -------------
+# (src/lib.rs:56-406; fixture greatest_test.py:96-101 answers [7,5,6,9])
+
+def test_run_greatest_reference_fixture(spark):
+    from rust_query_engine_greatest_spark.functions.api import run_greatest
+
+    assert run_greatest(
+        [[1, 5, 3, 9], [7, 2, 6, 4], [4, 5, 2, 8]], spark
+    ) == [7, 5, 6, 9]
+
+
+def test_run_greatest_null_skip_and_allnull(spark):
+    from rust_query_engine_greatest_spark.functions.api import run_greatest
+
+    assert run_greatest([[None, None, 3], [2, None, None]], spark) == [2, None, 3]
+
+
+def test_run_greatest_nan_wins_and_float_coercion(spark):
+    from rust_query_engine_greatest_spark.functions.api import run_greatest
+
+    out = run_greatest([[1, 2], [float("nan"), 1.5]], spark)
+    assert math.isnan(out[0]) and out[1] == 2.0 and isinstance(out[1], float)
+
+
+def test_run_greatest_bool_numeric_widens_to_int(spark):
+    from rust_query_engine_greatest_spark.functions.api import run_greatest
+
+    # lib.rs:30-54: boolean+numeric -> Int64 (True -> 1)
+    assert run_greatest([[True, False], [0, 5]], spark) == [1, 5]
+
+
+def test_run_greatest_date_timestamp(spark):
+    import datetime
+
+    from rust_query_engine_greatest_spark.functions.api import run_greatest
+
+    d = datetime.date(2024, 3, 1)
+    t = datetime.datetime(2024, 2, 1, 12, 0)
+    out = run_greatest([[d], [t]], spark)
+    assert out == [datetime.datetime(2024, 3, 1, 0, 0)]
+
+
+def test_run_greatest_arity_and_mismatch_errors(spark):
+    from rust_query_engine_greatest_spark.functions.api import run_greatest
+
+    with pytest.raises(Exception, match="(?i)greatest|at least"):
+        run_greatest([[1, 2]], spark)
+    with pytest.raises(Exception, match="(?i)data type mismatch|cannot resolve|greatest"):
+        run_greatest([[1, 2], ["a", "b"]], spark)
+    with pytest.raises(ValueError, match="equal length"):
+        run_greatest([[1, 2], [1]], spark)

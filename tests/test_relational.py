@@ -199,7 +199,11 @@ def test_decimal_sum_overflow_yields_null_ansi_off(spark):
     df = spark.createDataFrame(
         [(str(big),), (str(big),), (str(big),)], "v string"
     ).select(F.col("v").cast("decimal(38,0)").alias("v"))
-    ansi = spark.conf.get("spark.sql.ansi.enabled", "false")
+    # NB: conf.get(key, default) returns the GIVEN default when the key
+    # was never explicitly set — NOT the config entry's real default
+    # (true on Spark 4) — so capturing with a default would "restore"
+    # ANSI to off for the rest of the session.
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try:
         assert df.agg(F.sum("v").alias("s")).head()["s"] is None

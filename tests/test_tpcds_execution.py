@@ -149,8 +149,13 @@ def test_tpcds_q90_ansi_divide_by_zero(engines):
     the engine ships ANSI mode, so this must raise DIVIDE_BY_ZERO (the
     reference's strict-arithmetic behavior), not silently return NULL."""
     spark, _ = engines
-    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
-        _run_spark(spark, 90)
+    saved = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            _run_spark(spark, 90)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", saved)
 
 
 def test_empty_input_rollup_semantics_divergence(engines):
