@@ -92,10 +92,28 @@ _NEVER_CHECKED = (
 )
 
 
+# Round-4 additions, ordered by check value: the driver's 50-slot
+# prefix leaves ~3 slots after the 47 never-checked/re-oracled entries,
+# so the graded-first-class curation ops come before the edge/harness
+# tail (all are green in the repo's own emulator either way).
+_R4_ADDED_PRIORITY = (
+    "text_decontaminate", "text_redact_pii", "text_hash_sample",
+    "sim_topk_ivf",  # already in _NEVER_CHECKED; kept here for clarity
+    "multimodal_resize_sums", "multimodal_frame_sample",
+    "agg_float_special_keys", "join_float_special_keys",
+    "window_range_null_peers",
+    "h2o_top2_per_group", "h2o_corr_r2", "h2o_groupby_allkeys",
+    "join_outer_frame_edge", "window_empty_frame_edge",
+    "agg_decimal_wide", "func_interval_edge",
+)
+
+
 def _ordered_names() -> list[str]:
     prefix = [n for n in _NEVER_CHECKED + _REORACLED if n in REGISTRY]
     placed = set(prefix) | _DRIVER_GREEN
-    added = [n for n in REGISTRY if n not in placed]
+    added = [n for n in _R4_ADDED_PRIORITY if n in REGISTRY and n not in placed]
+    placed |= set(added)
+    added += [n for n in REGISTRY if n not in placed]
     green = [n for n in REGISTRY if n in _DRIVER_GREEN]
     return prefix + added + green
 
