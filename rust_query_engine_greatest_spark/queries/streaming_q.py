@@ -121,3 +121,42 @@ def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir, duplicated=True)
     return _run(stream_dedup(ev, key_cols=["event_id"]), "sdedup", spark)
+
+
+@register(
+    "stream_session_window",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    agg AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             CAST(COUNT(*) AS INT) AS n_events
+      FROM sess GROUP BY user_id, sid)
+    SELECT user_id, session_start, session_end, n_events FROM agg
+    WHERE session_end <= (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+    """,
+    tags=("streaming",),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE F.session_window gap sessions (vs stream_sessionize's
+    custom applyInPandasWithState operator): window end = last event +
+    gap, and append mode emits only sessions whose end the final
+    watermark (max ts - 10 min) has passed — both encoded in the
+    oracle. Note Spark closes a session when the NEXT event is >= gap
+    away (session_window merges strictly-closer events), hence the >=
+    in the oracle's lag test."""
+    from ..streaming import session_window_counts
+
+    ev = read_events_stream(spark, sf_dir)
+    return _run(session_window_counts(ev, "30 minutes", "10 minutes"), "sesswin", spark)

@@ -1,6 +1,7 @@
 from .pipelines import (
     read_events_stream,
     run_to_memory,
+    session_window_counts,
     sessionize_stateful,
     stream_stream_range_join,
     windowed_counts,
@@ -9,6 +10,7 @@ from .pipelines import (
 __all__ = [
     "read_events_stream",
     "run_to_memory",
+    "session_window_counts",
     "sessionize_stateful",
     "stream_stream_range_join",
     "windowed_counts",

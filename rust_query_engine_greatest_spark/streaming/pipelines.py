@@ -99,6 +99,27 @@ def windowed_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame, gap: str = "30 minutes", delay: str = "10 minutes"
+) -> DataFrame:
+    """NATIVE gap-based session windows (F.session_window) — the
+    built-in twin of sessionize_stateful's applyInPandasWithState
+    operator: Spark merges rows whose inter-event gap < `gap` into one
+    window per user; the window END extends `gap` past the last event.
+    Append mode emits a session once the watermark passes its end."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stream_stream_range_join(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     """Stream-stream inner join with a time-range condition — the
     SymmetricHashJoinExec analog: both sides unbounded, state pruned by
