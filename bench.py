@@ -120,6 +120,8 @@ def main() -> None:
             ("text_quality", REGISTRY["text_quality"].build),
             ("text_langid", REGISTRY["text_langid"].build),
             ("sim_topk_bruteforce", REGISTRY["sim_topk_bruteforce"].build),
+            ("text_decontaminate", REGISTRY["text_decontaminate"].build),
+            ("text_hash_sample", REGISTRY["text_hash_sample"].build),
         ]
         for name, build in pipe:
             if time.time() - _T0 > BUDGET_S:

@@ -40,6 +40,15 @@ PERMUTATIONS = [
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.shuffle.partitions": "7",
     },
+    # Forced-spill permutation (the reference's spill-vs-not fuzz axis,
+    # aggregate_fuzz.rs / sort_merge_join spilling): 2-row in-memory
+    # buffers push every window partition and SMJ buffer through the
+    # spill file path; results must not change.
+    {
+        "spark.sql.windowExecBufferSpillThreshold": "2",
+        "spark.sql.sortMergeJoinExecBufferSpillThreshold": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    },
 ]
 
 
@@ -56,6 +65,9 @@ def _row_multiset(df):
     return sorted("|".join(norm(v) for v in row) for row in (tuple(r) for r in df.collect()))
 
 
+_UNSET = object()
+
+
 @pytest.fixture
 def conf_sandbox(spark):
     touched = {}
@@ -63,12 +75,18 @@ def conf_sandbox(spark):
     def set_conf(d):
         for k, v in d.items():
             if k not in touched:
-                touched[k] = spark.conf.get(k)
+                try:
+                    touched[k] = spark.conf.get(k)
+                except Exception:  # never-set conf (no session value)
+                    touched[k] = _UNSET
             spark.conf.set(k, v)
 
     yield set_conf
     for k, v in touched.items():
-        spark.conf.set(k, v)
+        if v is _UNSET:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
 
 
 @pytest.mark.parametrize("name", REPRESENTATIVE)
