@@ -199,3 +199,25 @@ def test_null_safe_join_plans_as_hash_join(spark, sf_dir):
     plan = plan_string(df, "simple")
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """text_decontaminate: the benchmark suite's distinct gram set must
+    BROADCAST (it is small and fixed at any corpus scale); the corpus
+    gram explosion must never be the shuffled side of a gram join — at
+    100 TB the corpus-by-gram shuffle would dwarf the query."""
+    from rust_query_engine_greatest_spark.plans.explain import plan_string
+
+    df = REGISTRY["text_decontaminate"].build(spark, sf_dir)
+    plan = plan_string(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_hash_sample_no_shuffle(spark, sf_dir):
+    """text_hash_sample is a pure filter over the scan — zero exchanges
+    (the property that makes the split free at any scale)."""
+    from rust_query_engine_greatest_spark.plans import count_shuffle_exchanges
+
+    df = REGISTRY["text_hash_sample"].build(spark, sf_dir)
+    assert count_shuffle_exchanges(df) == 0
