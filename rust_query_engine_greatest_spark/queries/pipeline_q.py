@@ -682,3 +682,59 @@ def text_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     must re-materialize the same split)."""
     d = load_table(spark, sf_dir, "documents")
     return text.hash_sample(d.select("doc_id", "source"), "doc_id")
+
+
+@register(
+    "pipeline_curate_end_to_end",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+             {_LANG_EXPR} AS pred_lang,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents),
+    passed AS (
+      SELECT * FROM scored
+      WHERE n_chars >= 50 AND alpha_ratio >= 0.5 AND pred_lang = 'en'),
+    keepers AS (
+      SELECT doc_id, pred_lang, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM passed)
+    SELECT doc_id, pred_lang, fp
+    FROM keepers
+    WHERE rn = 1 AND md5(CAST(doc_id AS VARCHAR)) < '80'
+    """,
+    tags=("pipeline", "text"),
+)
+def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline a training-set build actually
+    runs, as ONE query: quality gate (length + alpha ratio) → language
+    ID → exact dedup (md5 fingerprint, lowest-id keeper) → reproducible
+    ~50% hash split. Plan shape: the whole chain is a scan-side
+    projection/filter until the single dedup window exchange on the
+    fingerprint — nothing else shuffles at any scale."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        (F.length(F.regexp_replace(F.lower(t), r"[^a-z ]", "")).cast("double")
+         / F.length(t)).alias("alpha_ratio"),
+        text.lang_id(t).alias("pred_lang"),
+        text.fingerprint_md5(t).alias("fp"),
+    )
+    passed = scored.filter(
+        (F.col("n_chars") >= 50) & (F.col("alpha_ratio") >= 0.5)
+        & (F.col("pred_lang") == "en")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        passed.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1)
+                & (F.md5(F.col("doc_id").cast("string")) < F.lit("80")))
+        .select("doc_id", "pred_lang", "fp")
+    )

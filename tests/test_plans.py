@@ -221,3 +221,13 @@ def test_hash_sample_no_shuffle(spark, sf_dir):
 
     df = REGISTRY["text_hash_sample"].build(spark, sf_dir)
     assert count_shuffle_exchanges(df) == 0
+
+
+def test_curate_pipeline_single_exchange(spark, sf_dir):
+    """pipeline_curate_end_to_end: quality gate + langid + fingerprint
+    are scan-side projections; the ONLY shuffle is the dedup window's
+    fingerprint exchange."""
+    from rust_query_engine_greatest_spark.plans import count_shuffle_exchanges
+
+    df = REGISTRY["pipeline_curate_end_to_end"].build(spark, sf_dir)
+    assert count_shuffle_exchanges(df) == 1
