@@ -159,12 +159,17 @@ def winnow_fingerprints(
 
 def token_ngrams(text: Column | str, n: int = 3) -> Column:
     """Space-joined token n-grams of the lowercased text (array<string>);
-    empty array when the document has fewer than n tokens."""
+    empty array when the document has fewer than n tokens (guarded
+    explicitly — Spark's sequence(1, 0) DESCENDS to [1, 0] and slice
+    rejects start 0, so the unguarded form crashes on short docs)."""
     toks = tokens(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def decontaminate(
@@ -228,3 +233,107 @@ def hash_sample(df, id_col: str, hex_threshold: str = "1a"):
     DuckDB binary collation → exact oracle."""
     key = F.md5(F.col(id_col).cast("string"))
     return df.filter(key < F.lit(hex_threshold)).withColumn("__sample_key", key)
+
+
+def repetition_profile(df, id_col: str, text_col: str, n: int = 2):
+    """Gopher-style repetition quality metrics (Rae et al. 2021,
+    "Scaling Language Models: Methods, Analysis & Insights from
+    Training Gopher", Table A1 — the public repetition filters used to
+    clean MassiveText): per document,
+
+      * ``dup_token_frac``   — 1 − distinct/total whitespace tokens
+        (expression-only, computed in the scan projection);
+      * ``top_ngram_frac``   — occurrences of the single most frequent
+        token n-gram / total n-grams (Gopher's "top n-gram fraction");
+      * ``keep``             — Gopher-ish acceptance (dup_token_frac
+        ≤ 0.6 AND top_ngram_frac ≤ 0.3; thresholds are arguments of the
+        reader, not the algorithm).
+
+    Plan shape for 100 TB: the n-gram mode NEEDS an aggregation — done
+    as explode → partial-agg (map-side combine on (id, gram)) → one
+    exchange → per-id max/sum. Docs with < n tokens have zero n-grams:
+    ``top_ngram_frac`` is 0.0 for them (no division by zero) so every
+    input id appears exactly once in the output. NULL text counts as ''
+    (one empty token, zero n-grams)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(c)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        (
+            1.0 - F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("dup_token_frac"),
+        token_ngrams(c, n).alias("grams"),
+    )
+    gram_counts = (
+        base.select("id", F.explode("grams").alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("id")
+        .agg(
+            F.max("cnt").alias("top_cnt"),
+            F.sum("cnt").alias("n_grams"),
+        )
+    )
+    prof = (
+        base.drop("grams")
+        .join(gram_counts, "id", "left")
+        .select(
+            "id", "n_tokens", "dup_token_frac",
+            F.coalesce(
+                F.col("top_cnt").cast("double") / F.col("n_grams").cast("double"),
+                F.lit(0.0),
+            ).alias("top_ngram_frac"),
+        )
+    )
+    return prof.withColumn(
+        "keep",
+        (F.col("dup_token_frac") <= 0.6) & (F.col("top_ngram_frac") <= 0.3),
+    )
+
+
+def pack_sequences(df, id_col: str, text_col: str, budget: int = 512,
+                   shard_col: str | None = None):
+    """Deterministic greedy sequence packing: assign documents, in
+    id-order within a shard, to fixed-token-budget training sequences —
+    the standard concat-then-chunk packing LLM data loaders use, made
+    reproducible (same inputs ⇒ same packs on any engine/partitioning).
+
+    ``seq_id`` = number of whole budgets consumed BEFORE this document
+    (floor(prev_cumsum / budget)) and ``offset`` = prev_cumsum −
+    seq_id·budget, so a document straddling a boundary starts in the
+    sequence its first token lands in — exactly the chunked-concat
+    semantics. Documents longer than the budget simply span several
+    sequences (offset records where they start).
+
+    Scale shape: the running sum is a window PARTITIONED BY the shard —
+    a global ordered window would serialize 100 TB through one task, so
+    packing is per-shard by design (matches how training shards are
+    written); the only exchange is the hash partition on the shard key.
+    Token counts use the whitespace tokenizer (swap ``token_count_ws``
+    for a real tokenizer's count column in production)."""
+    from pyspark.sql import Window
+
+    shard = (
+        F.col(shard_col)
+        if shard_col
+        else F.pmod(F.col(id_col), F.lit(32)).cast("string")
+    )
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shard.alias("shard"),
+        token_count_ws(c).cast("long").alias("n_tokens"),
+    )
+    win = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    return base.select(
+        "id", "shard", "n_tokens",
+        F.floor(prev / budget).cast("long").alias("seq_id"),
+        (prev % budget).cast("long").alias("offset"),
+    )

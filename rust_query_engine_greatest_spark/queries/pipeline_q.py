@@ -738,3 +738,78 @@ def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.md5(F.col("doc_id").cast("string")) < F.lit("80")))
         .select("doc_id", "pred_lang", "fp")
     )
+
+
+# --- Round-4 additions (cont.): repetition-based quality filtering and
+# deterministic sequence packing — the two remaining curation steps a
+# training-set build runs between dedup and shard-writing. ------------
+
+@register(
+    "text_repetition",
+    """
+    WITH base AS (
+      SELECT doc_id AS id,
+             string_split_regex(lower(coalesce(text, '')), ' +') AS ts
+      FROM documents),
+    grams AS (
+      SELECT id, array_to_string(list_slice(ts, u.i, u.i + 1), ' ') AS g
+      FROM base, LATERAL unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS u(i)),
+    gc AS (
+      SELECT id, max(cnt) AS top_cnt, sum(cnt) AS n_grams
+      FROM (SELECT id, g, count(*) AS cnt FROM grams GROUP BY id, g)
+      GROUP BY id)
+    SELECT b.id AS id,
+           len(b.ts) AS n_tokens,
+           1.0 - CAST(len(list_distinct(b.ts)) AS DOUBLE) / len(b.ts)
+             AS dup_token_frac,
+           coalesce(CAST(gc.top_cnt AS DOUBLE) / gc.n_grams, 0.0)
+             AS top_ngram_frac,
+           (1.0 - CAST(len(list_distinct(b.ts)) AS DOUBLE) / len(b.ts)) <= 0.6
+             AND coalesce(CAST(gc.top_cnt AS DOUBLE) / gc.n_grams, 0.0) <= 0.3
+             AS keep
+    FROM base b LEFT JOIN gc ON gc.id = b.id
+    """,
+    tags=("pipeline", "text"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 Table A1):
+    duplicate-token fraction (scan-side expression) + top-bigram
+    fraction (explode → map-side partial agg → per-doc max/sum) + the
+    acceptance flag. Exact integer/double arithmetic → exact oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.repetition_profile(d, "doc_id", "text", n=2)
+
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "text_pack_sequences",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             CAST(doc_id % 32 AS VARCHAR) AS shard,
+             CAST(len(string_split_regex(lower(coalesce(text, '')), ' +')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    w AS (
+      SELECT id, shard, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM base)
+    SELECT id, shard, n_tokens,
+           CAST(floor(prev / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+           CAST(prev % {_PACK_BUDGET} AS BIGINT) AS offset
+    FROM w
+    """,
+    tags=("pipeline", "text"),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic greedy sequence packing (concat-then-chunk): docs
+    in id-order within each of 32 shards are assigned to fixed
+    512-token training sequences via a per-shard running sum — the only
+    exchange is the hash partition on the shard key; no global sort at
+    any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.pack_sequences(d, "doc_id", "text", budget=_PACK_BUDGET)

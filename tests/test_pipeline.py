@@ -382,3 +382,71 @@ def test_winnow_md5_variant_matches_xxhash_structure(spark):
         assert set(fps) == {1, 2, 3, 4}, "every input id must appear (incl. NULL text)"
         assert fps[1] == fps[2]
         assert len(fps[3]) == 1 and len(fps[4]) == 1
+
+
+def test_token_ngrams_short_doc_no_crash(spark):
+    """Regression: docs with fewer than n tokens previously CRASHED
+    token_ngrams (Spark sequence(1, 0) descends to [1, 0]; slice
+    rejects start 0). Short/empty/NULL docs must yield empty arrays."""
+    from rust_query_engine_greatest_spark.pipeline import text
+
+    df = spark.createDataFrame(
+        [("one",), ("two tokens",), ("",), (None,)], ["t"]
+    )
+    rows = df.select(
+        text.token_ngrams(F.coalesce(F.col("t"), F.lit("")), 3).alias("g")
+    ).collect()
+    assert [r["g"] for r in rows] == [[], [], [], []]
+
+
+def test_repetition_profile_planted(spark):
+    """Planted fixture: a maximally repetitive doc fails both Gopher
+    gates; a distinct-token doc passes; a short doc gets frac 0."""
+    from rust_query_engine_greatest_spark.pipeline import text
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),   # dup 5/6, top bigram 5/5
+            (2, "one two three four five six"),     # all distinct
+            (3, "solo"),                            # no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: r
+        for r in text.repetition_profile(df, "doc_id", "text", n=2).collect()
+    }
+    assert out[1]["dup_token_frac"] == pytest.approx(5 / 6)
+    assert out[1]["top_ngram_frac"] == pytest.approx(1.0)
+    assert not out[1]["keep"]
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["top_ngram_frac"] == pytest.approx(1 / 5)
+    assert out[2]["keep"]
+    assert out[3]["top_ngram_frac"] == 0.0
+    assert out[3]["n_tokens"] == 1
+
+
+def test_pack_sequences_boundary_semantics(spark):
+    """A doc straddling the budget starts in the sequence its first
+    token lands in; offsets are the in-sequence start positions."""
+    from rust_query_engine_greatest_spark.pipeline import text
+
+    df = spark.createDataFrame(
+        [
+            (0, " ".join(["w"] * 6), "s"),   # 6 tokens  → seq 0, offset 0
+            (1, " ".join(["w"] * 3), "s"),   # 3 tokens  → prev 6  → seq 0, offset 6
+            (2, " ".join(["w"] * 5), "s"),   # 5 tokens  → prev 9  → seq 0, offset 9 (straddles)
+            (3, " ".join(["w"] * 2), "s"),   # 2 tokens  → prev 14 → seq 1, offset 4
+        ],
+        ["doc_id", "text", "sh"],
+    )
+    out = {
+        r["id"]: r
+        for r in text.pack_sequences(
+            df, "doc_id", "text", budget=10, shard_col="sh"
+        ).collect()
+    }
+    assert (out[0]["seq_id"], out[0]["offset"]) == (0, 0)
+    assert (out[1]["seq_id"], out[1]["offset"]) == (0, 6)
+    assert (out[2]["seq_id"], out[2]["offset"]) == (0, 9)
+    assert (out[3]["seq_id"], out[3]["offset"]) == (1, 4)
