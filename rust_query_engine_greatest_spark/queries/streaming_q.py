@@ -160,3 +160,36 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     return _run(session_window_counts(ev, "30 minutes", "10 minutes"), "sesswin", spark)
+
+
+@register(
+    "stream_static_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+           CAST(e.value AS DOUBLE) AS value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'purchase'
+    """,
+    tags=("streaming",),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the lookup pattern every
+    event pipeline runs (stream fact × slowly-changing dim). The static
+    side is explicitly broadcast so each micro-batch is a map-side
+    hash join: NO stream-side shuffle and no join state at any scale
+    (stateless ⇒ append emits every match immediately; bounded input ⇒
+    result equals the batch join = the oracle)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.catalog import load_table
+
+    ev = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+        )
+    )
+    joined = ev.join(dim, ev.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "segment", F.col("value").cast("double").alias("value")
+    )
+    return _run(joined, "sstatic", spark)

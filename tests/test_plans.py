@@ -231,3 +231,27 @@ def test_curate_pipeline_single_exchange(spark, sf_dir):
 
     df = REGISTRY["pipeline_curate_end_to_end"].build(spark, sf_dir)
     assert count_shuffle_exchanges(df) == 1
+
+
+def test_pack_sequences_single_shard_exchange(spark, sf_dir):
+    """text_pack_sequences: the running sum windows over the shard
+    key — ONE hash exchange, no global sort (the property that keeps
+    packing distributed at 100 TB)."""
+    from rust_query_engine_greatest_spark.plans import count_shuffle_exchanges
+
+    df = REGISTRY["text_pack_sequences"].build(spark, sf_dir)
+    assert count_shuffle_exchanges(df) == 1
+
+
+def test_repetition_profile_bounded_exchanges(spark, sf_dir):
+    """text_repetition: explode → partial-agg on (id, gram) → per-id
+    agg → join back to the scan-side stats. At most 3 hash exchanges
+    (gram agg, id agg, join alignment) and no cartesian anywhere."""
+    from rust_query_engine_greatest_spark.plans import (
+        assert_no_cartesian,
+        count_shuffle_exchanges,
+    )
+
+    df = REGISTRY["text_repetition"].build(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_shuffle_exchanges(df) <= 3
