@@ -175,42 +175,102 @@ def bucket_overflow(
 # ---- MinHash + LSH --------------------------------------------------------
 
 def word_shingles(text_col: str, k: int = 3) -> Column:
-    """k-word shingles via the (element, index)-less sequence transform."""
+    """k-word shingles via the (element, index)-less sequence transform.
+    Column-expression reference form (tests / ad-hoc use); the dedup hot
+    path uses `shingle_rows` — this lambda captures `toks`, which the
+    interpreted higher-order evaluator re-evaluates per element
+    (BENCH_NOTES r4). Docs with fewer than k tokens yield one head
+    shingle of all their tokens (try_element_at: ANSI-safe, concat_ws
+    skips the nulls)."""
     toks = F.split(F.lower(F.col(text_col)), r" +")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]))
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j + 1) for j in range(k)]))
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature, Carter-Wegman style: hash every shingle ONCE
-    with two independent xxhash64 seeds, then derive the j-th hash
-    family as h1' + j·h2' (2-universal — the standard replacement for
-    num_hashes independent full hash passes). Cuts the per-row work
-    from num_hashes×|shingles| string hashes to 2×|shingles| hashes +
-    cheap long arithmetic. The whole signature is ONE aggregate fold
-    over the shingles updating num_hashes accumulator slots — a single
-    pass, so the two base hashes are computed once per shingle even
-    after Catalyst collapses projections (a per-j array_min formulation
-    would re-hash every shingle per j). h1 is folded to 62 bits and h2
-    to 31 so h1' + 63·h2' can never overflow a long (ANSI-safe; hash
-    quality is unaffected for min-comparison purposes).
-    NB: transform/aggregate lambdas must take exactly ONE positional
-    form — an extra defaulted arg binds the (element, index) variant."""
-    pair = F.transform(
-        shingles,
-        lambda s: F.struct(
-            F.shiftrightunsigned(F.xxhash64(s), 2).alias("h1"),
-            F.shiftrightunsigned(F.xxhash64(s, F.lit(1)), 33).alias("h2"),
-        ),
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, s) — one row per k-word shingle POSITION of the lowercased
+    text (duplicates retained; MIN/collect_set consumers are unaffected).
+
+    Why rows and not `word_shingles` arrays: the array form's transform
+    lambda captures the token-array subtree, and Spark's interpreted
+    higher-order evaluator re-evaluates captured expressions PER
+    ELEMENT — the whole `split` re-ran for every shingle position,
+    O(tokens²) per document (caught by thread-dump at sf0.1: all
+    executor time inside StringSplit.nullSafeEval under ArrayTransform;
+    10-260 s with JIT-warmup-driven variance, BENCH_NOTES r4). Here the
+    text is split ONCE per document (codegen), positions explode to
+    rows, and the k-gram is assembled from `lead` windows over the
+    per-document token stream — every operator whole-stage-codegen.
+
+    Docs with fewer than k tokens keep exactly one head shingle of all
+    their tokens (concat_ws skips the null leads), matching
+    `word_shingles`' sequence-clamp behavior; empty/NULL text yields
+    the '' shingle, so every document appears.
+
+    The hash exchange on id (explicit when the scan is under-parallel,
+    else inserted by the lead window) is REUSED by both downstream
+    aggregations (signature mins, verify-set collect) — one exchange
+    for the whole left side of the dedup plan."""
+    from pyspark.sql import Window
+
+    narrow = df.select(
+        F.col(id_col).alias("id"),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
     )
-    seq = F.sequence(F.lit(0).cast("long"), F.lit(num_hashes - 1).cast("long"))
-    return F.aggregate(
-        pair,
-        F.array_repeat(F.lit((1 << 62) + (63 << 31)).cast("long"), num_hashes),
-        lambda acc, p: F.zip_with(acc, seq, lambda a, j: F.least(a, p["h1"] + j * p["h2"])),
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < min(target, 8):
+        narrow = narrow.repartition(target, "id")
+    toks = narrow.select(
+        "id", F.posexplode(F.split("__t", r" +")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, k)]
+    shingled = toks.select(
+        "id",
+        "pos",
+        F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
+        (leads[-1].isNotNull() if k > 1 else F.lit(True)).alias("__full"),
+    )
+    return shingled.filter(F.col("__full") | (F.col("pos") == 0)).select("id", "s")
+
+
+def minhash_signatures(sh_rows: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """(id, s) shingle rows → (id, sig array<long>) MinHash signatures,
+    Carter-Wegman style: hash every shingle ONCE with two independent
+    xxhash64 seeds, then derive the j-th hash family as h1' + j·h2'
+    (2-universal — the standard replacement for num_hashes independent
+    full hash passes). h1 is folded to 62 bits and h2 to 31 so
+    h1' + 63·h2' can never overflow a long (ANSI-safe; hash quality is
+    unaffected for min-comparison purposes).
+
+    Plan shape: num_hashes plain MIN aggregates over the shingle rows —
+    everything inside whole-stage codegen with map-side partial
+    aggregation, and NO exchange at all when the input is already
+    hash-partitioned by id (shingle_rows arranges this). The previous
+    formulation (one higher-order aggregate fold updating a 64-slot
+    array per shingle) was algorithmically identical but INTERPRETED,
+    allocating a fresh 64-long array per shingle step (BENCH_NOTES r4;
+    the codegen-over-HOF lesson recorded in r3 applied to its own op)."""
+    hashed = sh_rows.select(
+        "id",
+        F.shiftrightunsigned(F.xxhash64("s"), 2).alias("h1"),
+        F.shiftrightunsigned(F.xxhash64("s", F.lit(1)), 33).alias("h2"),
+    )
+    mins = [
+        F.min(F.col("h1") + j * F.col("h2")).alias(f"_m{j}")
+        for j in range(num_hashes)
+    ]
+    return (
+        hashed.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id", F.array(*[f"_m{j}" for j in range(num_hashes)]).alias("sig")
+        )
     )
 
 
@@ -235,20 +295,13 @@ def minhash_lsh_pairs(
     degenerate hot buckets (see _bucket_pairs).
     """
     rows = num_hashes // bands
-    # Repartition BEFORE attaching the heavy projections: Catalyst keeps
-    # projections where they are written, so repartitioning after would
-    # leave all shingle+signature work below the exchange — on however
-    # few partitions the scan produced (one, for single-row-group
-    # parquet).
-    base = _ensure_parallelism(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh")
-    )
-    base = base.filter(F.size("sh") > 0).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    sh_rows = shingle_rows(df, id_col, text_col, shingle_k)
+    sig_rows = minhash_signatures(sh_rows, num_hashes)
     # Band rows carry (id, band) ONLY — the shingle arrays would
     # otherwise ride the explode ×bands through the bucket shuffle
     # (bands× the heaviest column); they are joined back just for the
     # surviving candidate pairs below.
-    banded = base.select(
+    banded = sig_rows.select(
         "id",
         F.explode(
             F.array(*[
@@ -263,8 +316,12 @@ def minhash_lsh_pairs(
     cand = _bucket_pairs(banded, ["band_id", "band_hash"], max_bucket=max_bucket)
     if not verify:
         return cand
-    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # Exact-Jaccard verify sets, built from the SAME shingle rows
+    # (collect_set is the distinct step) — no second interpreted
+    # shingling pass; the id partitioning from shingle_rows is reused.
+    sh_sets = sh_rows.groupBy("id").agg(F.collect_set("s").alias("sh"))
+    sh_a = sh_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh_sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
@@ -281,12 +338,15 @@ def simhash64(text_col: str) -> Column:
     """64-bit SimHash: per token hash, each bit votes ±1; fingerprint bit
     = sign of the vote sum. ONE aggregate fold over the token hashes
     updating all 64 vote slots per token, with the fingerprint assembled
-    in the finish lambda — 64 separate bit_vote aggregates would each
-    get the tokenize+hash subtree inlined by CollapseProject and re-hash
-    every token 64× (measured on the MinHash sibling, BENCH_NOTES r3).
-    Bit i is tested with a precomputed mask literal (shiftright's
-    numBits arg must be a Python int, not a Column); bit 63's mask is
-    the sign-bit pattern -2⁶³."""
+    in the finish lambda. Unlike the MinHash shingling this fold's
+    lambdas capture only the element and a literal mask array, so the
+    interpreted evaluator does no per-element re-evaluation of heavy
+    subtrees — and an interleaved A/B against an explode + 64-SUM-column
+    row formulation measured the fold 3× FASTER (0.8 s vs 2.6 s at
+    sf0.1, BENCH_NOTES r4: the row form pays a 1.5M-row shuffle the
+    fold avoids). Bit i is tested with a precomputed mask literal
+    (shiftright's numBits arg must be a Python int, not a Column); bit
+    63's mask is the sign-bit pattern -2⁶³."""
     toks = distinct_tokens(text_col)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     masks = F.array(*[
@@ -314,6 +374,8 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -325,7 +387,9 @@ def simhash_pairs(
     """Near-dup pairs with Hamming(simhash) <= max_hamming via 16-bit
     band bucketing (pigeonhole: distance ≤3 ⇒ ≥1 of 4 bands equal;
     complete when no bucket exceeds `max_bucket` — see _bucket_pairs)."""
-    base = _ensure_parallelism(df).select(F.col(id_col).alias("id"), simhash64(text_col).alias("fp"))
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
+    )
     width = 64 // bands
     mask = (1 << width) - 1
     banded = base.select(

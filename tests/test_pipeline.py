@@ -450,3 +450,24 @@ def test_pack_sequences_boundary_semantics(spark):
     assert (out[1]["seq_id"], out[1]["offset"]) == (0, 6)
     assert (out[2]["seq_id"], out[2]["offset"]) == (0, 9)
     assert (out[3]["seq_id"], out[3]["offset"]) == (1, 4)
+
+
+def test_shingle_rows_matches_word_shingles(spark):
+    """Row-based shingles must cover exactly the word_shingles set,
+    including the short-doc head-shingle clamp and empty text."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, ""), (4, "x y z")],
+        ["doc_id", "text"],
+    )
+    arr = {
+        r["id"]: set(r["sh"])
+        for r in df.select(
+            F.col("doc_id").alias("id"),
+            dedup.word_shingles("text", 3).alias("sh"),
+        ).collect()
+    }
+    rows = dedup.shingle_rows(df, "doc_id", "text", 3).collect()
+    got: dict[int, set] = {}
+    for r in rows:
+        got.setdefault(r["id"], set()).add(r["s"])
+    assert got == arr
