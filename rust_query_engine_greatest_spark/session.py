@@ -67,6 +67,18 @@ def get_spark(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle/spill scratch on tmpfs when available: thread-dump
+    # profiling (BENCH_NOTES r4) caught slow runs stalled inside
+    # shuffle-file NIO copies — disk writeback, not compute. local[32]
+    # shuffle volumes at bench scale are MBs; on a real cluster this
+    # conf comes from the cluster manager (local NVMe), so gate it on
+    # the directory existing rather than hardcoding.
+    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft-local")
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
