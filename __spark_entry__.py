@@ -105,6 +105,7 @@ _R4_ADDED_PRIORITY = (
     "h2o_top2_per_group", "h2o_corr_r2", "h2o_groupby_allkeys",
     "join_outer_frame_edge", "window_empty_frame_edge",
     "agg_decimal_wide", "func_interval_edge",
+    "text_repetition", "text_pack_sequences", "stream_static_join",
 )
 
 
