@@ -106,6 +106,7 @@ _R4_ADDED_PRIORITY = (
     "join_outer_frame_edge", "window_empty_frame_edge",
     "agg_decimal_wide", "func_interval_edge",
     "text_repetition", "text_pack_sequences", "stream_static_join",
+    "text_span_dedup", "text_stratified_sample", "agg_approx_bounds",
 )
 
 

@@ -220,8 +220,8 @@ def word_shingles(text_col: str, k: int = 3) -> Column:
 def shingle_rows(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
-    """(id, s) — one row per k-word shingle POSITION of the lowercased
-    text (duplicates retained; MIN/collect_set consumers are unaffected).
+    """(id, pos, s) — one row per k-word shingle POSITION of the
+    lowercased text (duplicates retained; MIN/collect_set consumers are unaffected).
 
     Why rows and not `word_shingles` arrays: the array form's transform
     lambda captures the token-array subtree, and Spark's interpreted
@@ -263,11 +263,11 @@ def shingle_rows(
         F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
         (leads[-1].isNotNull() if k > 1 else F.lit(True)).alias("__full"),
     )
-    return shingled.filter(F.col("__full") | (F.col("pos") == 0)).select("id", "s")
+    return shingled.filter(F.col("__full") | (F.col("pos") == 0)).select("id", "pos", "s")
 
 
 def minhash_signatures(sh_rows: DataFrame, num_hashes: int = 64) -> DataFrame:
-    """(id, s) shingle rows → (id, sig array<long>) MinHash signatures,
+    """(id, pos, s) shingle rows → (id, sig array<long>) MinHash signatures,
     Carter-Wegman style: hash every shingle ONCE with two independent
     xxhash64 seeds, then derive the j-th hash family as h1' + j·h2'
     (2-universal — the standard replacement for num_hashes independent
@@ -471,4 +471,48 @@ def embedding_dup_pairs(
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, span_w: int = 10,
+    max_dup_frac: float = 0.5,
+) -> DataFrame:
+    """C4-style repeated-span screening (Raffel et al. 2020 §2.2 removed
+    any three-sentence span occurring more than once in the corpus;
+    token-chunk variant here since the corpus has no sentence marks):
+    split each document into disjoint `span_w`-token chunks, fingerprint
+    each chunk, count every fingerprint CORPUS-WIDE, and score documents
+    by the fraction of their spans that also occur elsewhere.
+
+    Output: (id, n_spans, n_dup_spans, dup_frac, keep) — one row per
+    document; `keep` = dup_frac <= max_dup_frac.
+
+    Plan shape: chunks are the stride-`span_w` subset of the codegen
+    shingle rows (pos % span_w == 0, full windows only — the trailing
+    partial chunk is dropped, while sub-`span_w` docs keep their single
+    head chunk, exactly `shingle_rows`' short-doc clamp). One global
+    groupBy on the span fingerprint (count per distinct span — the
+    corpus-wide duplicate table a 100 TB build materializes once), one
+    groupBy back on id. A span duplicated WITHIN one document also
+    counts as duplicated — the C4 rule is occurrence count, not
+    distinct-document count."""
+    spans = (
+        shingle_rows(df, id_col, text_col, span_w)
+        .filter(F.col("pos") % span_w == 0)
+        .select("id", F.md5("s").alias("fp"))
+    )
+    fp_counts = spans.groupBy("fp").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        spans.join(fp_counts, "fp")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("n_occ") > 1).cast("long")).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"),
+        )
+        .withColumn("keep", F.col("dup_frac") <= max_dup_frac)
     )

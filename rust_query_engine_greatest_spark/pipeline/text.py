@@ -337,3 +337,41 @@ def pack_sequences(df, id_col: str, text_col: str, budget: int = 512,
         F.floor(prev / budget).cast("long").alias("seq_id"),
         (prev % budget).cast("long").alias("offset"),
     )
+
+
+def rate_hex_threshold(rate: float) -> str:
+    """4-hex-char threshold for md5-prefix sampling: keep iff
+    substr(md5, 1, 4) < threshold. rate quantizes to 1/65536 steps;
+    rate >= 1 returns 'g000' (lexicographically above every hex string,
+    so ALL rows keep — '10000' would be a 5-char string that sorts
+    BELOW '1fff' and silently keep ~1/16th)."""
+    if rate >= 1:
+        return "g000"
+    return format(max(0, round(rate * 65536)), "04x")
+
+
+def stratified_hash_sample(df, id_col: str, strata_col: str,
+                           rates: dict[str, float]):
+    """Reproducible stratified sampling: per-stratum keep rates applied
+    via the same md5-threshold trick as `hash_sample`, so every stratum
+    gets a deterministic, engine/partitioning-independent subsample —
+    the "source mixing weights" step of a training-set build (e.g.
+    down-weighting a crawl source against books/reference text) made
+    re-materializable. Rates quantize to 1/65536 steps (4 hex chars).
+    Strata absent from `rates` are DROPPED (explicit mixing weights
+    only — silent pass-through would un-weight unknown sources).
+    Shuffle-free: one hash + one CASE per row."""
+    key = F.md5(F.col(id_col).cast("string"))
+    thresh = None
+    for stratum, rate in sorted(rates.items()):
+        hexv = rate_hex_threshold(rate)
+        cond = F.col(strata_col) == stratum
+        thresh = (
+            F.when(cond, F.lit(hexv)) if thresh is None
+            else thresh.when(cond, F.lit(hexv))
+        )
+    thresh = thresh.otherwise(F.lit("0000"))
+    return (
+        df.withColumn("__sample_key", key)
+        .filter(F.substring("__sample_key", 1, 4) < thresh)
+    )

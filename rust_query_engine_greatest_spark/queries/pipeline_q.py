@@ -813,3 +813,73 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     any scale."""
     d = load_table(spark, sf_dir, "documents")
     return text.pack_sequences(d, "doc_id", "text", budget=_PACK_BUDGET)
+
+
+_SPAN_W = 10
+
+
+@register(
+    "text_span_dedup",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             string_split_regex(lower(coalesce(text, '')), ' +') AS ts
+      FROM documents),
+    spans AS (
+      SELECT id,
+             md5(array_to_string(list_slice(ts, u.i, u.i + {_SPAN_W - 1}), ' ')) AS fp
+      FROM base,
+      LATERAL unnest(generate_series(1, greatest(len(ts) - {_SPAN_W - 1}, 1),
+                                     {_SPAN_W})) AS u(i)),
+    fc AS (SELECT fp, count(*) AS n_occ FROM spans GROUP BY fp)
+    SELECT id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS dup_frac,
+           CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) <= 0.5 AS keep
+    FROM spans JOIN fc USING (fp)
+    GROUP BY id
+    """,
+    tags=("pipeline", "dedup"),
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-span screening: disjoint 10-token chunks
+    fingerprinted and counted corpus-wide; per-doc duplicated-span
+    fraction + keep flag. Exact md5/count arithmetic → exact oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.span_dedup_stats(d, "doc_id", "text", span_w=_SPAN_W)
+
+
+_STRATA_RATES = {f"src{i}": (0.75 if i % 4 == 0 else 0.25 if i % 2 == 0 else 0.5)
+                 for i in range(18)}  # src18/src19 absent → dropped
+
+
+def _strata_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN '{text.rate_hex_threshold(r)}'"
+        for s, r in sorted(_STRATA_RATES.items())
+    )
+    return f"CASE source {arms} ELSE '0000' END"
+
+
+@register(
+    "text_stratified_sample",
+    f"""
+    SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS __sample_key
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < {_strata_case_sql()}
+    """,
+    tags=("pipeline", "text"),
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-source mixing weights (75%/50%/25% bands, two
+    sources deliberately unlisted → dropped): md5-threshold per stratum,
+    shuffle-free, engine/partitioning-independent — exact oracle via
+    the identical CASE over the identical hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.stratified_hash_sample(
+        d.select("doc_id", "source"), "doc_id", "source", _STRATA_RATES
+    )

@@ -1414,3 +1414,57 @@ def window_range_null_peers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").over(run).alias("run"),
         F.count(F.lit(1)).over(cur).alias("peers"),
     )
+
+
+@register(
+    "agg_approx_bounds",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(1 AS BOOLEAN) AS hll_orders_ok,
+           CAST(1 AS BOOLEAN) AS hll_parts_ok,
+           CAST(1 AS BOOLEAN) AS med_ok,
+           CAST(1 AS BOOLEAN) AS p90_ok
+    FROM lineitem
+    """,
+    tags=("aggregate", "approx"),
+)
+def agg_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-oracle companion to `agg_approx` (whose raw sketch values
+    can never cross-engine-match): the DECIDABLE property is the
+    sketches' error CONTRACT, so this entry emits booleans asserting
+    |approx − exact| within bounds — approx_count_distinct(rsd=0.02)
+    within 3.5·rsd = 7 % of the exact distinct counts, and
+    percentile_approx(accuracy=10000) within 2 % of the exact
+    percentile. Given fixed data + implementation these are
+    deterministic, and the oracle's literal TRUEs make a sketch
+    regression a hard driver FAIL instead of a rows-only shrug
+    (same constructive-oracle doctrine as the dedup sketch fixtures)."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    row = l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("hll_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("hll_parts"),
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("amed"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("emed"),
+        F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("ap90"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("ep90"),
+    )
+
+    def _within(approx, exact, tol):
+        return (
+            F.abs(F.col(approx).cast("double") - F.col(exact).cast("double"))
+            / F.col(exact).cast("double")
+            <= tol
+        )
+
+    return row.select(
+        "n_rows",
+        "exact_orders",
+        _within("hll_orders", "exact_orders", 0.07).alias("hll_orders_ok"),
+        _within("hll_parts", "exact_parts", 0.07).alias("hll_parts_ok"),
+        _within("amed", "emed", 0.02).alias("med_ok"),
+        _within("ap90", "ep90", 0.02).alias("p90_ok"),
+    )

@@ -471,3 +471,51 @@ def test_shingle_rows_matches_word_shingles(spark):
     for r in rows:
         got.setdefault(r["id"], set()).add(r["s"])
     assert got == arr
+
+
+def test_span_dedup_planted(spark):
+    """Two docs sharing one exact 10-token chunk are both flagged for
+    that span; a unique doc has dup_frac 0. An intra-doc repeat also
+    counts (C4 counts occurrences, not distinct docs)."""
+    from rust_query_engine_greatest_spark.pipeline import dedup
+
+    chunk = " ".join(f"w{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, f"{chunk} {uniq_a}"),            # spans: chunk, uniq_a
+            (2, f"{chunk} {uniq_b}"),            # spans: chunk, uniq_b
+            (3, " ".join(f"c{i}" for i in range(20))),  # all unique
+            (4, f"{chunk} {chunk}"),             # intra-doc repeat
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in dedup.span_dedup_stats(df, "doc_id", "text").collect()}
+    assert (out[1]["n_spans"], out[1]["n_dup_spans"]) == (2, 1)
+    assert out[1]["dup_frac"] == pytest.approx(0.5) and out[1]["keep"]
+    assert out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0 and out[3]["keep"]
+    assert (out[4]["n_spans"], out[4]["n_dup_spans"]) == (2, 2)
+    assert not out[4]["keep"]
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    """Kept fraction per stratum tracks its configured rate; absent
+    strata are dropped; repeated runs give the identical id set."""
+    from rust_query_engine_greatest_spark.pipeline import text
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rates = {"src0": 1.0, "src1": 0.0, "src2": 0.5}
+    out = text.stratified_hash_sample(d, "doc_id", "source", rates)
+    rows = out.collect()
+    by_src: dict[str, int] = {}
+    for r in rows:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    totals = {r["source"]: r["n"] for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src.get("src0", 0) == totals["src0"]          # rate 1.0 keeps all
+    assert "src1" not in by_src                              # rate 0.0 drops all
+    assert set(by_src) <= {"src0", "src2"}                   # unlisted strata dropped
+    assert 0 < by_src.get("src2", 0) < totals["src2"]        # strict subsample
+    again = {r["doc_id"] for r in text.stratified_hash_sample(d, "doc_id", "source", rates).collect()}
+    assert again == {r["doc_id"] for r in rows}
