@@ -1436,7 +1436,12 @@ def agg_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     |approx − exact| within bounds — approx_count_distinct(rsd=0.02)
     within 3.5·rsd = 7 % of the exact distinct counts, and
     percentile_approx(accuracy=10000) within 2 % of the exact
-    percentile. Given fixed data + implementation these are
+    percentile for the smooth p90, and within 6 % for the median —
+    percentile_approx returns an actual DATA VALUE while the exact
+    percentile interpolates, so on the 50-distinct-integer quantity
+    column one value step is 1/25 = 4 % around the median (observed: 26
+    vs 25.0 at sf0.1); the looser bound covers quantization, not sketch
+    error. Given fixed data + implementation these are
     deterministic, and the oracle's literal TRUEs make a sketch
     regression a hard driver FAIL instead of a rows-only shrug
     (same constructive-oracle doctrine as the dedup sketch fixtures)."""
@@ -1465,6 +1470,57 @@ def agg_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_orders",
         _within("hll_orders", "exact_orders", 0.07).alias("hll_orders_ok"),
         _within("hll_parts", "exact_parts", 0.07).alias("hll_parts_ok"),
-        _within("amed", "emed", 0.02).alias("med_ok"),
+        _within("amed", "emed", 0.06).alias("med_ok"),
         _within("ap90", "ep90", 0.02).alias("p90_ok"),
+    )
+
+
+@register(
+    "setop_coercion_edge",
+    """
+    WITH u AS (
+      SELECT CAST(c_custkey AS DOUBLE) AS k, 'int_side' AS side
+      FROM customer WHERE c_custkey < 20
+      UNION ALL
+      SELECT CAST(c_acctbal AS DOUBLE) + 0.25 AS k, 'dbl_side' AS side
+      FROM customer WHERE c_custkey < 20
+      UNION ALL
+      SELECT CAST(NULL AS DOUBLE) AS k, 'null_side' AS side
+      FROM customer WHERE c_custkey < 3)
+    SELECT side, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(k) AS BIGINT) AS n_nonnull,
+           CAST(SUM(CAST(k AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           MIN(k) AS lo, MAX(k) AS hi
+    FROM u GROUP BY side
+    """,
+    tags=("setop", "edge"),
+)
+def setop_coercion_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation type-coercion matrix (sqllogictest union.slt
+    family): UNION of BIGINT, DECIMAL-derived DOUBLE, and typed-NULL
+    branches — the common super-type (double) must be applied per
+    branch BEFORE the union, and NULL columns must coerce without
+    poisoning aggregates. Branch provenance kept as a tag column so the
+    hash check pins each branch's coerced values, not just the blend."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    a = customer.filter(F.col("c_custkey") < 20).select(
+        F.col("c_custkey").cast("double").alias("k"), F.lit("int_side").alias("side")
+    )
+    b = customer.filter(F.col("c_custkey") < 20).select(
+        (F.col("c_acctbal").cast("double") + F.lit(0.25)).alias("k"),
+        F.lit("dbl_side").alias("side"),
+    )
+    c = customer.filter(F.col("c_custkey") < 3).select(
+        F.lit(None).cast("double").alias("k"), F.lit("null_side").alias("side")
+    )
+    return (
+        a.unionByName(b).unionByName(c)
+        .groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_nonnull"),
+            F.sum(F.col("k").cast("decimal(18,6)")).cast("double").alias("total"),
+            F.min("k").alias("lo"),
+            F.max("k").alias("hi"),
+        )
     )
