@@ -4,8 +4,8 @@ deterministic synthetic micro-data (tests/tpcds_data.py — the identical
 rows registered in Spark and DuckDB) and the result multisets are
 compared engine-vs-oracle.
 
-Current census, pinned below: 91/99 match bit-for-bit after float
-normalization (42 of them non-empty), and every non-match has a named,
+Current census, pinned below: 94/99 match bit-for-bit after float
+normalization (43 of them non-empty), and every non-match has a named,
 verified cause:
 
 - q18, q27 — SEMANTIC divergence on empty-input ROLLUP: the SQL
@@ -18,10 +18,13 @@ verified cause:
   (equal ORDER BY keys straddling the cut); both engines return valid
   answers that differ by which tied rows made the cut. Row COUNTS are
   still asserted equal.
-- q58, q72, q77 — the DuckDB ORACLE cannot run the reference text
+- q58, q72, q77 — DuckDB cannot run the reference text verbatim
   (binder rejects ambiguous column refs Spark resolves in q58/q72;
-  parser treats the q77 alias `returns` as a keyword). Spark-side
-  execution is still asserted.
+  parser treats the q77 alias `returns` as a keyword). The oracle runs
+  a minimally dialect-patched text (_duck_dialect: qualify the two
+  ORDER BY columns, quote the alias) — semantics unchanged — and the
+  results are strictly compared; the unpatched rejection is still
+  pinned so a DuckDB upgrade is noticed.
 - q90 — divides by a COUNT that is legitimately 0 at micro-scale;
   Spark's ANSI mode (the engine default this repo ships) raises
   DIVIDE_BY_ZERO by design. Asserted to raise exactly that.
@@ -45,18 +48,16 @@ pytestmark = pytest.mark.skipif(
 
 ROLLUP_EMPTY_INPUT = {18, 27}
 LIMIT_TIE_UNDERDETERMINED = {22, 67}
-ORACLE_DIALECT_FAIL = {58, 72, 77}
+ORACLE_DIALECT_PATCHED = {58, 72, 77}
 ANSI_DIV_BY_ZERO = {90}
-NON_MATCHING = (
-    ROLLUP_EMPTY_INPUT | LIMIT_TIE_UNDERDETERMINED | ORACLE_DIALECT_FAIL | ANSI_DIV_BY_ZERO
-)
+NON_MATCHING = ROLLUP_EMPTY_INPUT | LIMIT_TIE_UNDERDETERMINED | ANSI_DIV_BY_ZERO
 
 # Queries that return rows on the micro-data AND match — the hard core
 # of the differential (empty-vs-empty agreement is necessary but weak).
 EXPECTED_NONEMPTY = {
     2, 5, 9, 11, 12, 13, 15, 16, 20, 28, 30, 32, 33, 35, 36, 38, 45, 48,
-    51, 56, 57, 59, 61, 62, 65, 69, 70, 74, 75, 78, 79, 80, 86, 87, 88,
-    92, 94, 95, 96, 97, 98, 99,
+    51, 56, 57, 59, 61, 62, 65, 69, 70, 74, 75, 77, 78, 79, 80, 86, 87,
+    88, 92, 94, 95, 96, 97, 98, 99,
 }
 
 
@@ -104,10 +105,28 @@ def _run_spark(spark, qnum):
     return rows
 
 
+def _duck_dialect(qnum: int, sql: str) -> str:
+    """Minimal DuckDB-dialect patches for reference texts its binder or
+    parser rejects; each rewrite is semantics-preserving (qualifying a
+    column both candidates tie on, quoting a non-reserved alias)."""
+    if qnum == 58:
+        # ss/cs/ws item_id are equi-joined, so qualifying is a no-op.
+        sql = sql.replace("order by item_id", "order by ss_items.item_id")
+    if qnum == 72:
+        # d1/d3 d_week_seq are equi-joined (d3 = d1 + lead window).
+        sql = sql.replace(
+            "w_warehouse_name, d_week_seq", "w_warehouse_name, d1.d_week_seq"
+        )
+    if qnum == 77:
+        # `returns` is reserved in DuckDB's parser, not in Spark's.
+        sql = re.sub(r"(?<![a-z_])returns(?![a-z_])", '"returns"', sql)
+    return sql
+
+
 def _run_duck(con, qnum):
     rows = []
     for s in _stmts(qnum):
-        rows = con.sql(s).fetchall()
+        rows = con.sql(_duck_dialect(qnum, s)).fetchall()
     return rows
 
 
@@ -132,16 +151,16 @@ def test_tpcds_limit_tie_counts_agree(engines, qnum):
     assert len(srows) == len(drows) > 0
 
 
-@pytest.mark.parametrize("qnum", sorted(ORACLE_DIALECT_FAIL))
-def test_tpcds_oracle_dialect_failures_still_execute_on_spark(engines, qnum):
+@pytest.mark.parametrize("qnum", sorted(ORACLE_DIALECT_PATCHED))
+def test_tpcds_duckdb_still_rejects_unpatched_text(engines, qnum):
     """q58/q72 (ambiguous-ref binder), q77 (`returns` alias keyword):
-    DuckDB cannot run the reference text — Spark must still plan AND
-    execute it; and DuckDB must indeed reject it (if a DuckDB upgrade
-    starts accepting these, promote them to the matching set)."""
-    spark, con = engines
-    _run_spark(spark, qnum)  # must not raise
+    DuckDB must still reject the UNPATCHED reference text — if a DuckDB
+    upgrade starts accepting it, drop the _duck_dialect patch so the
+    oracle runs the verbatim text again."""
+    _, con = engines
     with pytest.raises(Exception):
-        _run_duck(con, qnum)
+        for s in _stmts(qnum):
+            con.sql(s).fetchall()
 
 
 def test_tpcds_q90_ansi_divide_by_zero(engines):
