@@ -107,7 +107,7 @@ _R4_ADDED_PRIORITY = (
     "agg_decimal_wide", "func_interval_edge",
     "text_repetition", "text_pack_sequences", "stream_static_join",
     "text_span_dedup", "text_stratified_sample", "agg_approx_bounds",
-    "setop_coercion_edge",
+    "setop_coercion_edge", "dedup_components", "dedup_keep_canonical",
 )
 
 

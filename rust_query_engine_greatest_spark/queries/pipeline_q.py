@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..pipeline import dedup, multimodal, similarity, text
+from ..pipeline import cluster, dedup, multimodal, similarity, text
 from ..sources.catalog import load_table
 from .base import register
 
@@ -168,6 +168,78 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical sequential double fold on both engines → exact hash."""
     e = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_dup_pairs(e, "vec_id", "embedding", threshold=0.4, block_col="label")
+
+
+# Shared pair CTE: the exact oracle-checked dedup_jaccard configuration
+# (source-blocked, threshold 0.9) — the edge list both clustering
+# oracles close over with a recursive CTE.
+_JACCARD_PAIRS_CTE = """
+    toks AS (
+      SELECT doc_id, source,
+             list_distinct(string_split_regex(lower(text), ' +')) AS ts
+      FROM documents),
+    sizes AS (SELECT doc_id, len(ts) AS n FROM toks),
+    inv AS (SELECT doc_id, source, unnest(ts) AS tok FROM toks),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM inv a JOIN inv b
+        ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.9),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs),
+    reach(id, comp) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+    components AS (
+      SELECT id, MIN(comp) AS component FROM reach GROUP BY id)
+"""
+
+
+def _jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, "doc_id", "text", block_col="source", threshold=0.9)
+
+
+@register(
+    "dedup_components",
+    f"WITH RECURSIVE {_JACCARD_PAIRS_CTE} SELECT id, component FROM components",
+    tags=("pipeline", "dedup"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup pair graph: iterative
+    min-label propagation (driver fixpoint loop, two narrow exchanges
+    per round, edge list shuffled once) vs DuckDB's recursive CTE —
+    the dedup stage pair generators alone cannot provide."""
+    comp = cluster.connected_components(_jaccard_pairs_df(spark, sf_dir))
+    return comp.select(comp["id"].cast("long").alias("id"),
+                       comp["component"].cast("long").alias("component"))
+
+
+@register(
+    "dedup_keep_canonical",
+    f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE}
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM components WHERE id <> component)
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup end-to-end: keep exactly one (min-id) doc per
+    near-dup component, singletons untouched — pair generation →
+    clustering → broadcast anti-join in one lazy plan."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = cluster.keep_canonical(d, _jaccard_pairs_df(spark, sf_dir), "doc_id")
+    return kept.select("doc_id", "source")
 
 
 # --------------------------------------------------------------------------

@@ -519,3 +519,43 @@ def test_stratified_sample_rates_and_determinism(spark, sf_dir):
     assert 0 < by_src.get("src2", 0) < totals["src2"]        # strict subsample
     again = {r["doc_id"] for r in text.stratified_hash_sample(d, "doc_id", "source", rates).collect()}
     assert again == {r["doc_id"] for r in rows}
+
+
+def test_connected_components_chain_and_singleton_split(spark):
+    """Min-label propagation over a diameter-3 chain plus a separate
+    pair: every chain node gets the chain min, the pair keeps its own
+    min, and nodes absent from the edge list are absent from the output."""
+    from rust_query_engine_greatest_spark.pipeline import cluster
+
+    pairs = spark.createDataFrame(
+        [(7, 3), (3, 9), (9, 11), (20, 25)], "id_a long, id_b long"
+    )
+    got = {(r["id"], r["component"]) for r in cluster.connected_components(pairs).collect()}
+    assert got == {(3, 3), (7, 3), (9, 3), (11, 3), (20, 20), (25, 20)}
+
+
+def test_connected_components_max_iter_raises(spark):
+    """A diameter-4 chain cannot reach fixpoint in one round: the
+    driver loop must RAISE, not silently return partial labels."""
+    import pytest as _pytest
+
+    from rust_query_engine_greatest_spark.pipeline import cluster
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        cluster.connected_components(chain, max_iter=1)
+
+
+def test_keep_canonical_keeps_min_and_singletons(spark):
+    """keep_canonical: one survivor (the min id) per component; docs
+    with no near-dup pair survive untouched."""
+    from rust_query_engine_greatest_spark.pipeline import cluster
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    kept = {r["doc_id"] for r in cluster.keep_canonical(docs, pairs, "doc_id").collect()}
+    assert kept == {1, 10, 99}
