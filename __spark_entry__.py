@@ -108,6 +108,9 @@ _R4_ADDED_PRIORITY = (
     "text_repetition", "text_pack_sequences", "stream_static_join",
     "text_span_dedup", "text_stratified_sample", "agg_approx_bounds",
     "setop_coercion_edge", "dedup_components", "dedup_keep_canonical",
+    "subq_not_in_null_aware", "subq_scalar_correlated", "subq_lateral_topk",
+    "subq_quantified_all_any", "subq_scalar_uncorrelated", "subq_in_semi",
+    "subq_exists_correlated",
 )
 
 

@@ -16,5 +16,6 @@ from . import events_q  # noqa: F401, E402
 from . import streaming_q  # noqa: F401, E402
 from . import sources_q  # noqa: F401, E402
 from . import harness_q  # noqa: F401, E402
+from . import subqueries_q  # noqa: F401, E402
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -255,3 +255,50 @@ def test_repetition_profile_bounded_exchanges(spark, sf_dir):
     df = REGISTRY["text_repetition"].build(spark, sf_dir)
     assert_no_cartesian(df)
     assert count_shuffle_exchanges(df) <= 3
+
+
+def test_not_in_plans_as_null_aware_anti(spark, sf_dir):
+    """subq_not_in_null_aware: every NOT IN / NOT EXISTS branch must
+    decorrelate to a broadcast LeftAnti hash join (Catalyst
+    RewritePredicateSubquery ↔ reference
+    decorrelate_predicate_subquery.rs) — never a per-row subquery or a
+    cartesian."""
+    from rust_query_engine_greatest_spark.plans import assert_no_cartesian
+    from rust_query_engine_greatest_spark.plans.explain import plan_string
+
+    df = REGISTRY["subq_not_in_null_aware"].build(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = plan_string(df)
+    assert plan.count("LeftAnti") >= 3, plan
+
+
+def test_lateral_topk_fuses_to_window_group_limit(spark, sf_dir):
+    """subq_lateral_topk: the LATERAL ... ORDER BY ... LIMIT 2 must
+    decorrelate to a window + WindowGroupLimit pushdown (partial top-k
+    before the exchange — the reference's TopKAggregation analogue),
+    joined broadcast, no cartesian."""
+    from rust_query_engine_greatest_spark.plans import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+    )
+    from rust_query_engine_greatest_spark.plans.explain import plan_string
+
+    df = REGISTRY["subq_lateral_topk"].build(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df)
+    assert "WindowGroupLimit" in plan_string(df)
+
+
+def test_correlated_scalar_decorrelates_to_agg_join(spark, sf_dir):
+    """subq_scalar_correlated: the per-nation average subquery runs
+    ONCE as an aggregate and joins back (RewriteCorrelatedScalarSubquery
+    ↔ scalar_subquery_to_join.rs) — one broadcast join carrying the
+    comparison, no cartesian, no repeated subplan per row."""
+    from rust_query_engine_greatest_spark.plans import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+    )
+
+    df = REGISTRY["subq_scalar_correlated"].build(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df)

@@ -12,7 +12,7 @@ from tests.conftest import assert_frames_match
 
 REL_PREFIXES = ("join_", "agg_", "window_", "sort_", "topk_", "setop_", "distinct_on",
                 "unnest_", "values_", "pivot_", "unpivot_", "recursive_", "empty_", "placeholder_",
-                "cb_", "h2o_", "job_")
+                "cb_", "h2o_", "job_", "subq_")
 REL = sorted(
     n for n in REGISTRY
     if n.startswith(REL_PREFIXES) and REGISTRY[n].oracle is not None
