@@ -110,7 +110,7 @@ _R4_ADDED_PRIORITY = (
     "setop_coercion_edge", "dedup_components", "dedup_keep_canonical",
     "subq_not_in_null_aware", "subq_scalar_correlated", "subq_lateral_topk",
     "subq_quantified_all_any", "subq_scalar_uncorrelated", "subq_in_semi",
-    "subq_exists_correlated",
+    "subq_exists_correlated", "source_object_store_scan",
 )
 
 

@@ -116,3 +116,30 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert n_files >= 1
     back = readers.read_avro(spark, dst).select(*cust.columns)
     return _agg(back)
+
+
+_OBJSTORE_ORACLE = """
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+"""
+
+
+@register("source_object_store_scan", _OBJSTORE_ORACLE, tags=("sources", "object_store"))
+def source_object_store_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store scan (datafusion-cli/src/object_storage.rs +
+    object_store crate): the Arrow-native URI scan path —
+    FileSystem.from_uri list, footer-only schema, executor-side
+    mapInArrow batch streaming with column pruning — over the same
+    customer table via its file:// URI (the scheme-generic code path
+    s3://, gs:// take in deployment)."""
+    from ..sources.object_store import object_store_scan
+
+    url = "file://" + os.path.abspath(os.path.join(sf_dir, "customer.parquet"))
+    df = object_store_scan(
+        spark, url, columns=["c_mktsegment", "c_acctbal"]
+    )
+    return _agg(df.filter(F.col("c_acctbal") > 0))

@@ -1,26 +1,43 @@
 """Object-store access (SURVEY §2.1 last row).
 
 Reference parity: `datafusion-cli/src/object_storage.rs` registers
-s3/gcs/http object stores so any scan can read remote URLs. Spark's
-equivalent is the Hadoop FileSystem connector layer — the same
-`spark.read.parquet(url)` works against `s3a://`, `gs://`, `abfss://`,
-or `https://` once the filesystem implementation and credentials are
-configured. No engine code changes: every operator in this repo takes a
-path, and the path's scheme picks the connector.
+s3/gcs/http object stores so any scan can read remote URLs; the
+underlying `object_store` crate does list + ranged reads + parquet
+footer pruning against any scheme.
 
-This container ships no cloud connector jars and has no network, so the
-helpers below only assemble configuration (pure dict-in/dict-out,
-tested), and `read_remote` fails with a clear message instead of a
-Hadoop class-not-found stack.
+Two paths here:
 
-At 100 TB this layer is where the real deployment lives: S3A exposes
+1. **JVM connector layer** (production default): the same
+   `spark.read.parquet(url)` works against `s3a://`, `gs://`,
+   `abfss://` once the connector jars and credentials are configured —
+   `s3a_conf()` assembles the tuned conf (committers, pools,
+   fadvise). This container ships no cloud jars and has no network, so
+   `read_remote` fails with a setup hint instead of a Hadoop
+   class-not-found stack.
+
+2. **Arrow-native scan** (`object_store_scan`, executable here): the
+   direct analogue of the reference's object_store crate — driver
+   lists the URI via `pyarrow.fs.FileSystem.from_uri`, reads ONE
+   parquet footer for the schema, and executors open the same
+   filesystem and stream record batches via `mapInArrow`. The code
+   path is scheme-generic (`file://` exercised in tests; `s3://` /
+   `gs://` resolve to pyarrow's S3/GCS filesystems with credentials
+   from the standard env/instance chain — no JVM jars needed). Column
+   pruning is pushed to the parquet reader per-file.
+
+At 100 TB the JVM path is where the real deployment lives: S3A exposes
 committers (`spark.hadoop.fs.s3a.committer.name=magic` avoids
 rename-based commits), connection pools sized to executor count, and
 prefetching (`fs.s3a.experimental.input.fadvise=random` for column
-pruning workloads) — captured as defaults here.
+pruning workloads) — captured as defaults here. The Arrow path scales
+by file-granular tasks (one task per object, batches streamed, never
+materializing a file in memory); pair it with ~128-512 MB objects, the
+same layout discipline sources/compact.py enforces for local parquet.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -59,6 +76,101 @@ def s3a_conf(
             "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
         )
     return conf
+
+
+def _list_objects(url: str, fmt: str) -> tuple[list[str], str]:
+    """Resolve a URI to (data file paths, fs-relative root). Hidden and
+    commit-marker files (_SUCCESS, dotfiles) are skipped, matching both
+    Spark's and the reference's listers."""
+    import pyarrow.fs as pafs
+
+    fs, path = pafs.FileSystem.from_uri(url)
+    info = fs.get_file_info(path)
+    if info.type == pafs.FileType.Directory:
+        ext = {"parquet": ".parquet", "csv": ".csv"}[fmt]
+        sel = pafs.FileSelector(path, recursive=True)
+        files = sorted(
+            f.path
+            for f in fs.get_file_info(sel)
+            if f.type == pafs.FileType.File
+            and not f.base_name.startswith(("_", "."))
+            and f.base_name.endswith(ext)
+        )
+    elif info.type == pafs.FileType.File:
+        files = [path]
+    else:
+        raise FileNotFoundError(f"object-store URI not found: {url!r}")
+    if not files:
+        raise FileNotFoundError(f"no {fmt} objects under {url!r}")
+    return files, path
+
+
+def object_store_scan(
+    spark: SparkSession,
+    url: str,
+    fmt: str = "parquet",
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Distributed scan of any pyarrow-filesystem URI (file://, s3://,
+    gs://, hdfs://) without JVM connector jars — the executable analogue
+    of the reference's object_store crate (list → per-object ranged
+    reads → Arrow batches).
+
+    Driver work is bounded: one LIST plus one parquet-footer read (for
+    the schema). Executors re-open the filesystem from the URI (pyarrow
+    filesystems are not pickled) and stream `iter_batches`, so a file is
+    never fully materialized. Column pruning is pushed into the parquet
+    reader; CSV scans read whole objects (unsplittable, as in Spark)."""
+    import pyarrow.fs as pafs
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    files, _root = _list_objects(url, fmt)
+
+    if fmt == "parquet":
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fs, _ = pafs.FileSystem.from_uri(url)
+        with fs.open_input_file(files[0]) as fh:
+            arrow_schema = pq.ParquetFile(fh).schema_arrow
+        if columns:
+            arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
+    elif fmt == "csv":
+        import pyarrow.csv as pacsv
+
+        fs, _ = pafs.FileSystem.from_uri(url)
+        with fs.open_input_stream(files[0]) as fh:
+            arrow_schema = pacsv.read_csv(fh).schema
+        if columns:
+            raise ValueError("column pruning is parquet-only in object_store_scan")
+    else:
+        raise ValueError(f"unsupported format {fmt!r} (parquet|csv)")
+
+    spark_schema = from_arrow_schema(arrow_schema)
+    cols = list(columns) if columns else None
+
+    paths_df = spark.createDataFrame(
+        [(p,) for p in files], "path string"
+    ).repartition(min(len(files), spark.sparkContext.defaultParallelism))
+
+    def scan(batches: Iterator) -> Iterator:
+        import pyarrow.fs as pafs_x
+
+        fs_x, _ = pafs_x.FileSystem.from_uri(url)
+        for b in batches:
+            for p in b.column("path").to_pylist():
+                if fmt == "parquet":
+                    import pyarrow.parquet as pq_x
+
+                    with fs_x.open_input_file(p) as fh:
+                        yield from pq_x.ParquetFile(fh).iter_batches(columns=cols)
+                else:
+                    import pyarrow.csv as pacsv_x
+
+                    with fs_x.open_input_stream(p) as fh:
+                        yield from pacsv_x.read_csv(fh).to_batches()
+
+    return paths_df.mapInArrow(scan, schema=spark_schema)
 
 
 def read_remote(spark: SparkSession, url: str, fmt: str = "parquet") -> DataFrame:
