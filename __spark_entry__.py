@@ -111,6 +111,7 @@ _R4_ADDED_PRIORITY = (
     "subq_not_in_null_aware", "subq_scalar_correlated", "subq_lateral_topk",
     "subq_quantified_all_any", "subq_scalar_uncorrelated", "subq_in_semi",
     "subq_exists_correlated", "source_object_store_scan",
+    "text_mixture_epochs", "agg_multi_distinct",
 )
 
 

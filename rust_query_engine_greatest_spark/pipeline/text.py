@@ -375,3 +375,49 @@ def stratified_hash_sample(df, id_col: str, strata_col: str,
         df.withColumn("__sample_key", key)
         .filter(F.substring("__sample_key", 1, 4) < thresh)
     )
+
+
+def mixture_epochs(df, id_col: str, strata_col: str,
+                   weights: dict[str, float]):
+    """Training-mixture materialization with fractional epoch weights
+    (the "sample source A at 2.5 epochs, B at 0.25" step of a
+    training-set build — public method per Dolma/RedPajama/Pile-style
+    mixture recipes). Weight w ≥ 0 per stratum emits floor(w) full
+    copies of each doc plus one extra copy for the deterministic
+    md5-fraction frac(w) of docs — so the realized epoch count equals w
+    in expectation AND the same docs get the extra copy on every run,
+    engine, and partitioning. Output adds __epoch (1-based copy index)
+    so downstream packing can interleave epochs. Strata absent from
+    `weights` are dropped (explicit mixing only, as in
+    stratified_hash_sample). Fractions quantize to 1/65536.
+
+    Scale shape: broadcast-free, shuffle-free — one hash, one CASE and
+    one posexplode(array_repeat) per row; output size is the weighted
+    sum of strata sizes, never a join."""
+    key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    base = None
+    thresh = None
+    for stratum, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative mixture weight for {stratum!r}")
+        cond = F.col(strata_col) == stratum
+        b, frac = int(w), w - int(w)
+        hexv = rate_hex_threshold(frac)
+        base = F.when(cond, b) if base is None else base.when(cond, b)
+        thresh = (
+            F.when(cond, F.lit(hexv)) if thresh is None
+            else thresh.when(cond, F.lit(hexv))
+        )
+    base = base.otherwise(F.lit(0))
+    thresh = thresh.otherwise(F.lit("0000"))
+    n_copies = base + F.when(key < thresh, 1).otherwise(0)
+    return (
+        df.select(
+            "*",
+            F.posexplode(F.array_repeat(F.lit(1), n_copies)).alias(
+                "__pos", "__one"
+            ),
+        )
+        .withColumn("__epoch", F.col("__pos") + 1)
+        .drop("__pos", "__one")
+    )

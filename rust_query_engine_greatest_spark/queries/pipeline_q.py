@@ -955,3 +955,38 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.stratified_hash_sample(
         d.select("doc_id", "source"), "doc_id", "source", _STRATA_RATES
     )
+
+
+_MIXTURE_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.25, "src3": 3.0}
+
+@register(
+    "text_mixture_epochs",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+                         WHEN 'src2' THEN 0 WHEN 'src3' THEN 3
+                         ELSE 0 END
+             + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                      CASE source WHEN 'src0' THEN '8000'
+                                  WHEN 'src2' THEN '4000'
+                                  ELSE '0000' END
+                THEN 1 ELSE 0 END AS n_copies
+      FROM documents)
+    SELECT doc_id, source, CAST(UNNEST(range(1, n_copies + 1)) AS INT) AS __epoch
+    FROM w
+    """,
+    tags=("pipeline", "text"),
+)
+def text_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch mixture materialization (src0×2.5, src1×1,
+    src2×0.25, src3×3, the other 16 sources dropped): floor(w) full
+    copies + a deterministic md5-fraction extra copy, __epoch carrying
+    the copy index — the source-mixing step of a training-set build,
+    reproducible across engines (exact oracle via the identical hash
+    arithmetic in DuckDB). Shuffle-free: hash + CASE +
+    posexplode(array_repeat) per row, no join."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.mixture_epochs(
+        d.select("doc_id", "source"), "doc_id", "source", _MIXTURE_WEIGHTS
+    )

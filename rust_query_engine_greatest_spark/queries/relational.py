@@ -1524,3 +1524,35 @@ def setop_coercion_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("hi"),
         )
     )
+
+
+@register(
+    "agg_multi_distinct",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           COUNT(DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE)) AS n_months,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "edge"),
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates over different columns alongside
+    plain aggregates in one GROUP BY — Catalyst rewrites via Expand
+    (one row per distinct-group per input row) + two-phase agg, the
+    same rewrite the reference applies in
+    optimizer/src/single_distinct_to_groupby.rs and its multi-distinct
+    planner path. Plan-pinned: Expand present, ONE shuffle family on
+    the group key (no per-distinct re-scan)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date")
+        ).alias("n_months"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(dec2("o_totalprice"), "sum_price"),
+    )

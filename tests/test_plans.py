@@ -302,3 +302,18 @@ def test_correlated_scalar_decorrelates_to_agg_join(spark, sf_dir):
     df = REGISTRY["subq_scalar_correlated"].build(spark, sf_dir)
     assert_no_cartesian(df)
     assert_broadcast_join(df)
+
+
+def test_multi_distinct_expands_single_scan(spark, sf_dir):
+    """agg_multi_distinct: two DISTINCT aggregates + plain aggregates
+    must plan as ONE scan through Expand (single_distinct_to_groupby
+    analogue) — never one scan-and-join per distinct column."""
+    from rust_query_engine_greatest_spark.plans.explain import plan_string
+
+    import re
+
+    df = REGISTRY["agg_multi_distinct"].build(spark, sf_dir)
+    plan = plan_string(df)
+    assert "Expand" in plan, plan
+    # one scan node in the formatted detail section ("(N) Scan parquet")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
