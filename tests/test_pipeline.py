@@ -559,3 +559,40 @@ def test_keep_canonical_keeps_min_and_singletons(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
     kept = {r["doc_id"] for r in cluster.keep_canonical(docs, pairs, "doc_id").collect()}
     assert kept == {1, 10, 99}
+
+
+def test_mixture_epochs_copies_and_determinism(spark):
+    """mixture_epochs: floor(w) guaranteed copies, ≤1 extra, unlisted
+    strata dropped, __epoch contiguous from 1, deterministic across
+    calls; negative weights rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from rust_query_engine_greatest_spark.pipeline.text import mixture_epochs
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else ("b" if i % 3 == 0 else "z"))
+         for i in range(200)],
+        "id long, src string",
+    )
+    out = mixture_epochs(df, "id", "src", {"a": 2.5, "b": 0.0})
+    per = {r["src"]: r for r in out.groupBy("src").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("id").alias("docs"),
+        F.max("__epoch").alias("max_epoch"),
+        F.min("__epoch").alias("min_epoch"),
+    ).collect()}
+    assert set(per) == {"a"}          # z unlisted → dropped; b w=0 → dropped
+    a = per["a"]
+    assert a["docs"] == 100 and a["min_epoch"] == 1 and a["max_epoch"] == 3
+    assert 200 <= a["n"] <= 300       # 2 copies each + fraction get a 3rd
+    # every doc has epochs 1..n_i contiguous
+    bad = (
+        out.groupBy("id").agg(F.count("*").alias("n"), F.max("__epoch").alias("m"))
+        .filter(F.col("n") != F.col("m")).count()
+    )
+    assert bad == 0
+    again = mixture_epochs(df, "id", "src", {"a": 2.5, "b": 0.0})
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    with _pytest.raises(ValueError, match="negative mixture weight"):
+        mixture_epochs(df, "id", "src", {"a": -1.0})
