@@ -143,3 +143,69 @@ def source_object_store_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, url, columns=["c_mktsegment", "c_acctbal"]
     )
     return _agg(df.filter(F.col("c_acctbal") > 0))
+
+
+_EVOLUTION_ORACLE = """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(n_regionkey) AS n_with_region,
+           SUM(n_regionkey) AS region_sum
+    FROM (SELECT n_nationkey, n_name, NULL AS n_regionkey FROM nation
+          UNION ALL
+          SELECT n_nationkey, n_name, n_regionkey FROM nation)
+"""
+
+
+@register("source_schema_evolution", _EVOLUTION_ORACLE, tags=("sources", "parquet"))
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution (schema_evolution.slt /
+    ListingTable-with-schema-merge): two generations of files — one
+    written before a column existed, one after — scanned as ONE table
+    via mergeSchema; old-generation rows surface NULL for the added
+    column. The aggregate (total, non-null count, sum over the evolved
+    column) hash-matches an oracle that reconstructs the union."""
+    dst = os.path.join(_STAGE, "nation_evolved")
+    nation = load_table(spark, sf_dir, "nation")
+    writers.write_parquet(
+        nation.select("n_nationkey", "n_name"), os.path.join(dst, "gen=0")
+    )
+    writers.write_parquet(
+        nation.select("n_nationkey", "n_name", "n_regionkey"),
+        os.path.join(dst, "gen=1"),
+    )
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(dst, "gen=0"), os.path.join(dst, "gen=1")
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_regionkey").alias("n_with_region"),
+        F.sum("n_regionkey").alias("region_sum"),
+    )
+
+
+_PARAMS_ORACLE = """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+"""
+
+
+@register("source_prepared_params", _PARAMS_ORACLE, tags=("sources", "sql"))
+def source_prepared_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (prepare.slt / PREPARE-EXECUTE placeholders):
+    the same statement template bound with named parameters via
+    spark.sql(..., args=...) — Spark's injection-safe equivalent of the
+    reference's prepared statements; literals arrive as typed
+    parameters, not string-spliced SQL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE o_totalprice > :minp AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"minp": 150000.0, "status": "F"},
+    )

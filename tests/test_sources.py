@@ -301,3 +301,25 @@ def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path_factory):
                 assert after[k] == before[k], k         # untouched
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_schema_evolution_incompatible_types_rejected(spark, nation, tmp_path_factory):
+    """mergeSchema unions compatible schemas but refuses a column whose
+    type changed incompatibly across generations (string vs bigint) —
+    pinned so evolution never silently coerces."""
+    d = str(tmp_path_factory.mktemp("evolve"))
+    nation.select("n_nationkey", F.col("n_name").alias("v")).write.parquet(d + "/g0")
+    nation.select("n_nationkey", F.col("n_regionkey").alias("v")).write.parquet(d + "/g1")
+    with pytest.raises(Exception, match="[Mm]erge|[Ff]ailed"):
+        spark.read.option("mergeSchema", True).parquet(d + "/g0", d + "/g1").collect()
+
+
+def test_prepared_params_typed_binding(spark, nation):
+    """Named parameters bind typed values (no string splicing): a
+    string argument containing quotes is data, not SQL."""
+    nation.createOrReplaceTempView("nation_p")
+    out = spark.sql(
+        "SELECT count(*) AS n FROM nation_p WHERE n_name = :nm OR n_nationkey < :k",
+        args={"nm": "no'such' -- name", "k": 3},
+    ).collect()
+    assert out[0]["n"] == 3
