@@ -323,3 +323,23 @@ def test_prepared_params_typed_binding(spark, nation):
         args={"nm": "no'such' -- name", "k": 3},
     ).collect()
     assert out[0]["n"] == 3
+
+
+def test_catalog_introspection_surface(spark, sf_dir):
+    """DDL/catalog parity (ddl.slt, describe.slt,
+    information_schema.slt): SHOW TABLES lists registered views,
+    DESCRIBE returns (col_name, data_type) rows matching the schema,
+    and the catalog API exposes the same inventory — the SHOW/DESCRIBE
+    surface a datafusion-cli user expects."""
+    catalog.register_views(spark, sf_dir)
+    shown = {r["tableName"] for r in spark.sql("SHOW TABLES").collect()}
+    assert set(catalog.TABLES) <= shown
+    desc = spark.sql("DESCRIBE TABLE nation").collect()
+    got = {r["col_name"]: r["data_type"] for r in desc if r["col_name"]}
+    want = {f.name: f.dataType.simpleString()
+            for f in spark.table("nation").schema.fields}
+    assert got == want
+    api = {t.name for t in spark.catalog.listTables()}
+    assert set(catalog.TABLES) <= api
+    cols = spark.catalog.listColumns("orders")
+    assert {c.name for c in cols} == set(spark.table("orders").columns)
