@@ -317,3 +317,44 @@ def test_multi_distinct_expands_single_scan(spark, sf_dir):
     assert "Expand" in plan, plan
     # one scan node in the formatted detail section ("(N) Scan parquet")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_runtime_bloom_filter_injects_at_scale(spark, sf_dir):
+    """Runtime Bloom-filter join pruning (the 100 TB path): Spark only
+    injects the filter when the probe side exceeds
+    applicationSideScanSizeThreshold (10 GB default — correctly
+    inactive at test scale). Lowering the threshold must inject
+    BloomFilterMightContain on the fact scan side of a selective
+    dim join, and results must be identical with and without it."""
+    from pyspark.sql import functions as F
+
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        q = lambda: (  # noqa: E731
+            l.join(p, l.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        baseline = q().collect()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        df = q()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan
+        assert sorted(map(tuple, df.collect())) == sorted(map(tuple, baseline))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
