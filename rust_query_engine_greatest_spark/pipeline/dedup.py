@@ -450,12 +450,18 @@ def embedding_dup_pairs(
     """Cosine ≥ threshold pairs, exact within blocks. Without block_col
     this is O(n²) — callers at scale pass an LSH bucket column from
     similarity.hyperplane_bucket as the block."""
-    from .similarity import cosine
+    from .similarity import dot, norm
 
     keys = [block_col] if block_col else []
-    v = df.select(F.col(id_col).alias("id"), *keys, F.col(vec_col).alias("v"))
-    a = v.select(F.col("id").alias("id_a"), *[F.col(k).alias(f"{k}_a") for k in keys], F.col("v").alias("va"))
-    b = v.select(F.col("id").alias("id_b"), *[F.col(k).alias(f"{k}_b") for k in keys], F.col("v").alias("vb"))
+    # Per-row norm folded ONCE before the pair expansion (same
+    # left-to-right double math as folding inside cosine(), bit-identical
+    # result, 3x fewer interpreted array folds per pair).
+    v = df.select(
+        F.col(id_col).alias("id"), *keys,
+        F.col(vec_col).alias("v"), norm(F.col(vec_col)).alias("n"),
+    )
+    a = v.select(F.col("id").alias("id_a"), *[F.col(k).alias(f"{k}_a") for k in keys], F.col("v").alias("va"), F.col("n").alias("na"))
+    b = v.select(F.col("id").alias("id_b"), *[F.col(k).alias(f"{k}_b") for k in keys], F.col("v").alias("vb"), F.col("n").alias("nb"))
     cond = F.col("id_a") < F.col("id_b")
     for k in keys:
         cond = cond & (F.col(f"{k}_a") == F.col(f"{k}_b"))
@@ -468,7 +474,9 @@ def embedding_dup_pairs(
     pairs = pairs.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return (
         pairs
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -47,12 +47,26 @@ def brute_force_topk(
     no shuffle of the corpus; then a window top-k on query id. At 100 TB
     corpus the scan parallelizes per-file; only k rows per query cross
     the final shuffle."""
-    q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"))
+    # Norms are per-row invariants: fold them ONCE on each side before
+    # the pair expansion (the interpreted HOF fold then runs once per
+    # row + once per pair, not three times per pair — same left-to-right
+    # double math, bit-identical cosines).
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cid") != F.col("qid"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("cid"))
     return (
@@ -110,16 +124,20 @@ def lsh_topk(
         ]
     q = queries.select(
         F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
         F.explode(F.array(*probes)).alias("bucket"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
         hyperplane_bucket(F.col(vec_col), pl).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("cid") != F.col("qid"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("cid"))
     return (
@@ -198,16 +216,20 @@ def ivf_topk(
     cent = learn_centroids(corpus, corpus_id, vec_col, n_centroids)
     c = corpus.select(
         F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
         ivf_assign(F.col(vec_col), cent, 1)[0].alias("cell"),
     )
     q = queries.select(
         F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
         F.explode(ivf_assign(F.col(vec_col), cent, nprobe)).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("cid") != F.col("qid"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("cid"))
     return (
