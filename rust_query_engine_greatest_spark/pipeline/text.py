@@ -157,12 +157,19 @@ def winnow_fingerprints(
     return mins.groupBy("id").agg(F.array_sort(F.collect_set("m")).alias("fps"))
 
 
-def token_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Space-joined token n-grams of the lowercased text (array<string>);
-    empty array when the document has fewer than n tokens (guarded
-    explicitly — Spark's sequence(1, 0) DESCENDS to [1, 0] and slice
-    rejects start 0, so the unguarded form crashes on short docs)."""
-    toks = tokens(text)
+def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Space-joined n-grams from an ALREADY-MATERIALIZED token-array
+    column; empty array when the document has fewer than n tokens
+    (guarded explicitly — Spark's sequence(1, 0) DESCENDS to [1, 0] and
+    slice rejects start 0, so the unguarded form crashes on short docs).
+
+    The transform lambda must capture a bound attribute, never a
+    computed subtree: Spark's interpreted HOF evaluator re-evaluates
+    captured subtrees per element, so an inline tokens() capture re-runs
+    the split per gram position — O(tokens²) per doc (the shingling
+    pathology in BENCH_NOTES r4; 6× measured on decontaminate's gram
+    explosion). Hot callers project tokens() into a column first; the
+    multi-reference projection is not collapsed by Catalyst."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -170,6 +177,13 @@ def token_ngrams(text: Column | str, n: int = 3) -> Column:
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def token_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Inline convenience form of ngrams_from_tokens (captures the
+    tokens() subtree — fine for small/one-off inputs; hot paths
+    materialize the token array first, see ngrams_from_tokens)."""
+    return ngrams_from_tokens(tokens(text), n)
 
 
 def decontaminate(
@@ -187,11 +201,13 @@ def decontaminate(
     the (doc, hit) pairs reach the one aggregation exchange. No Python
     in the hot path."""
     bench_grams = (
-        bench.select(F.explode(token_ngrams(F.col(text_col), n)).alias("g")).distinct()
+        bench.select(tokens(F.col(text_col)).alias("toks"))
+        .select(F.explode(ngrams_from_tokens(F.col("toks"), n)).alias("g"))
+        .distinct()
     )
     doc_grams = docs.select(
-        F.col(id_col).alias("id"), F.explode(token_ngrams(F.col(text_col), n)).alias("g")
-    )
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).select("id", F.explode(ngrams_from_tokens(F.col("toks"), n)).alias("g"))
     return (
         doc_grams.join(F.broadcast(bench_grams), "g")
         .groupBy("id")
@@ -249,43 +265,50 @@ def repetition_profile(df, id_col: str, text_col: str, n: int = 2):
         ≤ 0.6 AND top_ngram_frac ≤ 0.3; thresholds are arguments of the
         reader, not the algorithm).
 
-    Plan shape for 100 TB: the n-gram mode NEEDS an aggregation — done
-    as explode → partial-agg (map-side combine on (id, gram)) → one
-    exchange → per-id max/sum. Docs with < n tokens have zero n-grams:
-    ``top_ngram_frac`` is 0.0 for them (no division by zero) so every
-    input id appears exactly once in the output. NULL text counts as ''
-    (one empty token, zero n-grams)."""
+    Plan shape for 100 TB: the mode of a document's OWN n-grams is a
+    per-row property — array_sort puts equal grams adjacent and a
+    run-length fold takes the longest run, so the whole profile is a
+    scan-side projection with ZERO exchanges (the earlier
+    explode → (id, gram) agg → per-id agg → join-back form shuffled the
+    corpus twice for a value each row already owns; the fold's lambda
+    captures only its accumulator and element — the cheap-capture HOF
+    case, see ngrams_from_tokens). Docs with < n tokens have zero
+    n-grams: ``top_ngram_frac`` is 0.0 for them (no division by zero)
+    so every input id appears exactly once in the output. NULL text
+    counts as '' (one empty token, zero n-grams)."""
     c = F.coalesce(F.col(text_col), F.lit(""))
-    toks = tokens(c)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.size(toks).alias("n_tokens"),
+    base = df.select(F.col(id_col).alias("id"), tokens(c).alias("toks")).select(
+        "id",
+        F.size("toks").alias("n_tokens"),
         (
-            1.0 - F.size(F.array_distinct(toks)).cast("double")
-            / F.size(toks).cast("double")
+            1.0 - F.size(F.array_distinct("toks")).cast("double")
+            / F.size("toks").cast("double")
         ).alias("dup_token_frac"),
-        token_ngrams(c, n).alias("grams"),
+        ngrams_from_tokens(F.col("toks"), n).alias("grams"),
     )
-    gram_counts = (
-        base.select("id", F.explode("grams").alias("g"))
-        .groupBy("id", "g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("id")
-        .agg(
-            F.max("cnt").alias("top_cnt"),
-            F.sum("cnt").alias("n_grams"),
-        )
+    run = lambda acc, g: F.when(  # noqa: E731 — length of the run ending at g
+        acc["prev"].isNull() | (acc["prev"] != g), F.lit(1)
+    ).otherwise(acc["run"] + 1)
+    top_cnt = F.aggregate(
+        F.array_sort("grams"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            run(acc, g).alias("run"),
+            F.greatest(acc["best"], run(acc, g)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    prof = (
-        base.drop("grams")
-        .join(gram_counts, "id", "left")
-        .select(
-            "id", "n_tokens", "dup_token_frac",
-            F.coalesce(
-                F.col("top_cnt").cast("double") / F.col("n_grams").cast("double"),
-                F.lit(0.0),
-            ).alias("top_ngram_frac"),
-        )
+    prof = base.select(
+        "id", "n_tokens", "dup_token_frac",
+        F.when(
+            F.size("grams") > 0,
+            top_cnt.cast("double") / F.size("grams").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("top_ngram_frac"),
     )
     return prof.withColumn(
         "keep",

@@ -243,18 +243,15 @@ def test_pack_sequences_single_shard_exchange(spark, sf_dir):
     assert count_shuffle_exchanges(df) == 1
 
 
-def test_repetition_profile_bounded_exchanges(spark, sf_dir):
-    """text_repetition: explode → partial-agg on (id, gram) → per-id
-    agg → join back to the scan-side stats. At most 3 hash exchanges
-    (gram agg, id agg, join alignment) and no cartesian anywhere."""
-    from rust_query_engine_greatest_spark.plans import (
-        assert_no_cartesian,
-        count_shuffle_exchanges,
-    )
+def test_repetition_profile_zero_exchanges(spark, sf_dir):
+    """text_repetition: the per-doc top-n-gram mode is a per-row
+    property (array_sort + run-length fold), so the whole Gopher
+    profile is a scan-side projection — ZERO shuffle exchanges (was
+    explode → two aggs → join-back = 3)."""
+    from rust_query_engine_greatest_spark.plans import count_shuffle_exchanges
 
     df = REGISTRY["text_repetition"].build(spark, sf_dir)
-    assert_no_cartesian(df)
-    assert count_shuffle_exchanges(df) <= 3
+    assert count_shuffle_exchanges(df) == 0
 
 
 def test_not_in_plans_as_null_aware_anti(spark, sf_dir):
