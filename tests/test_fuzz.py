@@ -29,6 +29,9 @@ REPRESENTATIVE = [
     "window_frames",
     "setop_except_all",
     "events_top_users",
+    "subq_not_in_null_aware",   # NAAJ is broadcast-only: must stay correct broadcast-off
+    "subq_lateral_topk",        # WindowGroupLimit under every mode
+    "text_repetition",          # zero-exchange fold: partitioning-independent
 ]
 
 PERMUTATIONS = [
