@@ -230,6 +230,27 @@ def run_to_memory(stream_df: DataFrame, name: str, spark: SparkSession) -> DataF
     return spark.table(name)
 
 
+def run_to_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str
+) -> None:
+    """Drive a streaming DataFrame into a DURABLE parquet sink with a
+    checkpoint (availableNow trigger) — the production sink shape.
+    Exactly-once comes from the pair (checkpointed source offsets,
+    file-sink transaction log): re-running with the same checkpoint
+    after success is a no-op, and a restart mid-stream resumes without
+    duplicating committed batches. Pinned in
+    tests/test_streaming.py::test_parquet_sink_exactly_once_on_restart."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_dedup(
     events: DataFrame,
     key_cols: list[str] | None = None,

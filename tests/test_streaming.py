@@ -59,3 +59,28 @@ def test_pipeline_breaking_plan_rejected(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     with pytest.raises(AnalysisException):
         run_to_memory(stream.orderBy("ts"), "should_reject", spark)
+
+
+def test_parquet_sink_exactly_once_on_restart(spark, sf_dir, tmp_path_factory):
+    """Durable-sink exactly-once: a checkpointed availableNow run into a
+    parquet sink lands each source record exactly once, and re-running
+    with the SAME checkpoint adds nothing (offsets + file-sink commit
+    log make the retry a no-op). Output multiset equals the batch read
+    of the same source."""
+    from rust_query_engine_greatest_spark.streaming import pipelines as P
+
+    d = tmp_path_factory.mktemp("stream_sink")
+    out, ckpt = str(d / "out"), str(d / "ckpt")
+    src = P.read_events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    P.run_to_parquet(src, out, ckpt)
+    first = spark.read.parquet(out).count()
+    batch = catalog_load(spark, sf_dir).select("user_id", "event_type", "ts")
+    assert first == batch.count()
+    P.run_to_parquet(P.read_events_stream(spark, sf_dir).select("user_id", "event_type", "ts"), out, ckpt)
+    assert spark.read.parquet(out).count() == first
+
+
+def catalog_load(spark, sf_dir):
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+    return load_table(spark, sf_dir, "events")
