@@ -343,3 +343,23 @@ def test_catalog_introspection_surface(spark, sf_dir):
     assert set(catalog.TABLES) <= api
     cols = spark.catalog.listColumns("orders")
     assert {c.name for c in cols} == set(spark.table("orders").columns)
+
+
+def test_sql_session_variables(spark, sf_dir):
+    """SQL session variables (set_variable.slt parity — the reference's
+    SET/placeholder surface): DECLARE / SET VARIABLE / reference in a
+    query / reset to DEFAULT / DROP, with the variable feeding a real
+    predicate."""
+    catalog.register_views(spark, sf_dir)
+    spark.sql("DECLARE VARIABLE minbal DOUBLE DEFAULT 0.0")
+    try:
+        spark.sql("SET VARIABLE minbal = 5000.0")
+        n_hi = spark.sql(
+            "SELECT count(*) AS n FROM customer WHERE c_acctbal > minbal"
+        ).collect()[0]["n"]
+        want = spark.table("customer").filter(F.col("c_acctbal") > 5000.0).count()
+        assert n_hi == want
+        spark.sql("SET VARIABLE minbal = DEFAULT")
+        assert spark.sql("SELECT minbal AS v").collect()[0]["v"] == 0.0
+    finally:
+        spark.sql("DROP TEMPORARY VARIABLE minbal")
