@@ -122,6 +122,7 @@ def main() -> None:
             ("sim_topk_bruteforce", REGISTRY["sim_topk_bruteforce"].build),
             ("text_decontaminate", REGISTRY["text_decontaminate"].build),
             ("text_hash_sample", REGISTRY["text_hash_sample"].build),
+            ("text_repetition", REGISTRY["text_repetition"].build),
         ]
         for name, build in pipe:
             if time.time() - _T0 > BUDGET_S:
