@@ -112,7 +112,7 @@ _R4_ADDED_PRIORITY = (
     "subq_quantified_all_any", "subq_scalar_uncorrelated", "subq_in_semi",
     "subq_exists_correlated", "source_object_store_scan",
     "text_mixture_epochs", "agg_multi_distinct",
-    "source_schema_evolution", "source_prepared_params",
+    "source_schema_evolution", "source_prepared_params", "events_gapfill",
 )
 
 

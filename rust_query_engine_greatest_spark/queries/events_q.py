@@ -223,3 +223,73 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("start_ts"),
         F.max("ts").alias("end_ts"),
     )
+
+
+@register(
+    "events_gapfill",
+    """
+    WITH bounds AS (
+      SELECT event_type,
+             date_trunc('hour', min(ts)) AS mn,
+             date_trunc('hour', max(ts)) AS mx
+      FROM events GROUP BY event_type),
+    spine AS (
+      SELECT event_type, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             COUNT(*) AS n, MAX(value) AS mv
+      FROM events GROUP BY event_type, date_trunc('hour', ts))
+    SELECT s.event_type, s.h,
+           COALESCE(hy.n, 0) AS n,
+           last_value(hy.mv IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s.h) AS fill_value
+    FROM spine s
+    LEFT JOIN hourly hy ON hy.event_type = s.event_type AND hy.h = s.h
+    """,
+    tags=("events", "datetime"),
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + LOCF interpolation (the
+    time_bucket_gapfill/locf operation of telemetry stores — beyond the
+    reference, which has no gap-fill): per event_type, an hourly spine
+    spanned from the series' own min/max hour (sequence + explode),
+    left-joined to the hourly aggregate; missing hours carry count 0 and
+    the last observed MAX(value) (IGNORE NULLS window — max is
+    order-independent, so the double survives the oracle hash).
+
+    Scale shape: the spine is calendar-sized (rows = hours × series),
+    orders of magnitude smaller than the event data; the LOCF window
+    partitions by the series key, so no global single-partition sort.
+    One aggregation exchange on (event_type, hour), one broadcast-able
+    spine join, one window exchange on event_type."""
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mv"))
+    spine = (
+        e.groupBy("event_type")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("mn"),
+            F.date_trunc("hour", F.max("ts")).alias("mx"),
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.last("mv", ignorenulls=True).over(w).alias("fill_value"),
+        )
+    )
