@@ -293,3 +293,102 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("mv", ignorenulls=True).over(w).alias("fill_value"),
         )
     )
+
+
+@register(
+    "events_interpolate",
+    """
+    WITH bounds AS (
+      SELECT event_type,
+             date_trunc('hour', min(ts)) AS mn,
+             date_trunc('hour', max(ts)) AS mx
+      FROM events GROUP BY event_type),
+    spine AS (
+      SELECT event_type, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, MAX(value) AS mv
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    joined AS (
+      SELECT s.event_type, s.h, hy.mv,
+             CASE WHEN hy.mv IS NULL THEN NULL ELSE s.h END AS obs_h
+      FROM spine s
+      LEFT JOIN hourly hy ON hy.event_type = s.event_type AND hy.h = s.h),
+    ctx AS (
+      SELECT event_type, h, mv,
+             last_value(mv IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY h) AS pv,
+             last_value(obs_h IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY h) AS ph,
+             first_value(mv IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(obs_h IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM joined)
+    SELECT event_type, h,
+           CASE
+             WHEN mv IS NOT NULL THEN mv
+             WHEN pv IS NULL OR nv IS NULL THEN NULL
+             ELSE pv + (nv - pv) * (CAST(epoch(h) - epoch(ph) AS DOUBLE)
+                                    / CAST(epoch(nh) - epoch(ph) AS DOUBLE))
+           END AS interp
+    FROM ctx
+    """,
+    tags=("events", "datetime"),
+)
+def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across time-series gaps (the `interpolate`
+    companion to events_gapfill's LOCF): each missing hour takes
+    pv + (nv − pv)·Δt/ΔT between its surrounding observations; edges
+    with no neighbor on one side stay NULL. Both engines evaluate the
+    IDENTICAL double expression on exact epoch-second longs →
+    deterministic IEEE result → hash parity. Same scale shape as
+    gapfill: calendar-sized spine, windows partitioned by series key."""
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.max("value").alias("mv"))
+    spine = (
+        e.groupBy("event_type")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("mn"),
+            F.date_trunc("hour", F.max("ts")).alias("mx"),
+        )
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "h"], "left").withColumn(
+        "obs_h", F.when(F.col("mv").isNotNull(), F.col("h"))
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    sec = lambda c: F.col(c).cast("long")  # noqa: E731 — epoch seconds
+    ctx = (
+        joined.withColumn("pv", F.last("mv", ignorenulls=True).over(back))
+        .withColumn("ph", F.last("obs_h", ignorenulls=True).over(back))
+        .withColumn("nv", F.first("mv", ignorenulls=True).over(fwd))
+        .withColumn("nh", F.first("obs_h", ignorenulls=True).over(fwd))
+    )
+    interp = (
+        F.when(F.col("mv").isNotNull(), F.col("mv"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * ((sec("h") - sec("ph")).cast("double")
+               / (sec("nh") - sec("ph")).cast("double"))
+        )
+    )
+    return ctx.select("event_type", "h", interp.alias("interp"))
