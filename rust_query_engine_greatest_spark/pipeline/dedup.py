@@ -450,7 +450,7 @@ def embedding_dup_pairs(
     """Cosine ≥ threshold pairs, exact within blocks. Without block_col
     this is O(n²) — callers at scale pass an LSH bucket column from
     similarity.hyperplane_bucket as the block."""
-    from .similarity import dot, norm
+    from .similarity import dot, norm, safe_cos
 
     keys = [block_col] if block_col else []
     # Per-row norm folded ONCE before the pair expansion (same
@@ -475,7 +475,7 @@ def embedding_dup_pairs(
     return (
         pairs
         .withColumn(
-            "cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            "cos", safe_cos(dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

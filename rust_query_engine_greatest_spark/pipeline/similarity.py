@@ -29,8 +29,18 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def safe_cos(d: Column, na: Column, nb: Column) -> Column:
+    """dot / (norm·norm) with the zero-vector guard: a zero-norm side
+    makes the quotient 0/0 = NaN, and Spark orders NaN ABOVE every
+    double — an unguarded zero embedding would out-rank every real
+    neighbor and pass any `cos >= t` filter. Undefined similarity is
+    NULL instead (dropped by filters; sorted last under desc)."""
+    den = na * nb
+    return F.when(den != 0, d / den)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return safe_cos(dot(a, b), norm(a), norm(b))
 
 
 def brute_force_topk(
@@ -65,12 +75,13 @@ def brute_force_topk(
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cid") != F.col("qid"))
         .withColumn(
-            "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            "cos", safe_cos(dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn"))
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("cid"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.filter(F.col("cos").isNotNull())  # zero-norm rows: no rank
+        .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "cid", "cos", "rnk")
     )
@@ -136,12 +147,13 @@ def lsh_topk(
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("cid") != F.col("qid"))
         .withColumn(
-            "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            "cos", safe_cos(dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn"))
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("cid"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.filter(F.col("cos").isNotNull())  # zero-norm rows: no rank
+        .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "cid", "cos", "rnk")
     )
@@ -228,12 +240,13 @@ def ivf_topk(
         c.join(F.broadcast(q), "cell")
         .filter(F.col("cid") != F.col("qid"))
         .withColumn(
-            "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            "cos", safe_cos(dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn"))
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("cid"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.filter(F.col("cos").isNotNull())  # zero-norm rows: no rank
+        .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "cid", "cos", "rnk")
     )

@@ -365,12 +365,14 @@ def pack_sequences(df, id_col: str, text_col: str, budget: int = 512,
 def rate_hex_threshold(rate: float) -> str:
     """4-hex-char threshold for md5-prefix sampling: keep iff
     substr(md5, 1, 4) < threshold. rate quantizes to 1/65536 steps;
-    rate >= 1 returns 'g000' (lexicographically above every hex string,
-    so ALL rows keep — '10000' would be a 5-char string that sorts
-    BELOW '1fff' and silently keep ~1/16th)."""
+    rate >= 1 — or a fraction that ROUNDS to 65536 (rate ≥ 1 − 2⁻¹⁷) —
+    returns 'g000' (lexicographically above every hex string, so ALL
+    rows keep; '10000' would be a 5-char string that sorts BELOW '1fff'
+    and silently keep ~1/16th)."""
     if rate >= 1:
         return "g000"
-    return format(max(0, round(rate * 65536)), "04x")
+    v = max(0, round(rate * 65536))
+    return "g000" if v >= 65536 else format(v, "04x")
 
 
 def stratified_hash_sample(df, id_col: str, strata_col: str,
@@ -384,6 +386,8 @@ def stratified_hash_sample(df, id_col: str, strata_col: str,
     Strata absent from `rates` are DROPPED (explicit mixing weights
     only — silent pass-through would un-weight unknown sources).
     Shuffle-free: one hash + one CASE per row."""
+    if not rates:
+        raise ValueError("stratified_hash_sample: empty rates dict")
     key = F.md5(F.col(id_col).cast("string"))
     thresh = None
     for stratum, rate in sorted(rates.items()):
@@ -417,6 +421,8 @@ def mixture_epochs(df, id_col: str, strata_col: str,
     Scale shape: broadcast-free, shuffle-free — one hash, one CASE and
     one posexplode(array_repeat) per row; output size is the weighted
     sum of strata sizes, never a join."""
+    if not weights:
+        raise ValueError("mixture_epochs: empty weights dict")
     key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
     base = None
     thresh = None

@@ -225,6 +225,28 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hourly_spine(e):
+    """(hourly, spine) for the gap-fill family: per-(event_type, hour)
+    aggregate and the hourly calendar spine spanned from each series'
+    own min/max hour — one source of truth for bucket granularity and
+    bounds across gapfill/interpolate."""
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mv"))
+    spine = (
+        e.groupBy("event_type")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("mn"),
+            F.date_trunc("hour", F.max("ts")).alias("mx"),
+        )
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h"),
+        )
+    )
+    return hourly, spine
+
+
 @register(
     "events_gapfill",
     """
@@ -264,22 +286,7 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     One aggregation exchange on (event_type, hour), one broadcast-able
     spine join, one window exchange on event_type."""
     e = _events(spark, sf_dir)
-    hourly = e.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mv"))
-    spine = (
-        e.groupBy("event_type")
-        .agg(
-            F.date_trunc("hour", F.min("ts")).alias("mn"),
-            F.date_trunc("hour", F.max("ts")).alias("mx"),
-        )
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("mn", "mx", F.expr("interval 1 hour"))
-            ).alias("h"),
-        )
-    )
+    hourly, spine = _hourly_spine(e)
     w = (
         Window.partitionBy("event_type")
         .orderBy("h")
@@ -347,23 +354,10 @@ def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic IEEE result → hash parity. Same scale shape as
     gapfill: calendar-sized spine, windows partitioned by series key."""
     e = _events(spark, sf_dir)
-    hourly = e.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.max("value").alias("mv"))
-    spine = (
-        e.groupBy("event_type")
-        .agg(
-            F.date_trunc("hour", F.min("ts")).alias("mn"),
-            F.date_trunc("hour", F.max("ts")).alias("mx"),
-        )
-        .select(
-            "event_type",
-            F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h"),
-        )
-    )
-    joined = spine.join(hourly, ["event_type", "h"], "left").withColumn(
-        "obs_h", F.when(F.col("mv").isNotNull(), F.col("h"))
-    )
+    hourly, spine = _hourly_spine(e)
+    joined = spine.join(
+        hourly.drop("n"), ["event_type", "h"], "left"
+    ).withColumn("obs_h", F.when(F.col("mv").isNotNull(), F.col("h")))
     back = (
         Window.partitionBy("event_type")
         .orderBy("h")

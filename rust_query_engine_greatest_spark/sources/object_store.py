@@ -78,10 +78,10 @@ def s3a_conf(
     return conf
 
 
-def _list_objects(url: str, fmt: str) -> tuple[list[str], str]:
-    """Resolve a URI to (data file paths, fs-relative root). Hidden and
-    commit-marker files (_SUCCESS, dotfiles) are skipped, matching both
-    Spark's and the reference's listers."""
+def _list_objects(url: str, fmt: str):
+    """Resolve a URI to (filesystem, data file paths, root path).
+    Hidden and commit-marker files (_SUCCESS, dotfiles) are skipped,
+    matching both Spark's and the reference's listers."""
     import pyarrow.fs as pafs
 
     fs, path = pafs.FileSystem.from_uri(url)
@@ -102,7 +102,34 @@ def _list_objects(url: str, fmt: str) -> tuple[list[str], str]:
         raise FileNotFoundError(f"object-store URI not found: {url!r}")
     if not files:
         raise FileNotFoundError(f"no {fmt} objects under {url!r}")
-    return files, path
+    return fs, files, path
+
+
+def _partition_spec(files: list[str], root: str) -> list[str]:
+    """Hive-style partition keys from the directory layout (`k=v` path
+    segments between root and file). All files must agree on the key
+    sequence — partition values live in directory NAMES, not file
+    footers, so ignoring them would silently drop columns."""
+    specs = set()
+    for f in files:
+        rel = f[len(root):].strip("/")
+        keys = tuple(
+            seg.split("=", 1)[0] for seg in rel.split("/")[:-1] if "=" in seg
+        )
+        specs.add(keys)
+    if len(specs) > 1:
+        raise ValueError(
+            f"inconsistent hive partition layouts under {root!r}: {sorted(specs)}"
+        )
+    return list(specs.pop()) if specs else []
+
+
+def _partition_values(path: str, root: str, keys: list[str]) -> list[str]:
+    rel = path[len(root):].strip("/")
+    vals = dict(
+        seg.split("=", 1) for seg in rel.split("/")[:-1] if "=" in seg
+    )
+    return [vals[k] for k in keys]
 
 
 def object_store_scan(
@@ -116,37 +143,51 @@ def object_store_scan(
     of the reference's object_store crate (list → per-object ranged
     reads → Arrow batches).
 
-    Driver work is bounded: one LIST plus one parquet-footer read (for
-    the schema). Executors re-open the filesystem from the URI (pyarrow
-    filesystems are not pickled) and stream `iter_batches`, so a file is
-    never fully materialized. Column pruning is pushed into the parquet
-    reader; CSV scans read whole objects (unsplittable, as in Spark)."""
-    import pyarrow.fs as pafs
+    Driver work is bounded: one LIST plus one schema probe (parquet:
+    footer only; csv: first block via the streaming reader). Executors
+    re-open the filesystem from the URI (pyarrow filesystems are not
+    pickled) and stream batches, so a file is never fully materialized.
+    Column pruning is pushed into the parquet reader; CSV files decode
+    with the DRIVER-probed schema (ConvertOptions), so per-file
+    inference drift cannot corrupt the declared types.
+
+    Hive-style `k=v` directories surface as STRING partition columns
+    appended after the file columns (Spark's layout; type inference
+    deliberately not applied — cast downstream). All data files must
+    share one schema: a file whose arrow schema diverges from the probe
+    fails with a clear per-file error (schema-evolved layouts: use
+    spark.read.option("mergeSchema", True) through a connector instead)."""
+    import pyarrow as pa
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    files, _root = _list_objects(url, fmt)
+    fs, files, root = _list_objects(url, fmt)
+    part_keys = _partition_spec(files, root)
 
     if fmt == "parquet":
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        fs, _ = pafs.FileSystem.from_uri(url)
         with fs.open_input_file(files[0]) as fh:
-            arrow_schema = pq.ParquetFile(fh).schema_arrow
+            file_schema = pq.ParquetFile(fh).schema_arrow
         if columns:
-            arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
+            file_schema = pa.schema([file_schema.field(c) for c in columns])
+        convert = None
     elif fmt == "csv":
         import pyarrow.csv as pacsv
 
-        fs, _ = pafs.FileSystem.from_uri(url)
         with fs.open_input_stream(files[0]) as fh:
-            arrow_schema = pacsv.read_csv(fh).schema
+            # streaming reader: schema from the first block only — the
+            # probe never materializes a whole (possibly multi-GB) object
+            file_schema = pacsv.open_csv(fh).schema
         if columns:
             raise ValueError("column pruning is parquet-only in object_store_scan")
+        convert = {f.name: f.type for f in file_schema}
     else:
         raise ValueError(f"unsupported format {fmt!r} (parquet|csv)")
 
-    spark_schema = from_arrow_schema(arrow_schema)
+    out_schema = pa.schema(
+        list(file_schema) + [pa.field(k, pa.string()) for k in part_keys]
+    )
+    spark_schema = from_arrow_schema(out_schema)
     cols = list(columns) if columns else None
 
     paths_df = spark.createDataFrame(
@@ -154,21 +195,49 @@ def object_store_scan(
     ).repartition(min(len(files), spark.sparkContext.defaultParallelism))
 
     def scan(batches: Iterator) -> Iterator:
+        import pyarrow as pa_x
         import pyarrow.fs as pafs_x
 
         fs_x, _ = pafs_x.FileSystem.from_uri(url)
+
+        def with_parts(batch: pa_x.RecordBatch, pvals: list[str]) -> pa_x.RecordBatch:
+            if not part_keys:
+                return batch
+            arrays = list(batch.columns) + [
+                pa_x.array([v] * batch.num_rows, type=pa_x.string()) for v in pvals
+            ]
+            return pa_x.RecordBatch.from_arrays(arrays, schema=out_schema)
+
         for b in batches:
             for p in b.column("path").to_pylist():
+                pvals = _partition_values(p, root, part_keys)
                 if fmt == "parquet":
                     import pyarrow.parquet as pq_x
 
                     with fs_x.open_input_file(p) as fh:
-                        yield from pq_x.ParquetFile(fh).iter_batches(columns=cols)
+                        pf = pq_x.ParquetFile(fh)
+                        got = pf.schema_arrow
+                        want_names = cols or [f.name for f in file_schema]
+                        missing = set(want_names) - set(got.names)
+                        if missing:
+                            raise ValueError(
+                                f"object_store_scan: {p!r} lacks columns "
+                                f"{sorted(missing)} present in the probed "
+                                "schema — mixed-schema layout (mergeSchema "
+                                "is not supported by this scan)"
+                            )
+                        for batch in pf.iter_batches(columns=cols):
+                            if batch.schema != file_schema:
+                                batch = batch.cast(file_schema)
+                            yield with_parts(batch, pvals)
                 else:
                     import pyarrow.csv as pacsv_x
 
+                    opts = pacsv_x.ConvertOptions(column_types=convert)
                     with fs_x.open_input_stream(p) as fh:
-                        yield from pacsv_x.read_csv(fh).to_batches()
+                        rd = pacsv_x.open_csv(fh, convert_options=opts)
+                        for batch in rd:
+                            yield with_parts(batch, pvals)
 
     return paths_df.mapInArrow(scan, schema=spark_schema)
 

@@ -596,3 +596,36 @@ def test_mixture_epochs_copies_and_determinism(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
     with _pytest.raises(ValueError, match="negative mixture weight"):
         mixture_epochs(df, "id", "src", {"a": -1.0})
+
+
+def test_zero_norm_embeddings_never_rank_or_pair(spark):
+    """Zero-norm vectors make cosine 0/0 = NaN, and Spark sorts NaN
+    above every double — the guard turns undefined similarity into NULL
+    so zero vectors neither pair in dedup nor take top-k slots."""
+    from rust_query_engine_greatest_spark.pipeline.dedup import embedding_dup_pairs
+    from rust_query_engine_greatest_spark.pipeline.similarity import brute_force_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 0.0])],
+        "id long, embedding array<double>",
+    )
+    pairs = embedding_dup_pairs(df, "id", "embedding", threshold=0.9)
+    ids = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ids == {(1, 2)}  # nothing involving the zero vector
+    topk = brute_force_topk(df, df, "id", "id", "embedding", k=2).collect()
+    assert all(r["cid"] != 3 for r in topk)
+
+
+def test_rate_hex_threshold_near_one_fraction(spark):
+    """A fraction that ROUNDS to 65536 must keep everything ('g000'),
+    not fall into the 5-char '10000' trap that keeps ~1/16."""
+    from rust_query_engine_greatest_spark.pipeline.text import (
+        mixture_epochs,
+        rate_hex_threshold,
+    )
+
+    assert rate_hex_threshold(0.9999999) == "g000"
+    assert rate_hex_threshold(0.5) == "8000"
+    df = spark.createDataFrame([(i, "a") for i in range(50)], "id long, src string")
+    out = mixture_epochs(df, "id", "src", {"a": 2.9999999})
+    assert out.count() == 150  # every doc gets the 3rd copy

@@ -363,3 +363,52 @@ def test_sql_session_variables(spark, sf_dir):
         assert spark.sql("SELECT minbal AS v").collect()[0]["v"] == 0.0
     finally:
         spark.sql("DROP TEMPORARY VARIABLE minbal")
+
+
+def test_object_store_scan_hive_partitions(spark, nation, tmp_path_factory):
+    """Hive-style k=v directories surface as STRING partition columns —
+    partition values live in directory names, not footers; dropping
+    them silently would be a wrong-result trap."""
+    import os
+
+    from rust_query_engine_greatest_spark.sources.object_store import object_store_scan
+
+    p = str(tmp_path_factory.mktemp("objstore_part") / "nation")
+    nation.write.partitionBy("n_regionkey").parquet(p)
+    got = object_store_scan(spark, "file://" + os.path.abspath(p))
+    assert "n_regionkey" in got.columns
+    assert dict(got.schema["n_regionkey"].jsonValue().items())["type"] == "string"
+    want = sorted(
+        (r["n_nationkey"], str(r["n_regionkey"])) for r in nation.collect()
+    )
+    assert sorted(map(tuple, got.select("n_nationkey", "n_regionkey").collect())) == want
+
+
+def test_object_store_scan_mixed_schema_rejected(spark, nation, tmp_path_factory):
+    """A file missing columns vs the probed schema fails with a clear
+    per-file error, not a mid-job arrow conversion trace."""
+    import os
+
+    from rust_query_engine_greatest_spark.sources.object_store import object_store_scan
+
+    d = str(tmp_path_factory.mktemp("objstore_mixed"))
+    nation.select("n_nationkey", "n_name").write.parquet(d + "/a.parquet")
+    nation.select("n_nationkey").write.parquet(d + "/b.parquet")
+    with pytest.raises(Exception, match="lacks columns|mixed-schema"):
+        object_store_scan(spark, "file://" + os.path.abspath(d)).collect()
+
+
+def test_object_store_scan_csv_types_follow_probe(spark, tmp_path_factory):
+    """CSV files decode with the driver-probed schema (ConvertOptions):
+    a later file whose values would infer narrower still lands as the
+    probed type."""
+    import os
+
+    from rust_query_engine_greatest_spark.sources.object_store import object_store_scan
+
+    d = tmp_path_factory.mktemp("objstore_drift")
+    (d / "a.csv").write_text("k,v\n1,1.5\n")   # probe: v -> double
+    (d / "b.csv").write_text("k,v\n2,2\n")     # alone would infer int
+    got = object_store_scan(spark, "file://" + os.path.abspath(str(d)), fmt="csv")
+    assert dict((f.name, f.dataType.simpleString()) for f in got.schema.fields)["v"] == "double"
+    assert sorted(map(tuple, got.collect())) == [(1, 1.5), (2, 2.0)]
