@@ -137,6 +137,7 @@ def object_store_scan(
     url: str,
     fmt: str = "parquet",
     columns: list[str] | None = None,
+    partitions: dict[str, str] | None = None,
 ) -> DataFrame:
     """Distributed scan of any pyarrow-filesystem URI (file://, s3://,
     gs://, hdfs://) without JVM connector jars — the executable analogue
@@ -162,6 +163,30 @@ def object_store_scan(
 
     fs, files, root = _list_objects(url, fmt)
     part_keys = _partition_spec(files, root)
+    if partitions:
+        # List-level partition pruning (the reference's hive-partition
+        # pruning, listing/helpers.rs): equality predicates on k=v
+        # directory keys drop whole objects BEFORE any read — at scale
+        # this is the difference between scanning one partition and
+        # listing-then-filtering the lake.
+        unknown = set(partitions) - set(part_keys)
+        if unknown:
+            raise ValueError(
+                f"partition filter on non-partition keys {sorted(unknown)}; "
+                f"layout has {part_keys or 'no partition columns'}"
+            )
+        files = [
+            f
+            for f in files
+            if all(
+                dict(zip(part_keys, _partition_values(f, root, part_keys)))[k] == v
+                for k, v in partitions.items()
+            )
+        ]
+        if not files:
+            raise FileNotFoundError(
+                f"no objects match partition filter {partitions} under {url!r}"
+            )
 
     if fmt == "parquet":
         import pyarrow.parquet as pq

@@ -412,3 +412,23 @@ def test_object_store_scan_csv_types_follow_probe(spark, tmp_path_factory):
     got = object_store_scan(spark, "file://" + os.path.abspath(str(d)), fmt="csv")
     assert dict((f.name, f.dataType.simpleString()) for f in got.schema.fields)["v"] == "double"
     assert sorted(map(tuple, got.collect())) == [(1, 1.5), (2, 2.0)]
+
+
+def test_object_store_scan_partition_pruning(spark, nation, tmp_path_factory):
+    """Equality partition filters prune at LIST time — whole objects
+    drop before any read (hive-partition pruning analog)."""
+    import os
+
+    from rust_query_engine_greatest_spark.sources.object_store import object_store_scan
+
+    p = str(tmp_path_factory.mktemp("objstore_prune") / "nation")
+    nation.write.partitionBy("n_regionkey").parquet(p)
+    url = "file://" + os.path.abspath(p)
+    got = object_store_scan(spark, url, partitions={"n_regionkey": "2"})
+    want = nation.filter(F.col("n_regionkey") == 2).count()
+    assert got.count() == want
+    assert {r["n_regionkey"] for r in got.select("n_regionkey").distinct().collect()} == {"2"}
+    with pytest.raises(ValueError, match="non-partition keys"):
+        object_store_scan(spark, url, partitions={"nope": "1"})
+    with pytest.raises(FileNotFoundError, match="partition filter"):
+        object_store_scan(spark, url, partitions={"n_regionkey": "99"})
