@@ -355,3 +355,43 @@ def test_runtime_bloom_filter_injects_at_scale(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join (the runtime analog of operators/salted.py, on by
+    default in session.py): a planted hot key must make AQE split the
+    skewed partition at runtime — executed plan shows
+    SortMergeJoin(skew=true) / 'coalesced and skewed' — with the result
+    identical to the broadcast plan of the same join."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    left = spark.range(600000).select(
+        F.when(F.col("id") < 500000, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(200000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    expected = left.join(F.broadcast(right), "k").agg(
+        F.sum(F.col("v") + F.col("w")).alias("s")
+    ).collect()[0]["s"]
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+        df = left.join(right, "k").agg(F.sum(F.col("v") + F.col("w")).alias("s"))
+        got = df.collect()[0]["s"]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert got == expected
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
