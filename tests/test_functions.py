@@ -354,3 +354,34 @@ def test_run_greatest_arity_and_mismatch_errors(spark):
         run_greatest([[1, 2], ["a", "b"]], spark)
     with pytest.raises(ValueError, match="equal length"):
         run_greatest([[1, 2], [1]], spark)
+
+
+def test_error_surface_classes(spark):
+    """Error-surface parity (errors.slt): representative failure
+    classes raise typed, catchable analysis/arithmetic errors — not
+    silent wrong results. (greatest-specific arity/type errors are
+    pinned separately above.)"""
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    spark.createDataFrame([(1,)], "a int").createOrReplaceTempView("err_t")
+    with _pytest.raises(AnalysisException):            # unresolved column
+        spark.sql("SELECT no_such_col FROM err_t").collect()
+    with _pytest.raises(AnalysisException):            # unresolved function
+        spark.sql("SELECT no_such_fn(a) FROM err_t").collect()
+    with _pytest.raises(AnalysisException):            # grouping violation
+        spark.sql("SELECT a, count(*) FROM err_t GROUP BY 'x'").collect()
+    with _pytest.raises(Exception, match="CAST_INVALID_INPUT|cannot be cast"):
+        spark.sql("SELECT CAST('abc' AS INT) FROM err_t").collect()  # ANSI cast
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        spark.sql("SELECT a / 0 FROM err_t").collect()               # ANSI div
+
+
+def test_identifier_resolution_surface(spark):
+    """Identifier parity (identifiers.slt): case-insensitive resolution
+    by default, backquoted special identifiers, qualified star."""
+    df = spark.createDataFrame([(1, 2)], "a int, `odd name` int")
+    df.createOrReplaceTempView("ident_t")
+    assert spark.sql("SELECT A FROM ident_t").collect()[0][0] == 1
+    assert spark.sql("SELECT `odd name` FROM ident_t").collect()[0][0] == 2
+    assert spark.sql("SELECT t.* FROM ident_t t").columns == ["a", "odd name"]
