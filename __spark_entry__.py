@@ -113,7 +113,7 @@ _R4_ADDED_PRIORITY = (
     "subq_exists_correlated", "source_object_store_scan",
     "text_mixture_epochs", "agg_multi_distinct",
     "source_schema_evolution", "source_prepared_params", "events_gapfill",
-    "events_interpolate",
+    "events_interpolate", "text_c4_line_filter",
 )
 
 

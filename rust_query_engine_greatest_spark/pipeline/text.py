@@ -219,22 +219,31 @@ def decontaminate(
 # DuckDB oracle runs the IDENTICAL pattern strings.
 PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PII_PHONE_RE = r"\b\d{3}[- ]\d{4}\b"
+# IPv4 (octets unvalidated — redaction errs toward over-matching, the
+# same trade public pipelines make, e.g. Dolma's email/phone/IP triple)
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
 def redact_pii(text: Column | str) -> Column:
-    """Replace emails then phone-shaped digit runs with typed tags —
-    pure regexp_replace chain (codegen, shuffle-free at any scale)."""
+    """Replace emails, then IPv4 addresses, then phone-shaped digit
+    runs with typed tags (the Dolma-style email/phone/IP triple) — pure
+    regexp_replace chain (codegen, shuffle-free at any scale). IP runs
+    before PHONE so the dotted octets are not partially eaten."""
     c = F.col(text) if isinstance(text, str) else text
     c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IP_RE, "<IP>")
     return F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
 
 
-def pii_counts(text: Column | str) -> tuple[Column, Column]:
-    """(n_emails, n_phones) found in the text."""
+def pii_counts(text: Column | str) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_ips) found in the text. Counts are taken
+    on the RAW text independently, so an IP inside a larger string
+    still counts even where redaction order would have rewritten it."""
     c = F.col(text) if isinstance(text, str) else text
     return (
         F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0)),
         F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0)),
+        F.size(F.regexp_extract_all(c, F.lit(PII_IP_RE), 0)),
     )
 
 

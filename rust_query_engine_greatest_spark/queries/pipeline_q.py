@@ -703,13 +703,17 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seeded AS (
       SELECT doc_id,
              text || ' contact user' || doc_id ||
-             '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+             '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
       FROM documents)
     SELECT doc_id,
            len(regexp_extract_all(t, '{text.PII_EMAIL_RE}')) AS n_emails,
            len(regexp_extract_all(t, '{text.PII_PHONE_RE}')) AS n_phones,
-           md5(regexp_replace(regexp_replace(t, '{text.PII_EMAIL_RE}', '<EMAIL>', 'g'),
-                              '{text.PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+           len(regexp_extract_all(t, '{text.PII_IP_RE}')) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+                 t, '{text.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{text.PII_IP_RE}', '<IP>', 'g'),
+                 '{text.PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
     FROM seeded
     """,
     tags=("pipeline", "text"),
@@ -727,13 +731,16 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
             F.lit("@example.com or 555-"),
             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
         ).alias("t"),
     )
-    n_email, n_phone = text.pii_counts(F.col("t"))
+    n_email, n_phone, n_ip = text.pii_counts(F.col("t"))
     return seeded.select(
         "doc_id",
         n_email.alias("n_emails"),
         n_phone.alias("n_phones"),
+        n_ip.alias("n_ips"),
         F.md5(text.redact_pii(F.col("t"))).alias("redacted_md5"),
     )
 
@@ -989,4 +996,68 @@ def text_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return text.mixture_epochs(
         d.select("doc_id", "source"), "doc_id", "source", _MIXTURE_WEIGHTS
+    )
+
+
+@register(
+    "text_c4_line_filter",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN text || '.' ELSE text END)
+             || chr(10) || 'Too short.' || chr(10) ||
+             'This deterministic line has enough words to survive.' || chr(10) ||
+             'this line mentions javascript and has many words too.' || chr(10) ||
+             'No terminal punctuation here at all with many words'
+             || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet line.' ELSE '' END)
+             AS t
+      FROM documents)
+    SELECT doc_id,
+           NOT (contains(lower(t), 'lorem ipsum') OR contains(t, '{')) AS page_keep,
+           len(string_split(t, chr(10))) AS n_lines,
+           md5(array_to_string(
+             list_filter(string_split(t, chr(10)),
+               x -> regexp_matches(trim(x), '[.!?"]$')
+                    AND len(regexp_extract_all(trim(x), '\S+')) >= 5
+                    AND NOT contains(lower(x), 'javascript')),
+             chr(10))) AS kept_md5
+    FROM seeded
+    """,
+    tags=("pipeline", "text"),
+)
+def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2, the public
+    rules): keep lines ending in terminal punctuation with ≥ 5 words
+    and no 'javascript'; reject pages containing 'lorem ipsum' or '{'.
+    Deterministic multi-line seeding (half the docs get a terminal '.',
+    every 7th gets a lorem-ipsum line) makes every rule fire
+    data-dependently; the surviving text is md5-compared. Pure
+    filter-HOF over the split array — element-only lambda captures
+    (cheap-capture case), shuffle-free at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    t = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit("."))).otherwise(F.col("text")),
+        nl, F.lit("Too short."), nl,
+        F.lit("This deterministic line has enough words to survive."), nl,
+        F.lit("this line mentions javascript and has many words too."), nl,
+        F.lit("No terminal punctuation here at all with many words"),
+        F.when(F.col("doc_id") % 7 == 0, F.concat(nl, F.lit("lorem ipsum dolor sit amet line."))).otherwise(F.lit("")),
+    )
+    seeded = d.select("doc_id", t.alias("t"))
+    keep_line = lambda x: (  # noqa: E731
+        (F.regexp_count(F.trim(x), F.lit(r'[.!?"]$')) > 0)
+        & (F.size(F.regexp_extract_all(F.trim(x), F.lit(r"\S+"), 0)) >= 5)
+        & (~F.lower(x).contains("javascript"))
+    )
+    return seeded.select(
+        "doc_id",
+        (~(F.lower(F.col("t")).contains("lorem ipsum")
+           | F.col("t").contains("{"))).alias("page_keep"),
+        F.size(F.split(F.col("t"), "\n", -1)).alias("n_lines"),
+        F.md5(
+            F.array_join(
+                F.filter(F.split(F.col("t"), "\n", -1), keep_line), "\n"
+            )
+        ).alias("kept_md5"),
     )
