@@ -311,3 +311,92 @@ def test_window_fuzz_vs_duckdb(spark_global, rows):
             """).fetchall())
     con.close()
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+                  min_size=0, max_size=25),
+    right=st.lists(st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+                   min_size=0, max_size=25),
+)
+def test_setop_multiset_fuzz_vs_duckdb(spark_global, left, right):
+    """INTERSECT ALL / EXCEPT ALL / UNION over random multisets with
+    NULLs must agree with DuckDB on the exact result MULTISET —
+    bag-semantics min/difference counting and NULL-equality-for-setops
+    are classic divergence points (reference intersection.slt /
+    union.slt breadth, fuzzed)."""
+    spark = spark_global
+    sl = spark.createDataFrame([(v,) for v in left], "v int") if left else \
+        spark.createDataFrame([], "v int")
+    sr = spark.createDataFrame([(v,) for v in right], "v int") if right else \
+        spark.createDataFrame([], "v int")
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("l", pd.DataFrame({"v": pd.Series(left, dtype="object")}))
+    con.register("r", pd.DataFrame({"v": pd.Series(right, dtype="object")}))
+
+    def multiset(rows):
+        from collections import Counter
+
+        return Counter("N" if v is None or (isinstance(v, float) and math.isnan(v))
+                       else int(v) for (v,) in rows)
+
+    for op, sdf in (
+        ("INTERSECT ALL", sl.intersectAll(sr)),
+        ("EXCEPT ALL", sl.exceptAll(sr)),
+        ("UNION", sl.union(sr).distinct()),
+    ):
+        got = multiset((r.v,) for r in sdf.collect())
+        want = multiset(con.sql(
+            f"SELECT CAST(v AS INT) FROM l {op} SELECT CAST(v AS INT) FROM r"
+        ).fetchall())
+        assert got == want, (op, got, want)
+    con.close()
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    outer=st.lists(st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+                   min_size=0, max_size=20),
+    inner=st.lists(st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+                   min_size=0, max_size=20),
+)
+def test_not_in_three_valued_fuzz_vs_duckdb(spark_global, outer, inner):
+    """`x NOT IN (subquery)` under random NULLs on BOTH sides must
+    agree with DuckDB row-for-row — the 3-valued-logic edge
+    (subq_not_in_null_aware pins the shape; this fuzzes the value
+    space: NULL in the subquery → empty result, NULL outer x → never
+    kept, empty subquery → everything kept)."""
+    spark = spark_global
+    so = spark.createDataFrame([(v,) for v in outer], "v int") if outer else \
+        spark.createDataFrame([], "v int")
+    so.createOrReplaceTempView("fuzz_outer")
+    si = spark.createDataFrame([(v,) for v in inner], "v int") if inner else \
+        spark.createDataFrame([], "v int")
+    si.createOrReplaceTempView("fuzz_inner")
+    def norm(v):
+        # NULL survives an empty-subquery NOT IN (nothing to compare) —
+        # normalize it so the multiset compare covers that edge too
+        return "N" if v is None or (isinstance(v, float) and math.isnan(v)) else int(v)
+
+    got = sorted(
+        (norm(r.v) for r in spark.sql(
+            "SELECT v FROM fuzz_outer WHERE v NOT IN (SELECT v FROM fuzz_inner)"
+        ).collect()),
+        key=str,
+    )
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("o", pd.DataFrame({"v": pd.Series(outer, dtype="object")}))
+    con.register("i", pd.DataFrame({"v": pd.Series(inner, dtype="object")}))
+    want = sorted(
+        (norm(v[0]) for v in con.sql(
+            "SELECT CAST(v AS INT) FROM o WHERE v NOT IN (SELECT v FROM i)"
+        ).fetchall()),
+        key=str,
+    )
+    con.close()
+    assert got == want
