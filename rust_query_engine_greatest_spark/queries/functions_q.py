@@ -533,7 +533,8 @@ def func_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            power(CAST(doc_id % 10 AS DOUBLE), 2)               AS pw,
            strftime(to_timestamp(1700000000 + doc_id), '%Y-%m-%d %H:%M:%S') AS fut,
            strftime(to_timestamp(1700000000 + doc_id), '%Y-%m-%d %H')       AS tc,
-           length(CAST(uuid() AS VARCHAR)) = 36                AS uu
+           length(CAST(uuid() AS VARCHAR)) = 36                AS uu,
+           substr(lang, 1, 1) || '__' || substr(lang, 1 + 2 + 1) AS ovl
     FROM documents
     """,
     tags=("functions", "string"),
@@ -544,9 +545,11 @@ def func_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
     octet_length, character_length, string_to_array, nvl2,
     named_struct + get_field (functions/src/core/), nanvl
     (math/nanvl.rs), power, from_unixtime / to_char
-    (datetime/{from_unixtime,to_char}.rs → date_format), and uuid
+    (datetime/{from_unixtime,to_char}.rs → date_format), uuid
     (string/uuid.rs — nondeterministic, so asserted by shape: 36-char
-    RFC-4122 string, compared as a boolean both sides)."""
+    RFC-4122 string, compared as a boolean both sides), and overlay
+    (string/overlay.rs — DuckDB lacks OVERLAY, so the oracle uses the
+    standard's substr-composition definition)."""
     d = load_table(spark, sf_dir, "documents")
     did, lang, t = F.col("doc_id"), F.col("lang"), F.col("text")
     nan_or_id = F.when(did % 3 == 0, F.lit(float("nan"))).otherwise(did.cast("double"))
@@ -569,6 +572,10 @@ def func_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_unixtime(F.lit(1700000000) + did).alias("fut"),
         F.date_format(F.timestamp_seconds(F.lit(1700000000) + did), "yyyy-MM-dd HH").alias("tc"),
         (F.length(F.expr("uuid()")) == 36).alias("uu"),
+        # overlay (string/overlay.rs): replace 2 chars at pos 2 with '__'
+        # — DuckDB has no OVERLAY, so the oracle mirrors the standard's
+        # substr-composition definition
+        F.overlay(lang, F.lit("__"), 2, 2).alias("ovl"),
     )
 
 
