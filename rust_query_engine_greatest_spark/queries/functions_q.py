@@ -35,7 +35,7 @@ NAN = "CAST('nan' AS DOUBLE)"
              AS g
     FROM lineitem
     """,
-    tags=("greatest", "functions"),
+    tags=("greatest", "functions", "bench"),
 )
 def greatest_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row max over doubles with injected NULLs — greatest.rs:261-278
