@@ -114,6 +114,7 @@ _R4_ADDED_PRIORITY = (
     "text_mixture_epochs", "agg_multi_distinct",
     "source_schema_evolution", "source_prepared_params", "events_gapfill",
     "events_interpolate", "text_c4_line_filter",
+    "h2o_join_medium", "h2o_join_string",
 )
 
 

@@ -781,3 +781,80 @@ def h2o_groupby_allkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec2("value")).cast("double").alias("v"),
         F.count(F.lit(1)).alias("count"),
     )
+
+
+@register(
+    "h2o_join_medium",
+    """
+    WITH dim AS (
+      SELECT user_id, min(event_type) AS seg
+      FROM events WHERE user_id % 2 = 0 GROUP BY user_id
+    )
+    SELECT d.seg, e.event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS v
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY d.seg, e.event_type
+    """,
+    tags=("harness", "h2o"),
+)
+def h2o_join_medium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2O join task, medium-cardinality dim (50% of users — at real
+    scale this side is fact-proportional, NOT broadcastable, so the
+    plan is a shuffled hash/SMJ on the key; the broadcast-off fuzz
+    permutation exercises exactly that path). Completes the h2o join
+    family beside the small-dim (`h2o_join_bigsmall`) and string-key
+    (`h2o_join_string`) variants (benchmarks/src/bin/h2o.rs join
+    suite)."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.filter(F.col("user_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(F.min("event_type").alias("seg"))
+    )
+    return (
+        ev.join(dim, "user_id")
+        .groupBy("seg", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("value")).cast("double").alias("v"),
+        )
+    )
+
+
+@register(
+    "h2o_join_string",
+    """
+    WITH fact AS (
+      SELECT 'u' || CAST(user_id % 1000 AS VARCHAR) AS k, value FROM events
+    ), dim AS (
+      SELECT DISTINCT 'u' || CAST(user_id % 1000 AS VARCHAR) AS k
+      FROM events WHERE user_id % 3 = 0
+    )
+    SELECT substr(f.k, 2, 1) AS bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(f.value AS DECIMAL(12,2))) AS DOUBLE) AS v
+    FROM fact f JOIN dim d ON f.k = d.k
+    GROUP BY substr(f.k, 2, 1)
+    """,
+    tags=("harness", "h2o"),
+)
+def h2o_join_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2O join task on a STRING key (the id4/id5 string-key joins of
+    benchmarks/src/bin/h2o.rs): derived 'u<bucket>' keys on both sides,
+    semi-selective dim, re-aggregated by a carved key prefix — string
+    hashing/compare in the join hot path instead of int64."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.concat(F.lit("u"), (F.col("user_id") % 1000).cast("string"))
+    fact = ev.select(k.alias("k"), "value")
+    dim = (
+        ev.filter(F.col("user_id") % 3 == 0)
+        .select(k.alias("k"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, "k")
+        .groupBy(F.substring("k", 2, 1).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("value")).cast("double").alias("v"),
+        )
+    )
