@@ -113,6 +113,10 @@ def parse_slt(path: str) -> list[Block]:
             expected: list[str] = []
             if i < n and lines[i].strip() == "----":
                 i += 1
+                # tolerate an accidentally doubled separator (' ----'
+                # then '----', e.g. scalar.slt:1817)
+                while i < n and lines[i].strip() == "----":
+                    i += 1
                 while i < n and lines[i].strip():
                     expected.append(lines[i].rstrip())
                     i += 1
@@ -174,7 +178,11 @@ def _arrow_type_to_spark(t: str) -> str | None:
 # errors even under TRY_CAST); any type casts to STRING, and from
 # STRING both TRY_CASTs are analyzable and return NULL on the
 # non-matching kind.
-_I = "TRY_CAST(CAST({e} AS STRING) AS BIGINT)"       # numeric-kind branch
+# numeric-kind branch: STRING → DECIMAL(38,9) → BIGINT so that integer
+# inputs stay exact AND double-typed unit arithmetic (`ts / 1000` is
+# DOUBLE division in Spark, serialized in scientific notation) still
+# lands on the truncated integer DataFusion's int division produces.
+_I = ("TRY_CAST(TRY_CAST(CAST({e} AS STRING) AS DECIMAL(38,9)) AS BIGINT)")
 _TEMPORAL_CAST = {
     "Date32": (f"COALESCE(DATE_FROM_UNIX_DATE(CAST({_I} AS INT)), "
                "TRY_CAST(CAST({e} AS STRING) AS DATE))"),
@@ -459,7 +467,89 @@ def _rewrite_fn_calls(sql: str) -> str:
     """
     out = sql
     out = re.sub(r"\bmake_array\s*\(", "array(", out, flags=re.IGNORECASE)
+    out = re.sub(r"\barray_length\s*\(", "size(", out, flags=re.IGNORECASE)
     out = re.sub(r"\bconcat(?!_ws)\s*\(", "concat_ws('', ", out, flags=re.IGNORECASE)
+    # string_agg(x, 'sep' ORDER BY x [ASC|DESC]) → sorted collect + join
+    def _string_agg_order(m: re.Match) -> str:
+        expr, sep, by, desc = (m.group(1).strip(), m.group(2).strip(),
+                               m.group(3).strip(), m.group(4))
+        if expr.lower() != by.lower():
+            return m.group(0)
+        asc = "false" if desc and desc.strip().upper() == "DESC" else "true"
+        return f"array_join(sort_array(collect_list({expr}), {asc}), {sep})"
+
+    out = re.sub(
+        r"\bstring_agg\s*\(([^(),]+?),\s*('[^']*')\s+ORDER\s+BY\s+"
+        r"([^()]+?)(\s+ASC|\s+DESC)?\)",
+        _string_agg_order, out, flags=re.IGNORECASE,
+    )
+    # DataFusion 2-arg trim family is (string, trim_charset); Spark's
+    # function-call forms take (trim_charset, string) — swap.
+    pos = 0
+    while True:
+        m = re.search(r"\b(trim|ltrim|rtrim|btrim)\s*\(", out[pos:], re.IGNORECASE)
+        if not m:
+            break
+        open_p = pos + m.end() - 1
+        try:
+            close_p = _find_close(out, open_p)
+        except Untranslatable:
+            break
+        args = _split_top_level(out[open_p + 1 : close_p])
+        if len(args) == 2:
+            fn = "trim" if m.group(1).lower() == "btrim" else m.group(1)
+            repl = f"{fn}({args[1].strip()}, {args[0].strip()})"
+            out = out[: pos + m.start()] + repl + out[close_p + 1 :]
+            pos = pos + m.start() + len(repl)
+        else:
+            pos = open_p + 1
+    # struct(...) field names: DataFusion auto-names c0,c1,…; Spark uses
+    # col1/source-column names — spell the DataFusion names explicitly.
+    pos = 0
+    while True:
+        m = re.search(r"\bstruct\s*\(", out[pos:], re.IGNORECASE)
+        if not m:
+            break
+        open_p = pos + m.end() - 1
+        try:
+            close_p = _find_close(out, open_p)
+        except Untranslatable:
+            break
+        args = _split_top_level(out[open_p + 1 : close_p])
+        parts = []
+        for i, a in enumerate(args):
+            am = re.match(r"(.+?)\s+as\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", a.strip(),
+                          re.IGNORECASE | re.DOTALL)
+            if am:
+                parts.append(f"'{am.group(2)}', {am.group(1).strip()}")
+            else:
+                parts.append(f"'c{i}', {a.strip()}")
+        repl = "named_struct(" + ", ".join(parts) + ")"
+        out = out[: pos + m.start()] + repl + out[close_p + 1 :]
+        # advance only past "named_struct(" so nested struct() calls
+        # inside the argument list are rewritten too
+        pos = pos + m.start() + 1
+    # DOW: DataFusion/Postgres count Sunday=0; Spark's DAYOFWEEK Sunday=1
+    out = re.sub(
+        r"\bEXTRACT\s*\(\s*dow\s+FROM\s+([^()]+(?:\([^()]*\))?[^()]*)\)",
+        r"(EXTRACT(DAYOFWEEK FROM \1) - 1)", out, flags=re.IGNORECASE,
+    )
+    out = re.sub(
+        r"\bdate_part\s*\(\s*'DOW'\s*,",
+        "date_part_dow_shim(", out, flags=re.IGNORECASE,
+    )
+    if "date_part_dow_shim(" in out:
+        # no SQL-macro facility in raw text: expand inline
+        pos = 0
+        while True:
+            j = out.find("date_part_dow_shim(")
+            if j < 0:
+                break
+            open_p = j + len("date_part_dow_shim(") - 1
+            close_p = _find_close(out, open_p)
+            inner = out[open_p + 1 : close_p]
+            out = (out[:j] + f"(EXTRACT(DAYOFWEEK FROM {inner}) - 1)"
+                   + out[close_p + 1 :])
     # single-arg log → log10
     pos = 0
     while True:
@@ -491,13 +581,97 @@ def _rewrite_fn_calls(sql: str) -> str:
     return out
 
 
+# words after which a '[' opens an array LITERAL, not a subscript
+_SQL_KEYWORDS = {
+    "SELECT", "WHERE", "AND", "OR", "NOT", "IN", "BY", "ON", "WHEN",
+    "THEN", "ELSE", "END", "CASE", "VALUES", "UNION", "ALL", "AS",
+    "FROM", "HAVING", "LIMIT", "OFFSET", "DISTINCT", "BETWEEN", "LIKE",
+    "IS", "NULL", "SET", "RETURNING", "ARRAY", "ROW", "ELSE", "USING",
+}
+
+
+def _rewrite_brackets(sql: str) -> str:
+    """DataFusion array syntax → Spark:
+
+    - literal ``[1, 2, 3]`` → ``array(1, 2, 3)`` (a ``[`` NOT preceded
+      by an identifier/``)``/``]`` opens a literal);
+    - subscript ``expr[i]`` (1-based in DataFusion, 0-based in Spark)
+      → ``expr[(i) - 1]``. Slices ``a[i:j]`` are left untouched
+      (censused when they fail).
+    """
+    out: list[str] = []
+    i, n = 0, len(sql)
+    in_str = False
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "[":
+            j = _find_close_bracket(sql, i)
+            if j < 0:
+                out.append(ch)
+                i += 1
+                continue
+            inner = _rewrite_brackets(sql[i + 1 : j])
+            sofar = "".join(out).rstrip()
+            prev = sofar[-1:]
+            wm = re.search(r"([A-Za-z_][A-Za-z0-9_]*)$", sofar)
+            prev_kw = wm.group(1).upper() in _SQL_KEYWORDS if wm else False
+            if prev and not prev_kw and (prev.isalnum() or prev in "_)]"):
+                if ":" in inner:
+                    out.append("[" + inner + "]")  # slice — unsupported
+                else:
+                    out.append(f"[({inner}) - 1]")
+            else:
+                out.append(f"array({inner})")
+            i = j + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _find_close_bracket(s: str, start: int) -> int:
+    depth, i, n = 0, start, len(s)
+    in_str = False
+    while i < n:
+        c = s[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "[":
+            depth += 1
+        elif c == "]":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
 def _rewrite_dialect(sql: str) -> str:
     sql = _TS_BIGINT.sub(_ts_bigint_repl, sql)
+    sql = re.sub(r"\bunnest\s*\(", "explode(", sql, flags=re.IGNORECASE)
+    if "[" in sql:
+        sql = _rewrite_brackets(sql)
     sql = _rewrite_fn_calls(sql)
     return rewrite_arrow_cast(sql)
 
 
 def translate_query(sql: str) -> str:
+    if re.search(r"\btime\s+'", sql, re.IGNORECASE):
+        raise Untranslatable("TIME literal (Spark has no TIME type)")
     return _rewrite_dialect(sql.strip().rstrip(";"))
 
 
@@ -534,37 +708,117 @@ def _fmt_float32(v: float) -> str:
     return s
 
 
-def fmt_value(v, dtype: str = "") -> str:
+def _canon_td(months: int, seconds) -> str:
+    """Canonical engine-neutral interval atom (no spaces, so it
+    tokenizes as one value)."""
+    from decimal import Decimal
+
+    s = Decimal(seconds).quantize(Decimal("0.000000001"))
+    return f"IV{months}m{s:f}s"
+
+
+# DataFusion's two interval displays: MonthDayNano prints only nonzero
+# units ('5 mins 1.000000000 secs', '7 days'); DayTime prints all four
+# ('7 days 0 hours 0 mins 0 secs'). Python timedelta prints
+# '5 days, 4:03:02.100000' / '0:00:01'.
+_DF_IV = re.compile(
+    r"(?:-?\d+(?:\.\d+)? (?:years?|mons?|days?|hours?|mins?|secs?)|-?\d+(?:\.\d+)? secs?)"
+    r"(?: -?\d+(?:\.\d+)? (?:years?|mons?|days?|hours?|mins?|secs?))*"
+)
+# lookbehind bars matches inside ISO timestamps ('…T11:13:10') and the
+# tail of longer clock strings
+_PY_TD = re.compile(
+    r"(?:(-?\d+) days?, )?(?<![T\d:.])(\d+):(\d{2}):(\d{2})(?:\.(\d{1,6}))?"
+)
+_IV_UNIT = {"year": 0, "mon": 1, "day": 86400, "hour": 3600, "min": 60, "sec": 1}
+
+
+def _canon_interval_line(line: str) -> str:
+    from decimal import Decimal
+
+    def df_repl(m: re.Match) -> str:
+        months = 0
+        secs = Decimal(0)
+        for num, unit in re.findall(r"(-?\d+(?:\.\d+)?) ([a-z]+)", m.group(0)):
+            u = unit.rstrip("s")
+            if u == "year":
+                months += int(num) * 12
+            elif u == "mon":
+                months += int(num)
+            elif u in ("day", "hour", "min", "sec"):
+                secs += Decimal(num) * _IV_UNIT[u]
+            else:
+                return m.group(0)  # not an interval phrase after all
+        return _canon_td(months, secs)
+
+    def td_repl(m: re.Match) -> str:
+        days = int(m.group(1) or 0)
+        frac = (m.group(5) or "").ljust(6, "0")
+        secs = (Decimal(days) * 86400 + int(m.group(2)) * 3600
+                + int(m.group(3)) * 60 + int(m.group(4))
+                + Decimal(frac) / 1_000_000)
+        return _canon_td(0, secs)
+
+    line = _PY_TD.sub(td_repl, line)
+    return _DF_IV.sub(df_repl, line)
+
+
+def fmt_value(v, dt=None) -> str:
+    """Format one Spark value DataFusion-slt style. ``dt`` is the
+    pyspark DataType (recursed for nested types — needed to restore
+    Float32 shortest-repr inside structs/arrays too)."""
     import datetime
     import decimal
+
+    from pyspark.sql import types as T
 
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        return _fmt_float32(v) if dtype == "float" else _fmt_float(v)
+        return _fmt_float32(v) if isinstance(dt, T.FloatType) else _fmt_float(v)
     if isinstance(v, decimal.Decimal):
         return str(v)
     if isinstance(v, str):
         return "(empty)" if v == "" else v
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
+    if isinstance(v, datetime.timedelta):
+        return _canon_td(0, decimal.Decimal(v.days) * 86400 + v.seconds
+                         + decimal.Decimal(v.microseconds) / 1_000_000)
     if isinstance(v, datetime.datetime):
-        s = v.isoformat(sep="T")
-        return s
+        return v.isoformat(sep="T")
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, list):
-        return "[" + ", ".join(fmt_value(x) for x in v) + "]"
+        et = dt.elementType if isinstance(dt, T.ArrayType) else None
+        # DataFusion's array display renders NULL and '' elements empty
+        return "[" + ", ".join(
+            "" if x is None or x == "" else fmt_value(x, et) for x in v
+        ) + "]"
     if isinstance(v, dict):
-        return "{" + ", ".join(f"{k}: {fmt_value(x)}" for k, x in v.items()) + "}"
-    if hasattr(v, "asDict"):  # Row/struct
-        return "{" + ", ".join(f"{k}: {fmt_value(x)}" for k, x in v.asDict().items()) + "}"
+        kt = dt.keyType if isinstance(dt, T.MapType) else None
+        vt = dt.valueType if isinstance(dt, T.MapType) else None
+        return "{" + ", ".join(
+            f"{fmt_value(k, kt)}: {fmt_value(x, vt)}" for k, x in v.items()
+        ) + "}"
+    if hasattr(v, "asDict"):  # Row/struct — DataFusion prints NULL fields as empty
+        fields = (list(dt.fields) if isinstance(dt, T.StructType)
+                  else [None] * len(v))
+        items = []
+        for (k, x), f in zip(v.asDict().items(), fields):
+            cell = ("" if x is None or x == ""
+                    else fmt_value(x, f.dataType if f else None))
+            items.append(f"{k}: {cell}")
+        return "{" + ", ".join(items) + "}"
     return str(v)
 
 
-_ISO_TS = re.compile(r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(?:\.(\d+))?Z?$")
+_ISO_TS = re.compile(
+    r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(?:\.(\d+))?"
+    r"(Z|[+-]\d{2}:\d{2})?$"
+)
 
 
 def _norm_token(t: str) -> str:
@@ -579,6 +833,16 @@ def _norm_token(t: str) -> str:
         return t
     frac = (m.group(2) or "")[:6].rstrip("0")
     base = m.group(1)
+    off = m.group(3)
+    if off and off not in ("Z", "+00:00", "-00:00"):
+        # shift zone-offset renderings (DataFusion prints the table's
+        # local zone) to the UTC instant this session displays
+        import datetime
+
+        sign = 1 if off[0] == "+" else -1
+        delta = datetime.timedelta(hours=int(off[1:3]), minutes=int(off[4:6]))
+        dt = datetime.datetime.fromisoformat(base) - sign * delta
+        base = dt.isoformat(sep="T")
     if not frac and base.endswith("T00:00:00"):
         return base[: -len("T00:00:00")]
     return base + ("." + frac if frac else "")
@@ -595,13 +859,20 @@ def _tokens_match(exp: str, act: str) -> bool:
             continue
         if _norm_token(e) == _norm_token(a):
             continue
+        # numbers embedded in array/struct renderings carry punctuation
+        ep, ap = e.strip("[]{},"), a.strip("[]{},")
+        if e.strip("0123456789.eE+-") != a.strip("0123456789.eE+-"):
+            return False  # differing punctuation shape around the number
         try:
-            ef, af = float(e), float(a)
+            ef, af = float(ep), float(ap)
         except ValueError:
             return False
         if math.isnan(ef) and math.isnan(af):
             continue
-        if not math.isclose(ef, af, rel_tol=1e-9, abs_tol=1e-10):
+        # rel 1e-6 accommodates Float32 lanes (f32 epsilon ≈ 1.2e-7):
+        # DataFusion prints the shortest f32 repr while aggregates like
+        # median widen to f64 before formatting here.
+        if not math.isclose(ef, af, rel_tol=1e-6, abs_tol=1e-10):
             return False
     return True
 
@@ -612,6 +883,8 @@ def rows_match(expected: list[str], actual: list[str], sort: str) -> str:
     answers), or 'no'."""
     if len(expected) != len(actual):
         return "no"
+    expected = [_canon_interval_line(e) for e in expected]
+    actual = [_canon_interval_line(a) for a in actual]
     if sort == "rowsort":
         expected, actual = sorted(expected), sorted(actual)
     if all(_tokens_match(e, a) for e, a in zip(expected, actual)):
@@ -681,6 +954,43 @@ class SltRunner:
     def _exec(self, sql: str):
         return self.spark.sql(sql)
 
+    _INSERT_VALUES = re.compile(
+        r"^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s*"
+        r"(?:\(([^)]*)\)\s*)?(VALUES\b.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _schema_cast_insert(self, sql: str) -> str:
+        """``INSERT INTO t VALUES …`` → an explicit-cast SELECT over the
+        VALUES: Spark's ANSI store-assignment rejects implicit
+        string→DATE/TIMESTAMP writes the slt corpus relies on
+        (DataFusion coerces them)."""
+        m = self._INSERT_VALUES.match(sql)
+        if not m:
+            return sql
+        tbl, collist, values = m.group(1), m.group(2), m.group(3)
+        try:
+            fields = {f.name.lower(): f.dataType.simpleString()
+                      for f in self.spark.table(tbl).schema.fields}
+            order = ([c.strip().lower() for c in collist.split(",")]
+                     if collist else
+                     [f.name.lower() for f in self.spark.table(tbl).schema.fields])
+        except Exception:  # noqa: BLE001 — table missing: leave for _exec's error
+            return sql
+        casts = []
+        for i, col in enumerate(order):
+            t = fields.get(col, "string")
+            src = f"col{i+1}"
+            if t == "date":
+                casts.append(_TEMPORAL_CAST["Date32"].format(e=src))
+            elif t in ("timestamp", "timestamp_ntz"):
+                cast = _TEMPORAL_CAST["Nanosecond"].format(e=src)
+                casts.append(f"CAST({cast} AS {t.upper()})")
+            else:
+                casts.append(f"CAST({src} AS {t.upper()})")
+        head = f"INSERT INTO {tbl} ({collist}) " if collist else f"INSERT INTO {tbl} "
+        return head + "SELECT " + ", ".join(casts) + f" FROM ({values})"
+
     def run_file(self, path: str, include_base: str | None = None) -> Census:
         c = Census(file=os.path.basename(path))
         spark = self.spark
@@ -689,6 +999,11 @@ class SltRunner:
         spark.sql(f"USE {self.db}")
         saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "2")
+        saved_esc = spark.conf.get("spark.sql.parser.escapedStringLiterals")
+        # DataFusion string literals are SQL-standard (no backslash
+        # escapes); Spark's default processes C-style escapes. Align so
+        # '\d' regex patterns and literal backslashes survive verbatim.
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
         try:
             blocks = parse_slt(path)
             resolved: list[Block] = []
@@ -702,6 +1017,7 @@ class SltRunner:
                 self._run_block(b, c)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+            spark.conf.set("spark.sql.parser.escapedStringLiterals", saved_esc)
             spark.sql("USE default")
             spark.sql(f"DROP DATABASE IF EXISTS {self.db} CASCADE")
         return c
@@ -729,6 +1045,8 @@ class SltRunner:
                 c.skip_external += 1
                 return
             try:
+                if re.match(r"\s*INSERT\b", t, re.IGNORECASE):
+                    t = self._schema_cast_insert(t)
                 self._exec(t)
                 c.stmt_ok += 1
             except Exception as exc:  # noqa: BLE001 — census, not control flow
@@ -777,7 +1095,7 @@ class SltRunner:
                 try:
                     tbl = im.group(1)
                     before = self.spark.table(tbl).count()
-                    self._exec(t)
+                    self._exec(self._schema_cast_insert(t))
                     actual = [str(self.spark.table(tbl).count() - before)]
                 except Exception as exc:  # noqa: BLE001
                     c.skip_runtime.append(f"{b.line}: {_head(exc)}")
@@ -790,7 +1108,7 @@ class SltRunner:
             try:
                 df = self._exec(t)
                 rows = df.limit(self.row_cap).collect()
-                dtypes = [f.dataType.simpleString() for f in df.schema.fields]
+                dtypes = [f.dataType for f in df.schema.fields]
             except Exception as exc:  # noqa: BLE001
                 if "TABLE_OR_VIEW_NOT_FOUND" in str(exc):
                     # table registered by the reference's Rust-side
