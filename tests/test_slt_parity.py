@@ -1,9 +1,9 @@
 """sqllogictest corpus parity (the reference's primary correctness gate).
 
-Executes 36 of the reference's own ``.slt`` files —
+Executes 46 of the reference's own ``.slt`` files —
 ``datafusion-greatest/datafusion/sqllogictest/test_files/*.slt`` — against
-Spark SQL via tools/slt_runner.py and pins the census: **2,013
-content-verified query blocks** and the exact set of **112 divergent
+Spark SQL via tools/slt_runner.py and pins the census: **2,073
+content-verified query blocks** and the exact set of **114 divergent
 blocks**, each with a named, verified cause. Mirrors the TPC-DS
 execution differential's methodology (tests/test_tpcds_execution.py):
 the reference SQL is consumed read-only at test time; parity is a
@@ -64,7 +64,9 @@ Pinned divergence families (every pinned line belongs to one):
     truncated in the session zone (UTC). timestamps 1332/1416.
 11. **Parse/precedence dialect** — ``interval '5' hours`` (the suffix
     is an alias in DataFusion/PG, a unit in Spark): interval 83;
-    ``^``/``>>`` operator precedence: scalar 1059.
+    ``^``/``>>`` operator precedence: scalar 1059; engine-default NULL
+    ordering interacting with a LIMIT boundary (NULLS FIRST admits the
+    all-NULL group into the top-k): aggregates_topk 78/201.
 12. **Insertion-order-dependent results** (UNDERDETERMINED — the value
     depends on scan order neither engine promises; these blocks may
     match or mismatch run to run and are allowed either way):
@@ -136,6 +138,17 @@ PINNED = {
     "union.slt": (17, set()),
     "unnest.slt": (18, {209, 539}),
     "window.slt": (62, set()),
+    # second tranche (surveyed after the initial 36)
+    "type_coercion.slt": (7, set()),
+    "binary.slt": (5, set()),
+    "aggregates_topk.slt": (10, {78, 201}),
+    "strings.slt": (9, set()),
+    "projection.slt": (6, set()),
+    "nvl.slt": (8, set()),
+    "nvl2.slt": (8, set()),
+    "topk.slt": (3, set()),
+    "grouping.slt": (2, set()),
+    "wildcard.slt": (2, set()),
 }
 
 # family 12 — blocks whose verdict legitimately varies run to run
@@ -145,9 +158,9 @@ UNDERDETERMINED = {
     "window.slt": {4336, 4343, 4350, 4476},
 }
 
-# measured 2,013 content blocks / 112 divergences on the pinning run;
+# measured 2,073 content blocks / 114 divergences on the pinning run;
 # the suite-level floor leaves room only for underdetermined flips
-TOTAL_CONTENT_FLOOR = 2000
+TOTAL_CONTENT_FLOOR = 2060
 
 
 _totals = {"content": 0}
