@@ -754,6 +754,38 @@ def unnest_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unnest_zip",
+    """
+    SELECT doc_id,
+           unnest(string_split_regex(text, ' +')) AS tok,
+           unnest(range(1, least(len(string_split_regex(text, ' +')), 5) + 1)) AS pos
+    FROM documents
+    """,
+    tags=("unnest",),
+)
+def unnest_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column unnest ZIPS arrays positionally, padding the shorter
+    with NULLs (physical-plan/src/unnest.rs multi-column list unnest;
+    DuckDB's multiple-unnest SELECT shares the semantics and is the
+    oracle). Spark's explode of two arrays would CROSS-join them — the
+    zip spelling is ``explode(arrays_zip(a, b))``, whose row count is
+    the max of the two lengths. The pos array is capped at 5 so longer
+    token arrays exercise the NULL padding path."""
+    (d,) = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " +")
+    pos = F.sequence(F.lit(1), F.least(F.size(toks), F.lit(5)))
+    z = F.explode(F.arrays_zip(toks.alias("tok"), pos.alias("pos")))
+    return (
+        d.select("doc_id", z.alias("z"))
+        .select(
+            "doc_id",
+            F.col("z.tok").alias("tok"),
+            F.col("z.pos").cast("bigint").alias("pos"),
+        )
+    )
+
+
+@register(
     "values_inline",
     "SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, NULL)) AS t(id, tag)",
     tags=("values",),

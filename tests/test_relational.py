@@ -209,3 +209,23 @@ def test_decimal_sum_overflow_yields_null_ansi_off(spark):
         assert df.agg(F.sum("v").alias("s")).head()["s"] is None
     finally:
         spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+
+def test_unnest_zip_pads_shorter_array_with_nulls(spark):
+    """Multi-column unnest zips positionally to the LONGER length and
+    NULL-pads the shorter array (unnest.rs multi-column semantics;
+    DuckDB multiple-unnest agrees — differential via the registry
+    oracle). Planted unequal lengths pin the padding locally."""
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"], [10]), (2, ["d"], [20, 30])],
+        "id int, xs array<string>, ys array<int>",
+    )
+    z = F.explode(F.arrays_zip(F.col("xs").alias("x"), F.col("ys").alias("y")))
+    got = sorted(
+        ((r.id, r.z.x, r.z.y) for r in df.select("id", z.alias("z")).collect()),
+        key=lambda t: (t[0], t[1] or "", t[2] or 0),
+    )
+    assert got == [
+        (1, "a", 10), (1, "b", None), (1, "c", None),
+        (2, None, 30), (2, "d", 20),
+    ]

@@ -2,7 +2,7 @@
 
 Executes 46 of the reference's own ``.slt`` files —
 ``datafusion-greatest/datafusion/sqllogictest/test_files/*.slt`` — against
-Spark SQL via tools/slt_runner.py and pins the census: **2,073
+Spark SQL via tools/slt_runner.py and pins the census: **2,098
 content-verified query blocks** and the exact set of **114 divergent
 blocks**, each with a named, verified cause. Mirrors the TPC-DS
 execution differential's methodology (tests/test_tpcds_execution.py):
@@ -110,7 +110,7 @@ PINNED = {
     "cte.slt": (13, set()),
     "dates.slt": (9, set()),
     "decimal.slt": (3, set()),
-    "string/dictionary_utf8.slt": (31, {142, 260, 527, 547}),
+    "string/dictionary_utf8.slt": (32, {142, 260, 527, 547}),
     "expr.slt": (179, {402}),
     "functions.slt": (75, {21, 26, 96, 141, 623, 635, 648, 660}),
     "group.slt": (5, set()),
@@ -118,21 +118,21 @@ PINNED = {
     "interval.slt": (27, {83}),
     "join.slt": (67, set()),
     "joins.slt": (104, {833, 3605}),
-    "string/large_string.slt": (32, {142, 260, 527, 547}),
+    "string/large_string.slt": (33, {142, 260, 527, 547}),
     "limit.slt": (19, set()),
     "math.slt": (21, {104, 109}),
     "nullif.slt": (8, set()),
     "order.slt": (27, set()),
-    "predicates.slt": (27, {324, 338, 352, 357}),
-    "regexp.slt": (19, {372}),
+    "predicates.slt": (29, {324, 338, 352, 357}),
+    "regexp.slt": (29, {372}),
     "scalar.slt": (167, {467, 473, 509, 516, 531, 554, 561, 567, 590,
                          597, 603, 626, 655, 661, 1059, 1461}),
     "select.slt": (75, {572, 1552}),
     "sort_merge_join.slt": (45, set()),
-    "string/string.slt": (31, {142, 260, 527, 547}),
+    "string/string.slt": (32, {142, 260, 527, 547}),
     "string/string_literal.slt": (94, {18, 66}),
-    "string/string_view.slt": (40, {142, 260, 527, 547}),
-    "struct.slt": (16, set()),
+    "string/string_view.slt": (41, {142, 260, 527, 547}),
+    "struct.slt": (24, set()),
     "subquery.slt": (28, set()),
     "timestamps.slt": (125, {1332, 1416}),
     "union.slt": (17, set()),
@@ -142,7 +142,7 @@ PINNED = {
     "type_coercion.slt": (7, set()),
     "binary.slt": (5, set()),
     "aggregates_topk.slt": (10, {78, 201}),
-    "strings.slt": (9, set()),
+    "strings.slt": (10, set()),
     "projection.slt": (6, set()),
     "nvl.slt": (8, set()),
     "nvl2.slt": (8, set()),
@@ -158,9 +158,9 @@ UNDERDETERMINED = {
     "window.slt": {4336, 4343, 4350, 4476},
 }
 
-# measured 2,073 content blocks / 114 divergences on the pinning run;
+# measured 2,098 content blocks / 114 divergences on the pinning run;
 # the suite-level floor leaves room only for underdetermined flips
-TOTAL_CONTENT_FLOOR = 2060
+TOTAL_CONTENT_FLOOR = 2085
 
 
 _totals = {"content": 0}

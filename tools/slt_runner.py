@@ -660,9 +660,97 @@ def _find_close_bracket(s: str, start: int) -> int:
     return -1
 
 
+def _rewrite_braces(sql: str) -> str:
+    """DataFusion struct literal ``{'k': v, …}`` → ``named_struct('k', v, …)``
+    (nested literals recurse)."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    in_str = False
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "{":
+            j = _find_close_brace(sql, i)
+            if j < 0:
+                out.append(ch)
+                i += 1
+                continue
+            inner = _rewrite_braces(sql[i + 1 : j])
+            parts = []
+            ok = True
+            for p in _split_top_level(inner):
+                pm = re.match(r"\s*('(?:[^']|'')*')\s*:\s*(.+)$", p, re.DOTALL)
+                if not pm:
+                    ok = False
+                    break
+                parts.append(f"{pm.group(1)}, {pm.group(2).strip()}")
+            if ok and parts:
+                out.append("named_struct(" + ", ".join(parts) + ")")
+            else:
+                out.append(sql[i : j + 1])  # not a struct literal — verbatim
+            i = j + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _find_close_brace(s: str, start: int) -> int:
+    depth, i, n = 0, start, len(s)
+    in_str = False
+    while i < n:
+        c = s[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
 def _rewrite_dialect(sql: str) -> str:
     sql = _TS_BIGINT.sub(_ts_bigint_repl, sql)
     sql = re.sub(r"\bunnest\s*\(", "explode(", sql, flags=re.IGNORECASE)
+    # Postgres regex-match operators (binary only — unary bitwise ~ has
+    # no left operand, excluded by the lookbehind)
+    sql = re.sub(r"(?<=[\w'\)\]])\s+!~\s+", " NOT RLIKE ", sql)
+    sql = re.sub(r"(?<=[\w'\)\]])\s+~\s+", " RLIKE ", sql)
+    sql = re.sub(r"\btoday\s*\(\s*\)", "current_date()", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\bstrpos\s*\(", "instr(", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\bTIMESTAMPTZ\b", "TIMESTAMP", sql, flags=re.IGNORECASE)
+    # to_timestamp_<unit>: numeric input is reinterpreted at that unit
+    for unit, arrow in (("seconds", "Second"), ("millis", "Millisecond"),
+                        ("micros", "Microsecond"), ("nanos", "Nanosecond")):
+        pat = re.compile(rf"\bto_timestamp_{unit}\s*\(", re.IGNORECASE)
+        while True:
+            m = pat.search(sql)
+            if not m:
+                break
+            open_p = m.end() - 1
+            close_p = _find_close(sql, open_p)
+            inner = sql[open_p + 1 : close_p]
+            sql = (sql[: m.start()]
+                   + _TEMPORAL_CAST[arrow].format(e=inner)
+                   + sql[close_p + 1 :])
+    if "{" in sql:
+        sql = _rewrite_braces(sql)
     if "[" in sql:
         sql = _rewrite_brackets(sql)
     sql = _rewrite_fn_calls(sql)
@@ -950,6 +1038,21 @@ class SltRunner:
         self.row_cap = row_cap
         self.verbose = verbose
         self.unavailable: set[str] = set()
+        # the engine's DataFusion-dialect SQL names (iszero, date_bin,
+        # array_pop_*, …) — the reference corpus drives the product
+        # compat layer directly
+        try:
+            import sys as _sys
+
+            _sys.path.insert(0, os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            from rust_query_engine_greatest_spark.functions.sql_names import (
+                register_sql_names,
+            )
+
+            register_sql_names(spark)
+        except Exception:  # noqa: BLE001 — harness must run without the package
+            pass
 
     def _exec(self, sql: str):
         return self.spark.sql(sql)
