@@ -34,11 +34,16 @@ _DDL = {
     "substr_index": "CREATE OR REPLACE TEMPORARY FUNCTION substr_index"
                     "(s STRING, d STRING, n INT) RETURNS STRING "
                     "RETURN substring_index(s, d, n)",
-    # functions-nested string_to_array
+    # functions-nested string_to_array — Postgres edge semantics
+    # (functions-nested/src/string.rs): NULL delimiter splits into
+    # characters; empty delimiter returns the whole string as one element.
     "string_to_array": "CREATE OR REPLACE TEMPORARY FUNCTION string_to_array"
                        "(s STRING, d STRING) RETURNS ARRAY<STRING> "
-                       "RETURN split(s, CASE WHEN d = '' THEN 'ø^' ELSE regexp_replace(d, "
-                       r"'([\\^$.|?*+()\\[\\]{}])', '\\\\$1') END)",
+                       "RETURN CASE WHEN s IS NULL THEN NULL "
+                       "WHEN d IS NULL THEN split(s, '') "
+                       "WHEN d = '' THEN array(s) "
+                       "ELSE split(s, regexp_replace(d, "
+                       r"'([\\^$.|?*+()\\[\\]{}])', '\\\\$1')) END",
     # functions-nested array_pop_back / array_pop_front
     "array_pop_back": "CREATE OR REPLACE TEMPORARY FUNCTION array_pop_back"
                       "(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> "
