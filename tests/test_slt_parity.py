@@ -1,20 +1,30 @@
 """sqllogictest corpus parity (the reference's primary correctness gate).
 
-Executes 46 of the reference's own ``.slt`` files —
+Executes 75 of the reference's own ``.slt`` files —
 ``datafusion-greatest/datafusion/sqllogictest/test_files/*.slt`` — against
-Spark SQL via tools/slt_runner.py and pins the census: **2,098
-content-verified query blocks** and the exact set of **114 divergent
-blocks**, each with a named, verified cause. Mirrors the TPC-DS
-execution differential's methodology (tests/test_tpcds_execution.py):
-the reference SQL is consumed read-only at test time; parity is a
-measured number, not a claim.
+Spark SQL via tools/slt_runner.py and pins the census: **2,850
+content-verified query blocks** and the exact set of **121 divergent
+blocks** (112 deterministic + 9 run-to-run-underdetermined), each with a
+named, verified cause. Mirrors the TPC-DS execution differential's
+methodology (tests/test_tpcds_execution.py): the reference SQL is
+consumed read-only at test time; parity is a measured number, not a
+claim.
+
+Round-4 widening: CREATE EXTERNAL TABLE resolution (core/tests/data
+fixtures; the heavily-used aggregate_test_100 via its order-permuted
+local twin), COPY TO execution into a scratch dir (append-file
+semantics), writable external tables for the INSERT-then-read corpus,
+double-quoted identifiers, DISTINCT ON -> ROW_NUMBER, MySQL interval
+chains, map literals/functions (ordered map_entries collection), the
+full 43-query ClickBench file verbatim (45/46 blocks, one pinned
+binary-rendering divergence), and 28 new files.
 
 Census buckets (tools/slt_runner.py): ``match`` (slt-exact),
 ``match_unordered`` (same multiset; order differs only where the SQL
 leaves it underdetermined — ORDER BY ties, engine default NULL sort:
 DataFusion NULLS LAST for ASC, Spark NULLS FIRST, both standard-legal),
-``match_rowcount`` (LIMIT without total order — only the count is
-cross-engine comparable), ``mismatch`` (pinned divergences).
+``match_rowcount`` (LIMIT without top-level total order — only the
+count is cross-engine comparable), ``mismatch`` (pinned divergences).
 
 Pinned divergence families (every pinned line belongs to one):
 
@@ -22,7 +32,7 @@ Pinned divergence families (every pinned line belongs to one):
     integers truncates (Arrow); Spark yields DOUBLE, and Spark types
     the literal ``2.0`` as DECIMAL where DataFusion uses f64.
     group_by 445/473/655/770/1329; select 1552; scalar 509/554/590/
-    597/1461.
+    597/1461; predicates 362 (IN-list over c7/10 truncation).
 2.  **NaN sign & null totality** — Spark has no negative NaN and NaN
     sorts greatest; ``isnan(NULL)`` is false in Spark, NULL in
     DataFusion; ``nanvl`` NULL-propagates in DataFusion only.
@@ -40,7 +50,9 @@ Pinned divergence families (every pinned line belongs to one):
     joins 3605 (``x NOT IN (subquery with NULL)`` returns the
     NULL-keyed row in DataFusion; ANSI/Spark/DuckDB return empty);
     case 45/56 (DataFusion v42 takes the THEN branch on a NULL CASE
-    condition; ANSI/Spark/DuckDB fall through to ELSE).
+    condition; ANSI/Spark/DuckDB fall through to ELSE); aggregate 393
+    (single-row ``corr`` returns 0 in DataFusion; Spark and DuckDB
+    return NULL — undefined variance).
 6.  **Collect-aggregate NULL/empty semantics** — Spark's
     array_agg/collect_list drop NULL inputs and return [] on empty
     input; DataFusion keeps NULLs and returns NULL.
@@ -57,16 +69,20 @@ Pinned divergence families (every pinned line belongs to one):
 9.  **Array-function semantics** — recursive cardinality/flatten vs
     Spark's top-level-only; array_remove first-occurrence vs Spark
     all; array_append/except/intersect NULL-operand handling and
-    result element order; array_join's double→string rendering.
+    result element order; array_join's double→string rendering;
+    array_pop_back(NULL) returns [] in DataFusion where Spark's slice
+    NULL-propagates (array.slt 1553).
     array.slt set.
-10. **Zone-embedded truncation** — Arrow timestamps carry a zone and
-    date_trunc works in it; Spark timestamps are zoneless instants
-    truncated in the session zone (UTC). timestamps 1332/1416.
-11. **Parse/precedence dialect** — ``interval '5' hours`` (the suffix
-    is an alias in DataFusion/PG, a unit in Spark): interval 83;
-    ``^``/``>>`` operator precedence: scalar 1059; engine-default NULL
-    ordering interacting with a LIMIT boundary (NULLS FIRST admits the
-    all-NULL group into the top-k): aggregates_topk 78/201.
+10. **Session-zone display** — Arrow timestamps carry a zone:
+    ``SET TIME ZONE`` changes both date_trunc boundaries and the
+    rendered offset in DataFusion; this harness pins the session to
+    UTC (SURVEY §1.2). timestamps 149/1332/1416/1637/1643/1655/1685.
+11. **Parse/precedence dialect** — ``interval '5' hours`` (a plural
+    suffix is an alias in DataFusion/PG, a unit in Spark): interval
+    44/61/83; ``^``/``>>`` operator precedence: scalar 1059;
+    engine-default NULL ordering interacting with a LIMIT boundary
+    (NULLS FIRST admits the all-NULL group into the top-k):
+    aggregates_topk 78/201.
 12. **Insertion-order-dependent results** (UNDERDETERMINED — the value
     depends on scan order neither engine promises; these blocks may
     match or mismatch run to run and are allowed either way):
@@ -74,6 +90,20 @@ Pinned divergence families (every pinned line belongs to one):
     group_by 3722/3737 (LAST_VALUE as a plain aggregate),
     window 4336/4343/4350/4476 (first/last_value over an unordered
     window).
+13. **Float32 rounding at the representability boundary** — DataFusion
+    rounds the shortest-repr f32 (0.00005 → 0.0001); Spark rounds the
+    widened f64 (4.9999998e-5 → 0). math 66.
+14. **Invalid-UTF8 binary rendering** — the ClickBench sample's
+    BrowserCountry bytes are not valid UTF-8; the engines' lossy
+    displays differ. clickbench 289.
+15. **Nested-map display order** — maps nested inside other values
+    round-trip through Python dicts, which do not preserve DataFusion's
+    entry order (top-level maps are collected as ordered entry lists).
+    map 495/501.
+16. **Capability side effect** — Spark supports INSERT into a
+    single-file external table that DataFusion rejects; the
+    expected-error block's insert lands and changes the follow-up
+    read. insert_to_external 309.
 """
 
 from __future__ import annotations
@@ -97,58 +127,86 @@ pytestmark = pytest.mark.skipif(
 # measured content minus the file's underdetermined-block count (an
 # underdetermined block that flips to mismatch lowers content by 1).
 PINNED = {
-    "aggregate.slt": (194, {213, 783, 795, 2919, 2924, 2929, 2934, 2949,
-                            2954, 2969, 2989, 2994, 2999, 3004, 3009, 3014,
-                            4112, 4141, 4146, 4153, 4158, 4184}),
-    "array.slt": (78, {2365, 4159, 4307, 4323, 4341, 4377, 4428, 4450,
-                       4480, 4505, 4530, 4555, 5653, 5720, 5738, 6346,
-                       6369, 6408, 6429, 6696}),
-    "array_query.slt": (3, set()),
+    "aggregate.slt": (267, {213, 393, 783, 795, 2919, 2924, 2929, 2934,
+                            2949, 2954, 2969, 2989, 2994, 2999, 3004, 3009,
+                            3014, 4112, 4141, 4146, 4153, 4158, 4184}),
+    "aggregates_topk.slt": (10, {78, 201}),
+    "array.slt": (103, {1553, 2365, 4159, 4307, 4323, 4341, 4377, 4428,
+                        4450, 4480, 4505, 4530, 4555, 5653, 5720, 5738,
+                        6346, 6369, 6408, 6429, 6696}),
+    "array_query.slt": (26, set()),
+    "arrow_files.slt": (0, set()),
+    "binary.slt": (5, set()),
     "case.slt": (8, {45, 56}),
     "cast.slt": (8, set()),
+    "clickbench.slt": (45, {289}),
     "coalesce.slt": (15, set()),
-    "cte.slt": (13, set()),
+    "copy.slt": (41, set()),
+    "count_star_rule.slt": (2, set()),
+    "cse.slt": (0, set()),
+    "csv_files.slt": (6, set()),
+    "cte.slt": (16, set()),
     "dates.slt": (9, set()),
-    "decimal.slt": (3, set()),
-    "string/dictionary_utf8.slt": (32, {142, 260, 527, 547}),
-    "expr.slt": (179, {402}),
-    "functions.slt": (75, {21, 26, 96, 141, 623, 635, 648, 660}),
-    "group.slt": (5, set()),
-    "group_by.slt": (314, {445, 473, 655, 770, 1329}),
-    "interval.slt": (27, {83}),
+    "ddl.slt": (12, set()),
+    "decimal.slt": (30, set()),
+    "describe.slt": (0, set()),
+    "dictionary.slt": (10, set()),
+    "distinct_on.slt": (8, set()),
+    "encoding.slt": (4, set()),
+    "errors.slt": (0, set()),
+    "expr.slt": (262, {402}),
+    "filter_without_sort_exec.slt": (0, set()),
+    "functions.slt": (83, {21, 26, 96, 141, 623, 635, 648, 660}),
+    "group.slt": (21, set()),
+    "group_by.slt": (328, {445, 473, 655, 770, 1329}),
+    "grouping.slt": (2, set()),
+    "identifiers.slt": (11, set()),
+    "insert_to_external.slt": (18, {309}),
+    "intersection.slt": (2, set()),
+    "interval.slt": (31, {44, 61, 83}),
+    "interval_mysql.slt": (7, set()),
     "join.slt": (67, set()),
     "joins.slt": (104, {833, 3605}),
-    "string/large_string.slt": (33, {142, 260, 527, 547}),
-    "limit.slt": (19, set()),
-    "math.slt": (21, {104, 109}),
+    "json.slt": (2, set()),
+    "limit.slt": (32, set()),
+    "map.slt": (67, {495, 501}),
+    "math.slt": (24, {66, 104, 109}),
+    "misc.slt": (4, set()),
+    "monotonic_projection_test.slt": (0, set()),
     "nullif.slt": (8, set()),
-    "order.slt": (27, set()),
-    "predicates.slt": (29, {324, 338, 352, 357}),
-    "regexp.slt": (29, {372}),
-    "scalar.slt": (167, {467, 473, 509, 516, 531, 554, 561, 567, 590,
-                         597, 603, 626, 655, 661, 1059, 1461}),
-    "select.slt": (75, {572, 1552}),
-    "sort_merge_join.slt": (45, set()),
-    "string/string.slt": (32, {142, 260, 527, 547}),
-    "string/string_literal.slt": (94, {18, 66}),
-    "string/string_view.slt": (41, {142, 260, 527, 547}),
-    "struct.slt": (24, set()),
-    "subquery.slt": (28, set()),
-    "timestamps.slt": (125, {1332, 1416}),
-    "union.slt": (17, set()),
-    "unnest.slt": (18, {209, 539}),
-    "window.slt": (62, set()),
-    # second tranche (surveyed after the initial 36)
-    "type_coercion.slt": (7, set()),
-    "binary.slt": (5, set()),
-    "aggregates_topk.slt": (10, {78, 201}),
-    "strings.slt": (10, set()),
-    "projection.slt": (6, set()),
     "nvl.slt": (8, set()),
     "nvl2.slt": (8, set()),
-    "topk.slt": (3, set()),
-    "grouping.slt": (2, set()),
+    "optimizer_group_by_constant.slt": (0, set()),
+    "order.slt": (32, set()),
+    "predicates.slt": (39, {324, 338, 352, 357, 362}),
+    "prepare.slt": (1, set()),
+    "projection.slt": (11, set()),
+    "push_down_filter.slt": (1, set()),
+    "references.slt": (5, set()),
+    "regexp.slt": (29, {372}),
+    "same_column_name_cross_join.slt": (4, set()),
+    "scalar.slt": (192, {467, 473, 509, 516, 531, 554, 561, 567, 590,
+                         597, 603, 626, 655, 661, 1059, 1461}),
+    "schema_evolution.slt": (1, set()),
+    "select.slt": (92, {572, 1552}),
+    "sort_merge_join.slt": (45, set()),
+    "string/dictionary_utf8.slt": (35, {142, 260, 527, 547}),
+    "string/large_string.slt": (36, {142, 260, 527, 547}),
+    "string/string.slt": (35, {142, 260, 527, 547}),
+    "string/string_literal.slt": (100, {18, 66}),
+    "string/string_view.slt": (44, {142, 260, 527, 547}),
+    "strings.slt": (10, set()),
+    "struct.slt": (26, set()),
+    "subquery.slt": (34, set()),
+    "subquery_sort.slt": (4, set()),
+    "timestamps.slt": (182, {149, 1332, 1416, 1637, 1643, 1655, 1685}),
+    "topk.slt": (7, set()),
+    "type_coercion.slt": (7, set()),
+    "union.slt": (25, set()),
+    "unnest.slt": (19, {209, 539}),
+    "update.slt": (0, set()),
     "wildcard.slt": (2, set()),
+    "window.slt": (109, set()),
 }
 
 # family 12 — blocks whose verdict legitimately varies run to run
@@ -158,9 +216,12 @@ UNDERDETERMINED = {
     "window.slt": {4336, 4343, 4350, 4476},
 }
 
-# measured 2,098 content blocks / 114 divergences on the pinning run;
-# the suite-level floor leaves room only for underdetermined flips
-TOTAL_CONTENT_FLOOR = 2085
+# measured 2,850 content blocks / 112 deterministic divergences on a
+# clean-scratch pinning run (the first pin of insert_to_external.slt
+# counted one extra block that only matched because a prior debug run
+# left an appended file in the scratch external table); the suite-level
+# floor leaves room only for underdetermined flips
+TOTAL_CONTENT_FLOOR = 2841
 
 
 _totals = {"content": 0}

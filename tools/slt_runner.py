@@ -45,6 +45,31 @@ REF_SLT = (
     "/root/reference/datafusion-greatest/datafusion/sqllogictest/test_files"
 )
 
+# CREATE EXTERNAL TABLE locations are relative to the reference's
+# sqllogictest crate dir (one level above test_files). The arrow-testing
+# / parquet-testing submodules are not checked out in this container;
+# the one heavily-used fixture from them has an order-permuted twin in
+# core/tests/data (same 100-row multiset, pre-sorted by c1 — equivalent
+# for every deterministic query; scan-order-dependent blocks are already
+# classified match_rowcount / underdetermined).
+_EXT_BASE = os.path.dirname(REF_SLT)
+_EXT_SUBST = {
+    "../../testing/data/csv/aggregate_test_100.csv":
+        "../core/tests/data/aggregate_test_100_order_by_c1_asc.csv",
+}
+
+
+def _resolve_external_location(loc: str, scratch: str | None = None) -> str | None:
+    loc = _EXT_SUBST.get(loc, loc)
+    if scratch and loc.startswith("test_files/scratch/"):
+        # the corpus's COPY targets — redirected to a writable tmp dir
+        p = os.path.join(scratch, loc[len("test_files/scratch/"):])
+    elif os.path.isabs(loc):
+        p = loc
+    else:
+        p = os.path.normpath(os.path.join(_EXT_BASE, loc))
+    return p if os.path.exists(p) else None
+
 # ---------------------------------------------------------------- parsing
 
 
@@ -117,7 +142,10 @@ def parse_slt(path: str) -> list[Block]:
                 # then '----', e.g. scalar.slt:1817)
                 while i < n and lines[i].strip() == "----":
                     i += 1
-                while i < n and lines[i].strip():
+                # a whitespace-only line is an expected ROW with one
+                # empty value (expr.slt's decode('','base64')); only a
+                # fully-empty line terminates the result block
+                while i < n and lines[i] != "":
                     expected.append(lines[i].rstrip())
                     i += 1
             blocks.append(
@@ -315,6 +343,24 @@ def _map_coldef_type(t: str) -> str:
     raise Untranslatable(f"column type {t!r}")
 
 
+def _top_level_kw_char(s: str, ch: str) -> int:
+    """Index of `ch` at paren/bracket-depth 0 outside strings, else -1."""
+    depth, in_str = 0, False
+    for i, c in enumerate(s):
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c in "([{":
+            depth += 1
+        elif c in ")]}":
+            depth -= 1
+        elif c == ch and depth == 0:
+            return i
+    return -1
+
+
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
     parts, depth, in_str, cur = [], 0, False, []
     i, n = 0, len(s)
@@ -368,11 +414,13 @@ def translate_create_table(sql: str) -> str:
         coldefs = []
         for d in defs:
             d = d.strip()
-            dm = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)(?:\s+NOT\s+NULL|\s+NULL)?$",
+            dm = re.match(r'(?:"([^"]+)"|([A-Za-z_][A-Za-z0-9_]*))'
+                          r"\s+(.+?)(?:\s+NOT\s+NULL|\s+NULL)?$",
                           d, re.IGNORECASE | re.DOTALL)
             if not dm:
                 raise Untranslatable(f"coldef {d!r}")
-            coldefs.append((dm.group(1), _map_coldef_type(dm.group(2))))
+            cname = dm.group(2) or f"`{dm.group(1)}`"
+            coldefs.append((cname, _map_coldef_type(dm.group(3))))
         rest = rest[close + 1 :].strip()
     if rest.rstrip(";").strip() == "":
         if coldefs is None:
@@ -468,6 +516,114 @@ def _rewrite_fn_calls(sql: str) -> str:
     out = sql
     out = re.sub(r"\bmake_array\s*\(", "array(", out, flags=re.IGNORECASE)
     out = re.sub(r"\barray_length\s*\(", "size(", out, flags=re.IGNORECASE)
+    # DataFusion allows zero-arg count() as count(*)
+    out = re.sub(r"\bcount\s*\(\s*\)", "count(*)", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bmake_map\s*\(", "map(", out, flags=re.IGNORECASE)
+    # DATE_BIN's INTERVAL stride → whole seconds for the product's
+    # date_bin(stride_s, ts, origin) compat shim (datetime/date_bin.rs)
+    def _date_bin_stride(m: re.Match) -> str:
+        qty = m.group(1) or m.group(3)
+        unit = (m.group(2) or m.group(4) or "").lower().rstrip("s")
+        secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                "week": 604800}.get(unit)
+        if secs is None or qty is None:
+            return m.group(0)
+        return f"date_bin({int(qty) * secs}, "
+
+    out = re.sub(
+        r"\bdate_bin\s*\(\s*INTERVAL\s+"
+        r"(?:'(\d+)\s+([A-Za-z]+)'|'(\d+)'\s+([A-Za-z]+))\s*,",
+        _date_bin_stride, out, flags=re.IGNORECASE)
+    # map_extract(m, k): DataFusion returns [value] / [] (functions-nested
+    # map_extract.rs) — the product mirrors this in queries/functions_q.py
+    pos = 0
+    while True:
+        m = re.search(r"\bmap_extract\s*\(", out[pos:], re.IGNORECASE)
+        if not m:
+            break
+        open_p = pos + m.end() - 1
+        try:
+            close_p = _find_close(out, open_p)
+        except Untranslatable:
+            break
+        args = _split_top_level(out[open_p + 1:close_p])
+        if len(args) == 2:
+            mm, kk = args[0].strip(), args[1].strip()
+            repl = (f"CASE WHEN map_contains_key({mm}, {kk}) "
+                    f"THEN array(element_at({mm}, {kk})) ELSE array() END")
+            out = out[:pos + m.start()] + repl + out[close_p + 1:]
+            pos = pos + m.start() + len(repl)
+        else:
+            pos = open_p + 1
+    # DataFusion's 2-arg map(keys_array, values_array) form (the
+    # variadic alternating form maps to Spark's map() unchanged)
+    pos = 0
+    while True:
+        m = re.search(r"\bmap\s*\(", out[pos:], re.IGNORECASE)
+        if not m:
+            break
+        open_p = pos + m.end() - 1
+        try:
+            close_p = _find_close(out, open_p)
+        except Untranslatable:
+            break
+        args = _split_top_level(out[open_p + 1:close_p])
+        if (len(args) == 2
+                and re.match(r"\s*(array\s*\(|\[)", args[0], re.IGNORECASE)):
+            out = (out[:pos + m.start()] + "map_from_arrays("
+                   + out[open_p + 1:])
+            pos = pos + m.start() + len("map_from_arrays(")
+        else:
+            pos = open_p + 1
+    # untyped NULL as a filter: DataFusion coerces to boolean
+    out = re.sub(r"\bWHERE\s+NULL\b", "WHERE CAST(NULL AS BOOLEAN)", out,
+                 flags=re.IGNORECASE)
+    # encode/decode(x, 'base64'|'hex') — DataFusion's binary codecs
+    # (Spark's encode/decode are charset converters)
+    for fn, codecs in (("encode", {"base64": "base64(CAST({e} AS BINARY))",
+                                   "hex": "lower(hex({e}))"}),
+                       ("decode", {"base64": "unbase64({e})",
+                                   "hex": "unhex({e})"})):
+        pat = re.compile(rf"\b{fn}\s*\(", re.IGNORECASE)
+        pos = 0
+        while True:
+            m = pat.search(out, pos)
+            if not m:
+                break
+            open_p = m.end() - 1
+            try:
+                close_p = _find_close(out, open_p)
+            except Untranslatable:
+                break
+            args = _split_top_level(out[open_p + 1:close_p])
+            codec = (args[1].strip().strip("'").lower()
+                     if len(args) == 2 else None)
+            if codec in codecs:
+                repl = codecs[codec].format(e=args[0].strip())
+                out = out[: m.start()] + repl + out[close_p + 1:]
+                pos = m.start() + len(repl)
+            else:
+                pos = open_p + 1
+    # array_pop_back/front: generic slice spelling (the product's SQL-UDF
+    # compat shims are typed ARRAY<DOUBLE>; the corpus calls them on int,
+    # string, and nested-list arrays, so rewrite type-generically here)
+    for fn, start, lenexpr in (
+        ("array_pop_back", "1", "greatest(size({a}) - 1, 0)"),
+        ("array_pop_front", "2", "greatest(size({a}) - 1, 0)"),
+    ):
+        pat = re.compile(rf"\b{fn}\s*\(", re.IGNORECASE)
+        while True:
+            m = pat.search(out)
+            if not m:
+                break
+            open_p = m.end() - 1
+            try:
+                close_p = _find_close(out, open_p)
+            except Untranslatable:
+                break
+            a = out[open_p + 1 : close_p].strip()
+            repl = f"slice({a}, {start}, {lenexpr.format(a=a)})"
+            out = out[: m.start()] + repl + out[close_p + 1 :]
     out = re.sub(r"\bconcat(?!_ws)\s*\(", "concat_ws('', ", out, flags=re.IGNORECASE)
     # string_agg(x, 'sep' ORDER BY x [ASC|DESC]) → sorted collect + join
     def _string_agg_order(m: re.Match) -> str:
@@ -531,7 +687,7 @@ def _rewrite_fn_calls(sql: str) -> str:
         pos = pos + m.start() + 1
     # DOW: DataFusion/Postgres count Sunday=0; Spark's DAYOFWEEK Sunday=1
     out = re.sub(
-        r"\bEXTRACT\s*\(\s*dow\s+FROM\s+([^()]+(?:\([^()]*\))?[^()]*)\)",
+        r"\bEXTRACT\s*\(\s*`?dow`?\s+FROM\s+([^()]+(?:\([^()]*\))?[^()]*)\)",
         r"(EXTRACT(DAYOFWEEK FROM \1) - 1)", out, flags=re.IGNORECASE,
     )
     out = re.sub(
@@ -629,6 +785,9 @@ def _rewrite_brackets(sql: str) -> str:
             if prev and not prev_kw and (prev.isalnum() or prev in "_)]"):
                 if ":" in inner:
                     out.append("[" + inner + "]")  # slice — unsupported
+                elif re.match(r"^\s*'(?:[^']|'')*'\s*$", inner):
+                    # string subscript = map-key lookup (not 1-based)
+                    out.append(f"[{inner}]")
                 else:
                     out.append(f"[({inner}) - 1]")
             else:
@@ -686,6 +845,22 @@ def _rewrite_braces(sql: str) -> str:
                 i += 1
                 continue
             inner = _rewrite_braces(sql[i + 1 : j])
+            # `MAP {k: v, …}` literal (any-literal keys) → map(k, v, …)
+            prev = "".join(out)
+            km = re.search(r"\bMAP\s*$", prev, re.IGNORECASE)
+            if km:
+                kvs, ok = [], True
+                for p in (_split_top_level(inner) if inner.strip() else []):
+                    cpos = _top_level_kw_char(p, ":")
+                    if cpos < 0:
+                        ok = False
+                        break
+                    kvs.append(f"{p[:cpos].strip()}, {p[cpos + 1:].strip()}")
+                if ok and (kvs or not inner.strip()):
+                    out = [prev[:km.start()]]
+                    out.append("map(" + ", ".join(kvs) + ")")
+                    i = j + 1
+                    continue
             parts = []
             ok = True
             for p in _split_top_level(inner):
@@ -725,7 +900,69 @@ def _find_close_brace(s: str, start: int) -> int:
     return -1
 
 
+def _dquote_idents(sql: str) -> str:
+    """DataFusion/Postgres double-quoted identifiers → Spark backticks
+    (Spark's default parser reads double quotes as string literals).
+    Single-quoted string contents are left untouched; '""' inside a
+    quoted identifier is the escaped-quote form."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+        elif ch == '"':
+            j = i + 1
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        j += 2
+                        continue
+                    break
+                j += 1
+            inner = sql[i + 1:j].replace('""', '"')
+            out.append("`" + inner.replace("`", "``") + "`")
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def _rewrite_dialect(sql: str) -> str:
+    if '"' in sql:
+        sql = _dquote_idents(sql)
+    # MySQL-dialect interval chains: `interval '1' + '1' + '1' month`
+    # applies the unit to the folded sum (interval_mysql.slt). Fold the
+    # constant arithmetic here; single-term intervals are left alone
+    # (their suffix-alias divergence is pinned at interval.slt:83).
+    def _fold_interval(m: re.Match) -> str:
+        total = -int(m.group(2).strip("'")) if m.group(1) else int(
+            m.group(2).strip("'"))
+        for op, v in re.findall(r"([-+])\s*'?(\d+)'?", m.group(3)):
+            total = total - int(v) if op == "-" else total + int(v)
+        return f"INTERVAL '{total}' {m.group(4).upper()}"
+
+    sql = re.sub(
+        r"(-?)\binterval\s+('?\d+'?)((?:\s*[-+]\s*'?\d+'?)+)\s+"
+        r"(year|month|day|hour|minute|second)s?\b",
+        _fold_interval, sql, flags=re.IGNORECASE)
+    # Arrow int→date32 cast is days-since-epoch (the ClickBench
+    # `"EventDate"::INT::DATE` idiom); Spark forbids INT→DATE
+    sql = re.sub(
+        r"(`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)\s*::\s*INT\s*::\s*DATE\b",
+        r"DATE_FROM_UNIX_DATE(CAST(\1 AS INT))", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\b(\d+)\s*::\s*date\b",
+                 r"DATE_FROM_UNIX_DATE(\1)", sql, flags=re.IGNORECASE)
     sql = _TS_BIGINT.sub(_ts_bigint_repl, sql)
     sql = re.sub(r"\bunnest\s*\(", "explode(", sql, flags=re.IGNORECASE)
     # Postgres regex-match operators (binary only — unary bitwise ~ has
@@ -749,6 +986,7 @@ def _rewrite_dialect(sql: str) -> str:
             sql = (sql[: m.start()]
                    + _TEMPORAL_CAST[arrow].format(e=inner)
                    + sql[close_p + 1 :])
+    sql = _alias_values_subqueries(sql)
     if "{" in sql:
         sql = _rewrite_braces(sql)
     if "[" in sql:
@@ -757,10 +995,135 @@ def _rewrite_dialect(sql: str) -> str:
     return rewrite_arrow_cast(sql)
 
 
+def _alias_values_subqueries(sql: str) -> str:
+    """`FROM (VALUES …)` columns are column1..columnN in DataFusion but
+    col1..colN in Spark — attach an explicit column alias list."""
+    pos = 0
+    while True:
+        m = re.search(r"\(\s*VALUES\b", sql[pos:], re.IGNORECASE)
+        if not m:
+            return sql
+        open_p = pos + m.start()
+        # only the FROM/JOIN subquery position (an IN/scalar-subquery
+        # paren must not grow an alias)
+        before = sql[:open_p].rstrip()
+        if not re.search(r"\b(FROM|JOIN)$", before, re.IGNORECASE):
+            pos = open_p + 1
+            continue
+        try:
+            close_p = _find_close(sql, open_p)
+        except Untranslatable:
+            return sql
+        after = sql[close_p + 1:]
+        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*(\()?",
+                      after, re.IGNORECASE)
+        has_alias_cols = bool(am and am.group(2))
+        alias = (am.group(1) if am and am.group(1)
+                 and am.group(1).upper() not in _SQL_KEYWORDS else None)
+        if has_alias_cols and alias:
+            pos = close_p + 1
+            continue
+        body = sql[open_p + 1:close_p]
+        tp = body.find("(")
+        if tp < 0:
+            pos = close_p + 1
+            continue
+        try:
+            tclose = _find_close(body, tp)
+        except Untranslatable:
+            pos = close_p + 1
+            continue
+        arity = len(_split_top_level(body[tp + 1:tclose]))
+        cols = ", ".join(f"column{i + 1}" for i in range(arity))
+        if alias:
+            # reuse the written alias, attach the column list
+            end_alias = close_p + 1 + am.end(1)
+            sql = sql[:end_alias] + f"({cols})" + sql[end_alias:]
+        else:
+            sql = (sql[:close_p + 1] + f" AS __v({cols})"
+                   + sql[close_p + 1:])
+        pos = close_p + 1
+    return sql
+
+
+def _top_level_kw(s: str, kw: str) -> int:
+    """Position of keyword `kw` at paren-depth 0 outside strings, else -1."""
+    depth, in_str, i, n, kl = 0, False, 0, len(s), len(kw)
+    while i < n:
+        c = s[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif (depth == 0 and s[i:i + kl].upper() == kw
+              and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+              and (i + kl >= n or not (s[i + kl].isalnum()
+                                       or s[i + kl] == "_"))):
+            return i
+        i += 1
+    return -1
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """Postgres/DataFusion `SELECT DISTINCT ON (keys) sel FROM … ORDER BY
+    keys, tiebreak` → first-row-per-group via ROW_NUMBER, the same plan
+    the product's operators/distinct_on.py builds (sql/src/planner.rs
+    handles this in the reference)."""
+    m = re.match(r"\s*SELECT\s+DISTINCT\s+ON\s*\(", sql, re.IGNORECASE)
+    if not m:
+        # nested form: rewrite each parenthesized DISTINCT ON subquery
+        nm = re.search(r"\(\s*SELECT\s+DISTINCT\s+ON\s*\(", sql, re.IGNORECASE)
+        if nm:
+            open_p = nm.start()
+            close_p = _find_close(sql, open_p)
+            inner = _rewrite_distinct_on(sql[open_p + 1:close_p])
+            return (sql[:open_p + 1] + inner
+                    + _rewrite_distinct_on(sql[close_p:]))
+        return sql
+    open_p = m.end() - 1
+    close_p = _find_close(sql, open_p)
+    on_list = [x.strip() for x in _split_top_level(sql[open_p + 1:close_p])]
+    if not any(on_list):
+        raise Untranslatable("DISTINCT ON ()")
+    rest = sql[close_p + 1:]
+    fpos = _top_level_kw(rest, "FROM")
+    if fpos < 0:
+        raise Untranslatable("DISTINCT ON without FROM")
+    sel = rest[:fpos].strip()
+    tail = rest[fpos:].rstrip().rstrip(";")
+    limit_part = order_by = ""
+    opos = _top_level_kw(tail, "ORDER")
+    if opos >= 0:
+        order_tail, tail = tail[opos:], tail[:opos]
+        lpos = _top_level_kw(order_tail, "LIMIT")
+        if lpos >= 0:
+            limit_part = " " + order_tail[lpos:].strip()
+            order_tail = order_tail[:lpos]
+        order_by = re.sub(r"^ORDER\s+BY\b", "", order_tail.strip(),
+                          flags=re.IGNORECASE).strip()
+    else:
+        lpos = _top_level_kw(tail, "LIMIT")
+        if lpos >= 0:
+            limit_part = " " + tail[lpos:].strip()
+            tail = tail[:lpos]
+    keys = ", ".join(on_list)
+    win_order = order_by if order_by else keys
+    proj = "* EXCEPT (__rn)" if sel == "*" else sel
+    outer = f" ORDER BY {order_by}" if order_by else ""
+    return (f"SELECT {proj} FROM (SELECT *, ROW_NUMBER() OVER "
+            f"(PARTITION BY {keys} ORDER BY {win_order}) AS __rn "
+            f"{tail.strip()}) WHERE __rn = 1{outer}{limit_part}")
+
+
 def translate_query(sql: str) -> str:
     if re.search(r"\btime\s+'", sql, re.IGNORECASE):
         raise Untranslatable("TIME literal (Spark has no TIME type)")
-    return _rewrite_dialect(sql.strip().rstrip(";"))
+    return _rewrite_dialect(_rewrite_distinct_on(sql.strip().rstrip(";")))
 
 
 # ------------------------------------------------------------- formatting
@@ -851,6 +1214,24 @@ def _canon_interval_line(line: str) -> str:
     return _DF_IV.sub(df_repl, line)
 
 
+def _fmt_map_entries(v, dt=None) -> str:
+    """A map collected as map_entries (array<struct<key,value>>, used for
+    unhashable complex-key maps) → DataFusion's {k: v, …} display."""
+    if v is None:
+        return "NULL"
+    from pyspark.sql import types as T
+
+    et = dt.elementType if isinstance(dt, T.ArrayType) else None
+    kt = et["key"].dataType if isinstance(et, T.StructType) else None
+    vt = et["value"].dataType if isinstance(et, T.StructType) else None
+    return "{" + ", ".join(
+        f"{fmt_value(e['key'], kt)}: "
+        + ("" if e["value"] is None or e["value"] == ""
+           else fmt_value(e["value"], vt))
+        for e in v
+    ) + "}"
+
+
 def fmt_value(v, dt=None) -> str:
     """Format one Spark value DataFusion-slt style. ``dt`` is the
     pyspark DataType (recursed for nested types — needed to restore
@@ -867,11 +1248,24 @@ def fmt_value(v, dt=None) -> str:
     if isinstance(v, float):
         return _fmt_float32(v) if isinstance(dt, T.FloatType) else _fmt_float(v)
     if isinstance(v, decimal.Decimal):
-        return str(v)
+        # plain notation, trailing zeros trimmed (DataFusion's slt
+        # normalizer); str() would print tiny scales as 0E-7
+        s = f"{v:f}"
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return s if s not in ("", "-0") else "0"
     if isinstance(v, str):
+        m = re.match(r"INTERVAL '(-?)(\d+)-(\d+)' YEAR TO MONTH$", v)
+        if m:
+            months = int(m.group(2)) * 12 + int(m.group(3))
+            return _canon_td(-months if m.group(1) else months, 0)
+        m = re.match(r"INTERVAL '(-?\d+)' (YEAR|MONTH)$", v)
+        if m:
+            n = int(m.group(1))
+            return _canon_td(n * 12 if m.group(2) == "YEAR" else n, 0)
         return "(empty)" if v == "" else v
     if isinstance(v, (bytes, bytearray)):
-        return v.hex()
+        return v.hex()  # empty binary renders as an empty cell
     if isinstance(v, datetime.timedelta):
         return _canon_td(0, decimal.Decimal(v.days) * 86400 + v.seconds
                          + decimal.Decimal(v.microseconds) / 1_000_000)
@@ -888,8 +1282,11 @@ def fmt_value(v, dt=None) -> str:
     if isinstance(v, dict):
         kt = dt.keyType if isinstance(dt, T.MapType) else None
         vt = dt.valueType if isinstance(dt, T.MapType) else None
+        # DataFusion's map display renders NULL values empty (like arrays)
         return "{" + ", ".join(
-            f"{fmt_value(k, kt)}: {fmt_value(x, vt)}" for k, x in v.items()
+            f"{fmt_value(k, kt)}: "
+            + ("" if x is None or x == "" else fmt_value(x, vt))
+            for k, x in v.items()
         ) + "}"
     if hasattr(v, "asDict"):  # Row/struct — DataFusion prints NULL fields as empty
         fields = (list(dt.fields) if isinstance(dt, T.StructType)
@@ -949,7 +1346,8 @@ def _tokens_match(exp: str, act: str) -> bool:
             continue
         # numbers embedded in array/struct renderings carry punctuation
         ep, ap = e.strip("[]{},"), a.strip("[]{},")
-        if e.strip("0123456789.eE+-") != a.strip("0123456789.eE+-"):
+        if (re.sub(r"[0-9.eE+\-]+", "#", e)
+                != re.sub(r"[0-9.eE+\-]+", "#", a)):
             return False  # differing punctuation shape around the number
         try:
             ef, af = float(ep), float(ap)
@@ -1038,6 +1436,8 @@ class SltRunner:
         self.row_cap = row_cap
         self.verbose = verbose
         self.unavailable: set[str] = set()
+        self._temp_views: set[str] = set()
+        self._scratch = f"/tmp/slt_scratch/{db}"
         # the engine's DataFusion-dialect SQL names (iszero, date_bin,
         # array_pop_*, …) — the reference corpus drives the product
         # compat layer directly
@@ -1056,6 +1456,147 @@ class SltRunner:
 
     def _exec(self, sql: str):
         return self.spark.sql(sql)
+
+    def _create_external_table(self, sql: str) -> bool:
+        """CREATE EXTERNAL TABLE with a LOCATION present in this
+        container → a temp view over the file via spark.read (parquet /
+        csv / json) or the product's Arrow IPC reader. Returns False
+        (caller skips as before) when the location, format, or clause
+        shape is unsupported."""
+        s = sql.strip().rstrip(";")
+        m = re.match(
+            r"\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)",
+            s, re.IGNORECASE)
+        if not m:
+            return False
+        name = m.group(1)
+        pbm = re.search(r"\bPARTITIONED\s+BY\s*\(([^)]*)\)", s, re.IGNORECASE)
+        part_cols = ([p.strip().strip('"') for p in pbm.group(1).split(",")]
+                     if pbm else [])
+        fm = re.search(r"\bSTORED\s+AS\s+([A-Za-z]+)", s, re.IGNORECASE)
+        lm = re.search(r"\bLOCATION\s+'([^']+)'", s, re.IGNORECASE)
+        if not fm or not lm:
+            return False
+        fmt = fm.group(1).lower()
+        loc = lm.group(1)
+        path = _resolve_external_location(loc, self._scratch)
+        writable_target = (
+            os.path.join(self._scratch, loc[len("test_files/scratch/"):])
+            if path is None and loc.startswith("test_files/scratch/")
+            else None)
+        if path is None and writable_target is None:
+            return False
+        # optional column-def list: first '(' between the name and STORED AS
+        coldefs: list[tuple[str, str]] = []
+        head = s[m.end():fm.start()]
+        p = head.find("(")
+        if p >= 0:
+            try:
+                close = _find_close(head, p)
+            except Untranslatable:
+                return False
+            for d in _split_top_level(head[p + 1:close]):
+                d = re.sub(r"\bNOT\s+NULL\b", "", d, flags=re.IGNORECASE)
+                dm = re.match(r'\s*"?([A-Za-z_][A-Za-z0-9_]*)"?\s+(.+?)\s*$',
+                              d.strip())
+                if not dm:
+                    return False
+                try:
+                    coldefs.append((dm.group(1), _map_coldef_type(dm.group(2))))
+                except Untranslatable:
+                    return False
+        opts = dict(re.findall(r"'([^']+)'\s*,?\s*'([^']*)'",
+                               s[s.upper().find("OPTIONS"):])
+                    ) if re.search(r"\bOPTIONS\b", s, re.IGNORECASE) else {}
+        if part_cols and writable_target is None:
+            return False  # hive-layout read: partition discovery not wired
+        if writable_target is not None:
+            # external table at a not-yet-existing scratch LOCATION: the
+            # corpus INSERTs into it then reads back — create a real
+            # writable table there (catalog-scoped, dropped with the db)
+            if not coldefs or fmt not in ("parquet", "csv", "json"):
+                return False
+            ddl = ", ".join(f"{c} {t}" for c, t in coldefs)
+            pclause = (f" PARTITIONED BY ({', '.join(part_cols)})"
+                       if part_cols else "")
+            # COPY writes land as subdirectories (…/1.parquet/part-*);
+            # list them recursively. Partitioned tables keep the default
+            # lookup (recursion disables partition discovery).
+            wopts = [f"path '{writable_target}'"]
+            if not part_cols:
+                wopts.append("recursiveFileLookup 'true'")
+            if fmt == "csv":
+                header = (opts.get("format.has_header", "").lower() == "true"
+                          or re.search(r"\bWITH\s+HEADER\s+ROW\b", s,
+                                       re.IGNORECASE) is not None)
+                wopts.append(f"header '{str(header).lower()}'")
+                wopts.append(f"sep '{opts.get('format.delimiter', ',')}'")
+            try:
+                self.spark.sql(
+                    f"CREATE TABLE {name} ({ddl}) USING {fmt.upper()} "
+                    f"OPTIONS ({', '.join(wopts)}){pclause}")
+                self.unavailable.discard(name.lower())
+                return True
+            except Exception:  # noqa: BLE001
+                return False
+        try:
+            if fmt == "parquet":
+                df = self.spark.read.parquet(path)
+            elif fmt in ("json", "ndjson"):
+                df = self.spark.read.json(path)
+            elif fmt == "arrow":
+                from rust_query_engine_greatest_spark.sources.readers import (
+                    read_arrow,
+                )
+                df = read_arrow(self.spark, path)
+            elif fmt == "csv":
+                header = (opts.get("format.has_header", "").lower() == "true"
+                          or re.search(r"\bWITH\s+HEADER\s+ROW\b", s,
+                                       re.IGNORECASE) is not None)
+                reader = (self.spark.read
+                          .option("sep", opts.get("format.delimiter", ","))
+                          .option("recursiveFileLookup", True))
+                if "format.quote" in opts:
+                    reader = reader.option("quote", opts["format.quote"])
+                if "format.escape" in opts:
+                    reader = reader.option("escape", opts["format.escape"])
+                if "format.comment" in opts:
+                    reader = reader.option("comment", opts["format.comment"])
+                if coldefs:
+                    # header detection: DataFusion versions differ on the
+                    # default; trust the file itself when a schema is given
+                    if not header and os.path.isfile(path):
+                        with open(path, errors="replace") as fh:
+                            first = fh.readline().strip().lower()
+                        header = first == ",".join(c.lower()
+                                                   for c, _ in coldefs)
+                    # TIMESTAMP maps to NTZ (Arrow Timestamp(ns, None)),
+                    # but the fixtures carry Z-suffixed instants the NTZ
+                    # csv parser rejects — read as LTZ (UTC session) and
+                    # cast, preserving the wall-clock digits
+                    ddl = ", ".join(
+                        f"{c} {'TIMESTAMP' if t == 'TIMESTAMP_NTZ' else t}"
+                        for c, t in coldefs)
+                    df = reader.option("header", header).schema(ddl).csv(path)
+                    ntz = [c for c, t in coldefs if t == "TIMESTAMP_NTZ"]
+                    if ntz:
+                        from pyspark.sql import functions as _F
+                        df = df.select(*[
+                            _F.col(c).cast("timestamp_ntz").alias(c)
+                            if c in ntz else _F.col(c)
+                            for c, _t in coldefs])
+                else:
+                    df = reader.option("header", header).option(
+                        "inferSchema", True).csv(path)
+            else:
+                return False
+            df.createOrReplaceTempView(name)
+            self._temp_views.add(name)
+            self.unavailable.discard(name.lower())
+            return True
+        except Exception:  # noqa: BLE001 — census, not control flow
+            return False
 
     _INSERT_VALUES = re.compile(
         r"^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s*"
@@ -1096,6 +1637,8 @@ class SltRunner:
 
     def run_file(self, path: str, include_base: str | None = None) -> Census:
         c = Census(file=os.path.basename(path))
+        import shutil
+        shutil.rmtree(self._scratch, ignore_errors=True)
         spark = self.spark
         spark.sql(f"DROP DATABASE IF EXISTS {self.db} CASCADE")
         spark.sql(f"CREATE DATABASE {self.db}")
@@ -1123,16 +1666,41 @@ class SltRunner:
             spark.conf.set("spark.sql.parser.escapedStringLiterals", saved_esc)
             spark.sql("USE default")
             spark.sql(f"DROP DATABASE IF EXISTS {self.db} CASCADE")
+            for v in self._temp_views:
+                spark.catalog.dropTempView(v)
+            self._temp_views.clear()
         return c
 
     def _run_block(self, b: Block, c: Census) -> None:
         if b.kind in ("statement", "unknown"):
             low = b.sql.strip().lower()
+            if re.match(r"\s*copy\b", low):
+                try:
+                    if _referenced_tables(b.sql) & self.unavailable:
+                        c.skip_external += 1
+                    else:
+                        self._run_copy(b.sql)
+                        c.stmt_ok += 1
+                except Exception as exc:  # noqa: BLE001
+                    c.skip_runtime.append(f"{b.line}: {_head(exc)}")
+                return
             if re.match(r"create\s+(unbounded\s+)?external\s+table", low):
+                if self._create_external_table(b.sql):
+                    c.stmt_ok += 1
+                    return
                 m = re.search(r"table\s+([A-Za-z_][A-Za-z0-9_]*)", b.sql, re.IGNORECASE)
                 if m:
                     self.unavailable.add(m.group(1).lower())
                 c.skip_external += 1
+                return
+            dm = re.match(r"\s*drop\s+(?:table|view)\s+(?:if\s+exists\s+)?"
+                          r"([A-Za-z_][A-Za-z0-9_]*)", low)
+            if dm and dm.group(1) in {v.lower() for v in self._temp_views}:
+                for v in list(self._temp_views):
+                    if v.lower() == dm.group(1):
+                        self.spark.catalog.dropTempView(v)
+                        self._temp_views.discard(v)
+                c.stmt_ok += 1
                 return
             try:
                 t = translate_statement(b.sql)
@@ -1178,7 +1746,10 @@ class SltRunner:
                 c.error_sparkerr += 1
             return
         if b.kind == "query":
-            if b.types == "TT":
+            if b.types == "TT" or re.match(r"\s*(DESCRIBE|SHOW)\b", b.sql,
+                                           re.IGNORECASE):
+                # EXPLAIN plans, DESCRIBE type-name tables, and SHOW
+                # catalog text are engine-specific by definition
                 c.skip_plan += 1
                 return
             try:
@@ -1188,6 +1759,22 @@ class SltRunner:
                 return
             if _referenced_tables(t) & self.unavailable:
                 c.skip_external += 1
+                return
+            cm = re.match(r"\s*COPY\b", b.sql, re.IGNORECASE)
+            if cm:
+                # DataFusion reports the written row count as the result
+                try:
+                    if _referenced_tables(b.sql) & self.unavailable:
+                        c.skip_external += 1
+                        return
+                    actual = [self._run_copy(b.sql)]
+                except Exception as exc:  # noqa: BLE001
+                    c.skip_runtime.append(f"{b.line}: {_head(exc)}")
+                    return
+                if rows_match(b.expected, actual, b.sort) == "match":
+                    c.match += 1
+                else:
+                    c.mismatch.append(f"{b.line}")
                 return
             im = re.match(r"\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)", t,
                           re.IGNORECASE)
@@ -1208,31 +1795,35 @@ class SltRunner:
                 else:
                     c.mismatch.append(f"{b.line}")
                 return
-            try:
-                df = self._exec(t)
-                rows = df.limit(self.row_cap).collect()
-                dtypes = [f.dataType for f in df.schema.fields]
-            except Exception as exc:  # noqa: BLE001
-                if "TABLE_OR_VIEW_NOT_FOUND" in str(exc):
-                    # table registered by the reference's Rust-side
-                    # TestContext, never created in the .slt file itself
-                    self.unavailable |= _referenced_tables(t)
-                    c.skip_external += 1
-                else:
-                    c.skip_runtime.append(f"{b.line}: {_head(exc)}")
+            status, actual = self._collect_formatted(t)
+            if status == "notfound":
+                # table registered by the reference's Rust-side
+                # TestContext, never created in the .slt file itself
+                self.unavailable |= _referenced_tables(t)
+                c.skip_external += 1
                 return
-            actual = [
-                " ".join(fmt_value(v, d) for v, d in zip(row, dtypes))
-                for row in rows
-            ]
+            if status != "ok":
+                c.skip_runtime.append(f"{b.line}: {status}")
+                return
             verdict = rows_match(b.expected, actual, b.sort)
+            if verdict not in ("match", "unordered"):
+                # DataFusion's bare map(a, b) is from-arrays when a/b are
+                # array COLUMNS — statically indistinguishable from the
+                # alternating scalar form; try the other reading once
+                alt = _alt_map_from_arrays(t)
+                if alt:
+                    st2, act2 = self._collect_formatted(alt)
+                    if st2 == "ok":
+                        v2 = rows_match(b.expected, act2, b.sort)
+                        if v2 in ("match", "unordered"):
+                            actual, verdict = act2, v2
             if verdict == "match":
                 c.match += 1
             elif verdict == "unordered":
                 c.match_unordered += 1
             elif (len(b.expected) == len(actual)
                   and re.search(r"\blimit\b", t, re.IGNORECASE)
-                  and not re.search(r"order\s+by", t, re.IGNORECASE)):
+                  and _top_level_kw(t, "ORDER") < 0):
                 # LIMIT without total order: WHICH rows make the cut is
                 # engine-defined; only the count is comparable
                 c.match_rowcount += 1
@@ -1243,12 +1834,153 @@ class SltRunner:
                           f"exp: {b.expected[:6]}\ngot: {actual[:6]}")
             return
 
+    _COPY_RE = re.compile(r"\s*COPY\s+(.+?)\s+TO\s+'([^']+)'(.*)$",
+                          re.IGNORECASE | re.DOTALL)
+
+    def _run_copy(self, sql: str) -> str:
+        """COPY <table|(query)> TO 'path' [STORED AS fmt] [PARTITIONED BY
+        (...)] [OPTIONS (...)] → spark.write; returns the written row
+        count (DataFusion reports it as the COPY result). Scratch paths
+        land under /tmp/slt_scratch/<db> (the reference tree is
+        read-only); Spark writes a directory where DataFusion writes a
+        single file — the read side lists recursively, so round-trips
+        agree."""
+        m = self._COPY_RE.match(sql.strip().rstrip(";"))
+        if not m:
+            raise Untranslatable("unrecognized COPY")
+        src, loc, tail = m.group(1).strip(), m.group(2), m.group(3)
+        fm = re.search(r"\bSTORED\s+AS\s+([A-Za-z]+)", tail, re.IGNORECASE)
+        fmt = (fm.group(1).lower() if fm
+               else (loc.rsplit(".", 1)[-1].lower() if "." in
+                     os.path.basename(loc) else "parquet"))
+        if fmt == "json":
+            fmt = "json"
+        opts = dict(re.findall(r"'([^']+)'\s*,?\s*'([^']*)'",
+                               tail[tail.upper().find("OPTIONS"):])
+                    ) if re.search(r"\bOPTIONS\b", tail, re.IGNORECASE) else {}
+        pm = re.search(r"\bPARTITIONED\s+BY\s*\(([^)]*)\)", tail,
+                       re.IGNORECASE)
+        parts = ([c.strip().strip('"') for c in pm.group(1).split(",")]
+                 if pm else [])
+        if src.startswith("("):
+            q = translate_query(f"SELECT * FROM {src} AS __copy_src")
+            df = self.spark.sql(q)
+        else:
+            df = self.spark.table(src)
+        if loc.startswith("test_files/scratch/"):
+            target = os.path.join(self._scratch,
+                                  loc[len("test_files/scratch/"):])
+        elif os.path.isabs(loc):
+            raise Untranslatable(f"COPY outside scratch: {loc}")
+        else:
+            target = os.path.join(self._scratch, "rel", loc)
+        count = df.count()
+        if fmt == "arrow":
+            from rust_query_engine_greatest_spark.sources.writers import (
+                write_arrow_ipc,
+            )
+            write_arrow_ipc(df, target)
+            return str(count)
+        # DataFusion's COPY adds files into the target dir (a repeated
+        # COPY grows the dataset); scratch is wiped per run_file
+        w = df.write.mode("append")
+        if parts:
+            w = w.partitionBy(*parts)
+        if fmt == "csv":
+            w = (w.option("header",
+                          opts.get("format.has_header", "").lower() == "true")
+                 .option("sep", opts.get("format.delimiter", ",")))
+            if "format.quote" in opts:
+                w = w.option("quote", opts["format.quote"])
+            if "format.escape" in opts:
+                w = w.option("escape", opts["format.escape"])
+        comp = opts.get("format.compression", "")
+        cm = re.match(r"([a-z0-9]+)", comp)
+        if cm and cm.group(1) in ("zstd", "snappy", "gzip", "lz4", "none",
+                                  "uncompressed"):
+            w = w.option("compression", cm.group(1))
+        w.format(fmt).save(target)
+        # a catalog table over this path caches its file listing
+        self.spark.catalog.refreshByPath(target)
+        return str(count)
+
+    def _collect_formatted(self, t: str):
+        """Execute a translated query and format rows slt-style.
+        Returns ("ok", lines) | ("notfound", None) | (error_head, None)."""
+        try:
+            df = self._exec(t)
+            dtypes = [f.dataType for f in df.schema.fields]
+            from pyspark.sql import types as _T
+
+            if any(isinstance(d, _T.MapType) for d in dtypes):
+                # collect maps as their ordered entry lists: a Python
+                # dict scrambles DataFusion's in-order {k: v} display,
+                # and complex (array) keys aren't even hashable
+                from pyspark.sql import functions as _F
+                df = df.toDF(*[f"c{i}" for i in range(len(dtypes))])
+                df = df.select(*[
+                    _F.map_entries(df[f"c{i}"])
+                    if isinstance(d, _T.MapType) else df[f"c{i}"]
+                    for i, d in enumerate(dtypes)])
+                ent_idx = {i for i, d in enumerate(dtypes)
+                           if isinstance(d, _T.MapType)}
+                dtypes = [f.dataType for f in df.schema.fields]
+            else:
+                ent_idx = set()
+            if any(isinstance(d, _T.YearMonthIntervalType) for d in dtypes):
+                # PySpark cannot deserialize year-month intervals
+                # (fromInternal unimplemented) — stringify them; the
+                # INTERVAL 'Y-M' literal form is canonicalized in
+                # fmt_value. Positional rename sidesteps expression
+                # column names.
+                df = df.toDF(*[f"c{i}" for i in range(len(dtypes))])
+                df = df.select(*[
+                    df[f"c{i}"].cast("string") if isinstance(
+                        d, _T.YearMonthIntervalType) else df[f"c{i}"]
+                    for i, d in enumerate(dtypes)])
+                dtypes = [f.dataType for f in df.schema.fields]
+            rows = df.limit(self.row_cap).collect()
+        except Exception as exc:  # noqa: BLE001 — census, not control flow
+            if "TABLE_OR_VIEW_NOT_FOUND" in str(exc):
+                return "notfound", None
+            return _head(exc), None
+        return "ok", [
+            " ".join(
+                _fmt_map_entries(v, d) if i in ent_idx
+                else fmt_value(v, d)
+                for i, (v, d) in enumerate(zip(row, dtypes)))
+            for row in rows
+        ]
+
     def _mark_created_unavailable(self, sql: str) -> None:
         m = re.match(r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:EXTERNAL\s+)?"
                      r"(?:TABLE|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?"
                      r"([A-Za-z_][A-Za-z0-9_]*)", sql, re.IGNORECASE)
         if m:
             self.unavailable.add(m.group(1).lower())
+
+
+def _alt_map_from_arrays(t: str) -> str | None:
+    """Rewrite each bare 2-arg map(x, y) to map_from_arrays(x, y);
+    None when the query has no such call."""
+    out, pos, changed = t, 0, False
+    while True:
+        m = re.search(r"\bmap\s*\(", out[pos:], re.IGNORECASE)
+        if not m:
+            break
+        open_p = pos + m.end() - 1
+        try:
+            close_p = _find_close(out, open_p)
+        except Untranslatable:
+            break
+        if len(_split_top_level(out[open_p + 1:close_p])) == 2:
+            out = (out[:pos + m.start()] + "map_from_arrays("
+                   + out[open_p + 1:])
+            pos = pos + m.start() + len("map_from_arrays(")
+            changed = True
+        else:
+            pos = open_p + 1
+    return out if changed else None
 
 
 def _head(exc: Exception) -> str:
