@@ -118,6 +118,22 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(back)
 
 
+@register("source_path_query", _ORACLE_AGG, tags=("sources", "dynamic"))
+def source_path_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Url-table / dynamic-file scan (enable_url_table,
+    core/src/datasource/dynamic_file.rs; sqllogictest dynamic_file.slt):
+    write customer as a hive-partitioned csv directory (partitioned by
+    c_mktsegment), then query the directory PATH directly via
+    read_auto — format inferred from the data-file extension, partition
+    column recovered by native partition discovery."""
+    dst = os.path.join(_STAGE, "customer_pathq")
+    cust = load_table(spark, sf_dir, "customer")
+    (cust.write.mode("overwrite").partitionBy("c_mktsegment")
+         .option("header", True).csv(dst))
+    back = readers.read_auto(spark, dst)
+    return _agg(back)
+
+
 _OBJSTORE_ORACLE = """
     SELECT c_mktsegment,
            COUNT(*) AS n,

@@ -89,3 +89,77 @@ def from_pylist(spark: SparkSession, rows: list, schema: T.StructType | str) -> 
     """MemoryExec analog (memory.rs:44): in-memory batches → DataFrame
     (Arrow-backed createDataFrame)."""
     return spark.createDataFrame(rows, schema)
+
+
+def read_auto(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """Url-table / dynamic-file analog (the reference's
+    ``enable_url_table`` feature, core/src/datasource/dynamic_file.rs;
+    exercised by sqllogictest dynamic_file.slt): query a file or
+    directory path directly, inferring the format from the data-file
+    extension. Hive-partitioned directories get native partition
+    discovery from the csv/json/parquet sources; partitioned Arrow IPC
+    layouts are unioned per leaf with the partition values re-attached
+    (leaf listing is a driver-side directory walk — metadata only, the
+    file bytes stay executor-side)."""
+    import os
+
+    ext = None
+    if os.path.isfile(path):
+        ext = path.rsplit(".", 1)[-1].lower()
+    else:
+        for _root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                if "." in f and not f.startswith((".", "_")):
+                    e = f.rsplit(".", 1)[-1].lower()
+                    if e in ("parquet", "csv", "json", "arrow", "avro"):
+                        ext = e
+                        break
+            if ext:
+                break
+    if ext == "parquet":
+        return spark.read.parquet(path)
+    if ext == "json":
+        return read_ndjson(spark, path, schema)
+    if ext == "csv":
+        return read_csv(spark, path, schema=schema, header=True,
+                        infer=schema is None)
+    if ext == "avro":
+        return read_avro(spark, path)
+    if ext == "arrow":
+        from pyspark.sql import functions as F
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        import pyarrow as pa
+
+        if os.path.isfile(path):
+            leaves: dict[str, dict[str, str]] = {path: {}}
+            first_file = path
+        else:
+            leaves = {}
+            for root, _dirs, files in os.walk(path):
+                if any(f.endswith(".arrow") for f in files):
+                    kv = {}
+                    for seg in os.path.relpath(root, path).split(os.sep):
+                        if "=" in seg:
+                            k, _, v = seg.partition("=")
+                            kv[k] = v
+                    leaves[root] = kv
+            if not leaves:
+                raise FileNotFoundError(f"no .arrow files under {path}")
+            first = next(iter(sorted(leaves)))
+            first_file = os.path.join(first, sorted(
+                f for f in os.listdir(first) if f.endswith(".arrow"))[0])
+        if schema is None:
+            with pa.ipc.open_file(first_file) as rd:
+                schema = from_arrow_schema(rd.schema)
+        out = None
+        for root, kv in sorted(leaves.items()):
+            df = read_arrow_ipc(spark, root, schema)
+            for k, v in kv.items():
+                df = df.withColumn(
+                    k, F.lit(int(v)) if v.lstrip("-").isdigit() else F.lit(v))
+            out = df if out is None else out.unionByName(df)
+        return out
+    raise ValueError(f"cannot infer a data format for path {path!r}")

@@ -1,10 +1,10 @@
 """sqllogictest corpus parity (the reference's primary correctness gate).
 
-Executes 75 of the reference's own ``.slt`` files —
+Executes 88 of the reference's own ``.slt`` files —
 ``datafusion-greatest/datafusion/sqllogictest/test_files/*.slt`` — against
-Spark SQL via tools/slt_runner.py and pins the census: **2,850
-content-verified query blocks** and the exact set of **121 divergent
-blocks** (112 deterministic + 9 run-to-run-underdetermined), each with a
+Spark SQL via tools/slt_runner.py and pins the census: **3,039
+content-verified query blocks** and the exact set of **150 divergent
+blocks** (141 deterministic + 9 run-to-run-underdetermined), each with a
 named, verified cause. Mirrors the TPC-DS execution differential's
 methodology (tests/test_tpcds_execution.py): the reference SQL is
 consumed read-only at test time; parity is a measured number, not a
@@ -17,7 +17,16 @@ semantics), writable external tables for the INSERT-then-read corpus,
 double-quoted identifiers, DISTINCT ON -> ROW_NUMBER, MySQL interval
 chains, map literals/functions (ordered map_entries collection), the
 full 43-query ClickBench file verbatim (45/46 blocks, one pinned
-binary-rendering divergence), and 28 new files.
+binary-rendering divergence), path-literal table refs (``FROM 'path'``
+— DataFusion's enable_url_table feature, dynamic_file.slt: csv / json
+/ parquet / hive-partitioned-Arrow directories and the product Avro
+fallback reader), UNSIGNED cast widening, RIGHT SEMI/ANTI input swap,
+CREATE TABLE(cols) AS SELECT, leading-comment stripping,
+approx_median/approx_distinct → Spark sketch analogs, and 42 new
+files (46 → 88). The still-unexecuted reference files are pure engine
+introspection (information_schema*, options, set_variable, explain,
+arrow_typeof, create_function) or need the absent testing submodule's
+Avro fixtures (avro.slt).
 
 Census buckets (tools/slt_runner.py): ``match`` (slt-exact),
 ``match_unordered`` (same multiset; order differs only where the SQL
@@ -58,7 +67,8 @@ Pinned divergence families (every pinned line belongs to one):
     input; DataFusion keeps NULLs and returns NULL.
     aggregate 213/2919-3014 block.
 7.  **Integer median** — DataFusion returns the lower-middle integer;
-    Spark interpolates. aggregate 783/795.
+    Spark interpolates (and renders the widened double). aggregate
+    783/795; aggregate_skip_partial 331/596/609.
 8.  **String-function edges** — negative-length LEFT/RIGHT/SUBSTR
     (Postgres drop-last-n semantics vs Spark's empty/from-end):
     functions 21/26/96/141, string files 142/527/547, string_literal
@@ -82,7 +92,9 @@ Pinned divergence families (every pinned line belongs to one):
     44/61/83; ``^``/``>>`` operator precedence: scalar 1059;
     engine-default NULL ordering interacting with a LIMIT boundary
     (NULLS FIRST admits the all-NULL group into the top-k):
-    aggregates_topk 78/201.
+    aggregates_topk 78/201; non-total ORDER BY + LIMIT picks
+    engine-defined rows for the unordered columns:
+    join_disable_repartition_joins 65.
 12. **Insertion-order-dependent results** (UNDERDETERMINED — the value
     depends on scan order neither engine promises; these blocks may
     match or mismatch run to run and are allowed either way):
@@ -100,10 +112,17 @@ Pinned divergence families (every pinned line belongs to one):
     round-trip through Python dicts, which do not preserve DataFusion's
     entry order (top-level maps are collected as ordered entry lists).
     map 495/501.
-16. **Capability side effect** — Spark supports INSERT into a
-    single-file external table that DataFusion rejects; the
-    expected-error block's insert lands and changes the follow-up
-    read. insert_to_external 309.
+16. **Capability side effect** — Spark supports writes that DataFusion
+    rejects, so an expected-error block's insert lands and changes the
+    follow-up read: INSERT into a single-file external table
+    (insert_to_external 309); INSERT of NULL into a NOT NULL column
+    (session-catalog tables don't enforce nullability on write —
+    insert 308).
+17. **Approximate-sketch drift** — approx_median/approx_percentile
+    (DataFusion t-digest vs Spark Greenwald-Khanna picks a neighboring
+    sample; NaN inputs differ too) and approx_distinct (HLL vs HLL++
+    estimates differ by ±1). aggregate_skip_partial
+    281/291/341/351/475/621/634; aggregate 600/606/721/1149.
 """
 
 from __future__ import annotations
@@ -127,9 +146,13 @@ pytestmark = pytest.mark.skipif(
 # measured content minus the file's underdetermined-block count (an
 # underdetermined block that flips to mismatch lowers content by 1).
 PINNED = {
-    "aggregate.slt": (267, {213, 393, 783, 795, 2919, 2924, 2929, 2934,
+    "agg_func_substitute.slt": (1, set()),
+    "aggregate.slt": (273, {213, 393, 600, 606, 721, 783, 795, 1149,
+                            2919, 2924, 2929, 2934,
                             2949, 2954, 2969, 2989, 2994, 2999, 3004, 3009,
                             3014, 4112, 4141, 4146, 4153, 4158, 4184}),
+    "aggregate_skip_partial.slt": (35, {281, 291, 331, 341, 351, 475,
+                                        596, 609, 621, 634}),
     "aggregates_topk.slt": (10, {78, 201}),
     "array.slt": (103, {1553, 2365, 4159, 4307, 4323, 4341, 4377, 4428,
                         4450, 4480, 4505, 4530, 4555, 5653, 5720, 5738,
@@ -137,12 +160,14 @@ PINNED = {
     "array_query.slt": (26, set()),
     "arrow_files.slt": (0, set()),
     "binary.slt": (5, set()),
+    "binary_view.slt": (10, set()),
     "case.slt": (8, {45, 56}),
     "cast.slt": (8, set()),
     "clickbench.slt": (45, {289}),
     "coalesce.slt": (15, set()),
     "copy.slt": (41, set()),
     "count_star_rule.slt": (2, set()),
+    "create_external_table.slt": (3, set()),
     "cse.slt": (0, set()),
     "csv_files.slt": (6, set()),
     "cte.slt": (16, set()),
@@ -156,21 +181,25 @@ PINNED = {
     "errors.slt": (0, set()),
     "expr.slt": (262, {402}),
     "filter_without_sort_exec.slt": (0, set()),
-    "functions.slt": (83, {21, 26, 96, 141, 623, 635, 648, 660}),
+    "functions.slt": (84, {21, 26, 96, 141, 623, 635, 648, 660}),
     "group.slt": (21, set()),
     "group_by.slt": (328, {445, 473, 655, 770, 1329}),
     "grouping.slt": (2, set()),
     "identifiers.slt": (11, set()),
+    "dynamic_file.slt": (17, set()),
+    "insert.slt": (16, {308}),
     "insert_to_external.slt": (18, {309}),
     "intersection.slt": (2, set()),
     "interval.slt": (31, {44, 61, 83}),
     "interval_mysql.slt": (7, set()),
-    "join.slt": (67, set()),
-    "joins.slt": (104, {833, 3605}),
+    "join.slt": (75, set()),
+    "join_disable_repartition_joins.slt": (76, {65}),
+    "joins.slt": (106, {833, 3605}),
     "json.slt": (2, set()),
     "limit.slt": (32, set()),
     "map.slt": (67, {495, 501}),
     "math.slt": (24, {66, 104, 109}),
+    "metadata.slt": (0, set()),
     "misc.slt": (4, set()),
     "monotonic_projection_test.slt": (0, set()),
     "nullif.slt": (8, set()),
@@ -178,12 +207,17 @@ PINNED = {
     "nvl2.slt": (8, set()),
     "optimizer_group_by_constant.slt": (0, set()),
     "order.slt": (32, set()),
+    "parquet.slt": (7, set()),
+    "parquet_filter_pushdown.slt": (0, set()),
+    "parquet_sorted_statistics.slt": (3, set()),
     "predicates.slt": (39, {324, 338, 352, 357, 362}),
     "prepare.slt": (1, set()),
     "projection.slt": (11, set()),
-    "push_down_filter.slt": (1, set()),
+    "push_down_filter.slt": (5, set()),
     "references.slt": (5, set()),
     "regexp.slt": (29, {372}),
+    "repartition.slt": (2, set()),
+    "repartition_scan.slt": (1, set()),
     "same_column_name_cross_join.slt": (4, set()),
     "scalar.slt": (192, {467, 473, 509, 516, 531, 554, 561, 567, 590,
                          597, 603, 626, 655, 661, 1059, 1461}),
@@ -206,7 +240,7 @@ PINNED = {
     "unnest.slt": (19, {209, 539}),
     "update.slt": (0, set()),
     "wildcard.slt": (2, set()),
-    "window.slt": (109, set()),
+    "window.slt": (112, set()),
 }
 
 # family 12 — blocks whose verdict legitimately varies run to run
@@ -216,12 +250,11 @@ UNDERDETERMINED = {
     "window.slt": {4336, 4343, 4350, 4476},
 }
 
-# measured 2,850 content blocks / 112 deterministic divergences on a
-# clean-scratch pinning run (the first pin of insert_to_external.slt
-# counted one extra block that only matched because a prior debug run
-# left an appended file in the scratch external table); the suite-level
-# floor leaves room only for underdetermined flips
-TOTAL_CONTENT_FLOOR = 2841
+# measured 3,039 content blocks / 141 deterministic divergences on a
+# clean-scratch pinning run; the suite-level floor leaves room only for
+# underdetermined flips (one of aggregate.slt's underdetermined blocks
+# matched during pinning, so its share is subtracted here)
+TOTAL_CONTENT_FLOOR = 3036
 
 
 _totals = {"content": 0}

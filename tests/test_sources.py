@@ -432,3 +432,39 @@ def test_object_store_scan_partition_pruning(spark, nation, tmp_path_factory):
         object_store_scan(spark, url, partitions={"nope": "1"})
     with pytest.raises(FileNotFoundError, match="partition filter"):
         object_store_scan(spark, url, partitions={"n_regionkey": "99"})
+
+
+def test_read_auto_formats(spark, nation, tmp_path_factory):
+    """Url-table / dynamic-file reader (dynamic_file.rs): format from
+    extension, hive partition discovery, partitioned-Arrow leaf union."""
+    base = tmp_path_factory.mktemp("read_auto")
+    # hive-partitioned csv directory: partition col discovered natively
+    p_csv = str(base / "csv_part")
+    (nation.write.partitionBy("n_regionkey").option("header", True)
+           .csv(p_csv))
+    back = readers.read_auto(spark, p_csv)
+    assert "n_regionkey" in back.columns
+    assert back.count() == nation.count()
+    # plain ndjson file
+    p_json = str(base / "nd")
+    nation.coalesce(1).write.json(p_json)
+    assert readers.read_auto(spark, p_json).count() == nation.count()
+    # partitioned Arrow IPC layout: leaves unioned, partition re-attached
+    import os as _os
+
+    p_arrow = str(base / "arrow_part")
+    for rk in [r[0] for r in nation.select("n_regionkey").distinct().collect()]:
+        writers.write_arrow_ipc(
+            nation.filter(F.col("n_regionkey") == rk).drop("n_regionkey"),
+            _os.path.join(p_arrow, f"n_regionkey={rk}"),
+        )
+    back = readers.read_auto(spark, p_arrow)
+    assert back.count() == nation.count()
+    assert {r[0] for r in back.select("n_regionkey").distinct().collect()} == {
+        r[0] for r in nation.select("n_regionkey").distinct().collect()
+    }
+    # unknown format
+    (base / "mystery").mkdir()
+    (base / "mystery" / "blob.xyz").write_text("x")
+    with pytest.raises(ValueError, match="cannot infer"):
+        readers.read_auto(spark, str(base / "mystery"))

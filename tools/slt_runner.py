@@ -241,6 +241,10 @@ class Untranslatable(Exception):
     pass
 
 
+class _PathUnavailable(Exception):
+    """A FROM 'path' literal points at an absent fixture (submodule)."""
+
+
 def _find_close(s: str, start: int) -> int:
     """index of the ')' matching the '(' at start (string-literal aware)."""
     depth, i, n = 0, start, len(s)
@@ -401,12 +405,13 @@ def translate_create_table(sql: str) -> str:
     explicitly to the DataFusion names."""
     m = re.match(
         r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-        r"([A-Za-z_][A-Za-z0-9_.]*)\s*(.*)$",
+        r'(?:"([^"]+)"|([A-Za-z_][A-Za-z0-9_.]*))\s*(.*)$',
         sql.strip(), re.IGNORECASE | re.DOTALL,
     )
     if not m:
         raise Untranslatable("unrecognized CREATE TABLE")
-    name, rest = m.group(1), m.group(2).strip()
+    name = f"`{m.group(1)}`" if m.group(1) else m.group(2)
+    rest = m.group(3).strip()
     coldefs: list[tuple[str, str]] | None = None
     if rest.startswith("("):
         close = _find_close(rest, 0)
@@ -453,7 +458,11 @@ def translate_create_table(sql: str) -> str:
         return f"CREATE TABLE {name} USING PARQUET AS SELECT {proj} FROM ({body})"
     # AS SELECT …
     if coldefs is not None:
-        raise Untranslatable("CREATE TABLE(cols) AS SELECT")
+        # rename+cast the query's output positionally via an alias list
+        alias = ", ".join(c for c, _t in coldefs)
+        proj = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in coldefs)
+        return (f"CREATE TABLE {name} USING PARQUET AS SELECT {proj} "
+                f"FROM ({body}) AS __ctas({alias})")
     return f"CREATE TABLE {name} USING PARQUET AS {body}"
 
 
@@ -519,6 +528,22 @@ def _rewrite_fn_calls(sql: str) -> str:
     # DataFusion allows zero-arg count() as count(*)
     out = re.sub(r"\bcount\s*\(\s*\)", "count(*)", out, flags=re.IGNORECASE)
     out = re.sub(r"\bmake_map\s*\(", "map(", out, flags=re.IGNORECASE)
+    # approx aggregates: Spark's sketches are the analogs (HLL++ vs HLL,
+    # GK percentile vs t-digest — value drift at scale is pinnable)
+    out = re.sub(r"\bapprox_distinct\s*\(", "approx_count_distinct(",
+                 out, flags=re.IGNORECASE)
+
+    pat = re.compile(r"\bapprox_median\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(out)
+        if not m:
+            break
+        open_p = m.end() - 1
+        close_p = _find_close(out, open_p)
+        inner = out[open_p + 1 : close_p]
+        out = (out[: m.start()]
+               + f"approx_percentile({inner}, 0.5)"
+               + out[close_p + 1 :])
     # DATE_BIN's INTERVAL stride → whole seconds for the product's
     # date_bin(stride_s, ts, origin) compat shim (datetime/date_bin.rs)
     def _date_bin_stride(m: re.Match) -> str:
@@ -972,6 +997,22 @@ def _rewrite_dialect(sql: str) -> str:
     sql = re.sub(r"\btoday\s*\(\s*\)", "current_date()", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\bstrpos\s*\(", "instr(", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\bTIMESTAMPTZ\b", "TIMESTAMP", sql, flags=re.IGNORECASE)
+    # Arrow unsigned ints → the narrowest signed Spark type that holds
+    # the full unsigned range (joins.slt UNSIGNED cast corpus)
+    _UNSIGNED = {"TINYINT": "SMALLINT", "SMALLINT": "INT", "INT": "BIGINT",
+                 "INTEGER": "BIGINT", "BIGINT": "DECIMAL(20,0)"}
+    sql = re.sub(
+        r"\b(TINYINT|SMALLINT|INTEGER|INT|BIGINT)\s+UNSIGNED\b",
+        lambda m: _UNSIGNED[m.group(1).upper()], sql, flags=re.IGNORECASE)
+    # a bare NULL join condition needs a boolean type in Spark
+    sql = re.sub(r"\bON\s+NULL\b", "ON CAST(NULL AS BOOLEAN)", sql,
+                 flags=re.IGNORECASE)
+    # Spark has LEFT SEMI/ANTI only: RIGHT SEMI/ANTI swaps the inputs
+    sql = re.sub(
+        r"\bFROM\s+([A-Za-z_][\w.]*(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?)\s+"
+        r"RIGHT\s+(SEMI|ANTI)\s+JOIN\s+"
+        r"([A-Za-z_][\w.]*(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?)\s+ON\b",
+        r"FROM \3 LEFT \2 JOIN \1 ON", sql, flags=re.IGNORECASE)
     # to_timestamp_<unit>: numeric input is reinterpreted at that unit
     for unit, arrow in (("seconds", "Second"), ("millis", "Millisecond"),
                         ("micros", "Microsecond"), ("nanos", "Nanosecond")):
@@ -1438,6 +1479,12 @@ class SltRunner:
         self.unavailable: set[str] = set()
         self._temp_views: set[str] = set()
         self._scratch = f"/tmp/slt_scratch/{db}"
+        # COPY targets written this run: normpath → {fmt, header, cols,
+        # parts}; lets a later path-literal read (FROM 'dir') reapply the
+        # written column names to a headerless csv dataset
+        self._copy_meta: dict[str, dict] = {}
+        # path-literal → registered temp view name (per run_file)
+        self._path_views: dict[str, str] = {}
         # the engine's DataFusion-dialect SQL names (iszero, date_bin,
         # array_pop_*, …) — the reference corpus drives the product
         # compat layer directly
@@ -1669,9 +1716,24 @@ class SltRunner:
             for v in self._temp_views:
                 spark.catalog.dropTempView(v)
             self._temp_views.clear()
+            self._copy_meta.clear()
+            self._path_views.clear()
         return c
 
+    @staticmethod
+    def _strip_lead_comments(sql: str) -> str:
+        """Drop leading `-- …` lines and `/*…*/` prefixes so the
+        statement-kind dispatch sees the first real keyword
+        (`/*DML*/CREATE TABLE`, comment-led COPY blocks)."""
+        prev = None
+        while prev != sql:
+            prev = sql
+            sql = re.sub(r"\A\s*--[^\n]*\n", "", sql)
+            sql = re.sub(r"\A\s*/\*.*?\*/", "", sql, flags=re.DOTALL)
+        return sql
+
     def _run_block(self, b: Block, c: Census) -> None:
+        b.sql = self._strip_lead_comments(b.sql)
         if b.kind in ("statement", "unknown"):
             low = b.sql.strip().lower()
             if re.match(r"\s*copy\b", low):
@@ -1754,8 +1816,15 @@ class SltRunner:
                 return
             try:
                 t = translate_query(b.sql)
+                t = self._rewrite_path_tables(t)
             except Untranslatable as exc:
                 c.skip_translate.append(f"{b.line}: {exc}")
+                return
+            except _PathUnavailable:
+                c.skip_external += 1
+                return
+            except Exception as exc:  # noqa: BLE001 — census, not control flow
+                c.skip_runtime.append(f"{b.line}: {_head(exc)}")
                 return
             if _referenced_tables(t) & self.unavailable:
                 c.skip_external += 1
@@ -1875,11 +1944,29 @@ class SltRunner:
         else:
             target = os.path.join(self._scratch, "rel", loc)
         count = df.count()
+        data_cols = [col for col in df.columns if col not in parts]
+        self._copy_meta[os.path.normpath(target)] = {
+            "fmt": fmt, "parts": parts, "cols": data_cols,
+            "header": bool(opts.get("format.has_header", "").lower()
+                           == "true"),
+        }
         if fmt == "arrow":
             from rust_query_engine_greatest_spark.sources.writers import (
                 write_arrow_ipc,
             )
-            write_arrow_ipc(df, target)
+            if parts:
+                # hive-style layout for the partitioned Arrow corpus;
+                # driver loop is fine here (test harness, bounded keys)
+                for r in df.select(*parts).distinct().collect():
+                    sub = df
+                    for pc in parts:
+                        sub = sub.filter(sub[pc] == r[pc])
+                    subdir = os.path.join(
+                        target, *[f"{pc}={r[pc]}" for pc in parts])
+                    write_arrow_ipc(sub.select(*data_cols), subdir,
+                                    mode="append")
+            else:
+                write_arrow_ipc(df, target, mode="append")
             return str(count)
         # DataFusion's COPY adds files into the target dir (a repeated
         # COPY grows the dataset); scratch is wiped per run_file
@@ -1903,6 +1990,48 @@ class SltRunner:
         # a catalog table over this path caches its file listing
         self.spark.catalog.refreshByPath(target)
         return str(count)
+
+    _PATH_TAB_RE = re.compile(r"(\bFROM\s+)'([^']+)'", re.IGNORECASE)
+
+    def _rewrite_path_tables(self, sql: str) -> str:
+        """DataFusion's enable_url_table feature: ``FROM 'path'`` reads
+        the file/directory directly (dynamic_file.slt). Each distinct
+        path becomes a temp view over the matching reader; absent
+        fixture paths (missing submodules) raise _PathUnavailable so the
+        caller can census them as skip_external."""
+        def repl(m: re.Match) -> str:
+            loc = m.group(2)
+            if "/" not in loc:  # not a path (e.g. substring(x FROM 'p'))
+                return m.group(0)
+            if loc not in self._path_views:
+                p = _resolve_external_location(loc, self._scratch)
+                if p is None:
+                    raise _PathUnavailable(loc)
+                name = f"__pathtab_{len(self._path_views)}"
+                self._read_path(p).createOrReplaceTempView(name)
+                self._temp_views.add(name)
+                self._path_views[loc] = name
+            return m.group(1) + self._path_views[loc]
+
+        return self._PATH_TAB_RE.sub(repl, sql)
+
+    def _read_path(self, p: str):
+        """Read a data file or (possibly hive-partitioned) directory via
+        the product's url-table reader. One harness-only special case:
+        a headerless csv dataset written by this run's COPY gets the
+        written column names restored positionally from _copy_meta."""
+        from rust_query_engine_greatest_spark.sources.readers import (
+            read_auto,
+        )
+
+        meta = self._copy_meta.get(os.path.normpath(p))
+        if meta and meta["fmt"] == "csv" and not meta["header"]:
+            df = (self.spark.read.option("header", False)
+                  .option("inferSchema", True).csv(p))
+            it = iter(meta["cols"])
+            return df.toDF(*[next(it) if c.startswith("_c") else c
+                             for c in df.columns])
+        return read_auto(self.spark, p)
 
     def _collect_formatted(self, t: str):
         """Execute a translated query and format rows slt-style.
