@@ -397,7 +397,7 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
     return parts
 
 
-def translate_create_table(sql: str) -> str:
+def translate_create_table(sql: str) -> str | list[str]:
     """CREATE TABLE t [(coldefs)] AS VALUES|SELECT …  /  CREATE TABLE t(coldefs)
     → Spark CTAS with explicit casts (so every declared type is honored)
     or an empty parquet table. DataFusion's untyped ``AS VALUES`` names
@@ -412,26 +412,38 @@ def translate_create_table(sql: str) -> str:
         raise Untranslatable("unrecognized CREATE TABLE")
     name = f"`{m.group(1)}`" if m.group(1) else m.group(2)
     rest = m.group(3).strip()
-    coldefs: list[tuple[str, str]] | None = None
+    coldefs: list[tuple[str, str, str | None]] | None = None
     if rest.startswith("("):
         close = _find_close(rest, 0)
         defs = _split_top_level(rest[1:close])
         coldefs = []
         for d in defs:
             d = d.strip()
+            # column DEFAULT expression (insert.slt corpus); Spark's
+            # defaultColumn feature covers parquet session tables
+            dflt = None
+            fm = re.search(r"\s+DEFAULT\s+(.+)$", d,
+                           re.IGNORECASE | re.DOTALL)
+            if fm:
+                dflt = _rewrite_dialect(fm.group(1).strip())
+                d = d[: fm.start()].rstrip()
             dm = re.match(r'(?:"([^"]+)"|([A-Za-z_][A-Za-z0-9_]*))'
                           r"\s+(.+?)(?:\s+NOT\s+NULL|\s+NULL)?$",
                           d, re.IGNORECASE | re.DOTALL)
             if not dm:
                 raise Untranslatable(f"coldef {d!r}")
             cname = dm.group(2) or f"`{dm.group(1)}`"
-            coldefs.append((cname, _map_coldef_type(dm.group(3))))
+            coldefs.append((cname, _map_coldef_type(dm.group(3)), dflt))
         rest = rest[close + 1 :].strip()
+    def _ddl_cols() -> str:
+        return ", ".join(
+            f"{c} {t}" + (f" DEFAULT {dflt}" if dflt is not None else "")
+            for c, t, dflt in coldefs)
+
     if rest.rstrip(";").strip() == "":
         if coldefs is None:
             raise Untranslatable("CREATE TABLE with neither columns nor AS")
-        cols = ", ".join(f"{c} {t}" for c, t in coldefs)
-        return f"CREATE TABLE {name} ({cols}) USING PARQUET"
+        return f"CREATE TABLE {name} ({_ddl_cols()}) USING PARQUET"
     am = re.match(r"AS\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
     if not am:
         raise Untranslatable(f"CREATE TABLE tail {rest[:40]!r}")
@@ -452,22 +464,38 @@ def translate_create_table(sql: str) -> str:
                     return f"{_TEMPORAL_CAST['Date32'].format(e=f'col{i+1}')} AS {c}"
                 return f"CAST(col{i+1} AS {t}) AS {c}"
 
-            proj = ", ".join(_colcast(i, c, t) for i, (c, t) in enumerate(coldefs))
+            proj = ", ".join(
+                _colcast(i, c, t) for i, (c, t, _d) in enumerate(coldefs))
+            if any(d is not None for _c, _t, d in coldefs):
+                # defaults must live in the table metadata for later
+                # partial-column INSERTs: create typed, then insert
+                return [
+                    f"CREATE TABLE {name} ({_ddl_cols()}) USING PARQUET",
+                    f"INSERT INTO {name} SELECT {proj} FROM ({body})",
+                ]
         else:
             proj = ", ".join(f"col{i+1} AS column{i+1}" for i in range(arity))
         return f"CREATE TABLE {name} USING PARQUET AS SELECT {proj} FROM ({body})"
     # AS SELECT …
     if coldefs is not None:
         # rename+cast the query's output positionally via an alias list
-        alias = ", ".join(c for c, _t in coldefs)
-        proj = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in coldefs)
+        alias = ", ".join(c for c, _t, _d in coldefs)
+        proj = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t, _d in coldefs)
+        if any(d is not None for _c, _t, d in coldefs):
+            return [
+                f"CREATE TABLE {name} ({_ddl_cols()}) USING PARQUET",
+                f"INSERT INTO {name} SELECT {proj} "
+                f"FROM ({body}) AS __ctas({alias})",
+            ]
         return (f"CREATE TABLE {name} USING PARQUET AS SELECT {proj} "
                 f"FROM ({body}) AS __ctas({alias})")
     return f"CREATE TABLE {name} USING PARQUET AS {body}"
 
 
-def translate_statement(sql: str) -> str | None:
-    """→ Spark SQL, None to skip as engine config, or raise Untranslatable."""
+def translate_statement(sql: str) -> str | list[str] | None:
+    """→ Spark SQL (a list when one DataFusion statement needs two
+    Spark ones, e.g. CTAS with column DEFAULTs), None to skip as engine
+    config, or raise Untranslatable."""
     s = sql.strip().rstrip(";").strip()
     low = s.lower()
     if low.startswith("set "):
@@ -1773,14 +1801,16 @@ class SltRunner:
             if t is None:
                 c.skip_config += 1
                 return
-            if _referenced_tables(t) & self.unavailable:
+            stmts = t if isinstance(t, list) else [t]
+            if _referenced_tables(" ".join(stmts)) & self.unavailable:
                 self._mark_created_unavailable(b.sql)
                 c.skip_external += 1
                 return
             try:
-                if re.match(r"\s*INSERT\b", t, re.IGNORECASE):
-                    t = self._schema_cast_insert(t)
-                self._exec(t)
+                for s in stmts:
+                    if re.match(r"\s*INSERT\b", s, re.IGNORECASE):
+                        s = self._schema_cast_insert(s)
+                    self._exec(s)
                 c.stmt_ok += 1
             except Exception as exc:  # noqa: BLE001 — census, not control flow
                 self._mark_created_unavailable(b.sql)
@@ -1797,10 +1827,12 @@ class SltRunner:
                 if t is None:
                     c.skip_config += 1
                     return
-                if _referenced_tables(t) & self.unavailable:
+                stmts = t if isinstance(t, list) else [t]
+                if _referenced_tables(" ".join(stmts)) & self.unavailable:
                     c.skip_external += 1
                     return
-                df = self._exec(t)
+                for s in stmts:
+                    df = self._exec(s)
                 if b.kind == "query_error":
                     df.limit(self.row_cap).collect()
                 c.error_sparkok += 1
