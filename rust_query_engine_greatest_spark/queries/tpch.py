@@ -665,12 +665,20 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top supplier — scalar MAX subquery over a derived view. Exact
-    decimal sums make the equality comparison deterministic."""
+    decimal sums make the equality comparison deterministic.
+    The explicit l_suppkey IS NOT NULL in the view matches the null
+    filter the optimizer pushes for the supplier join, so BOTH consumers
+    of `revenue` (the join and the MAX scalar) share a byte-identical
+    aggregation subtree and AQE's exchange reuse computes it once
+    (pinned in test_plans.py::test_scalar_branch_reuses_exchange);
+    NULL-keyed lineitem can't join supplier, so the view is unchanged
+    for every joinable row."""
     lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
     revenue = (
         lineitem.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum(_rev(), "total_revenue"))

@@ -4,6 +4,8 @@ top-k fusion, and codegen actually fire on the registered queries
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from rust_query_engine_greatest_spark.operators import top_k
@@ -395,3 +397,21 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("qname", ["tpch_q11", "tpch_q15"])
+def test_scalar_branch_reuses_exchange(spark, sf_dir, qname):
+    """q11's threshold and q15's MAX scalar are derived from the same
+    aggregation subtree that feeds the main branch; AQE's exchange reuse
+    must compute that subtree ONCE at runtime (the scalar branch reads
+    the reused shuffle, not a second lineitem scan) — the scale property
+    the r3 verdict flagged as 'aggregated twice' in the static plan.
+    For q15 this requires the explicit join-key null filter inside the
+    shared view (tpch.py) so both consumers' subtrees are
+    byte-identical."""
+    from rust_query_engine_greatest_spark.queries import REGISTRY
+
+    df = REGISTRY[qname].build(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
