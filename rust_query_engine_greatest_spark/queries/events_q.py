@@ -233,12 +233,14 @@ def _hourly_spine(e):
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mv"))
+    # bounds are expressed over the hourly AGGREGATE (one source of
+    # truth for bucket granularity); Catalyst prunes the spine branch's
+    # copy down to a 2-column scan + partial min/max — calendar-sized
+    # shuffle. (Exchange reuse as in q11/q15 can't fire here: per-branch
+    # column pruning legitimately specializes the two subtrees.)
     spine = (
-        e.groupBy("event_type")
-        .agg(
-            F.date_trunc("hour", F.min("ts")).alias("mn"),
-            F.date_trunc("hour", F.max("ts")).alias("mx"),
-        )
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
         .select(
             "event_type",
             F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h"),

@@ -790,18 +790,23 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large volume customer (threshold 300→200 to fit TESTDATA's ~4
-    lineitems/order). IN-subquery → left-semi join on the aggregated key."""
+    lineitems/order). IN-subquery over the same fact → per-order window
+    sum on ONE lineitem exchange (the q21 discipline): the semi-join
+    form scans and shuffles lineitem twice (aggregated key set + detail
+    rows); the window computes the per-order total on the detail rows
+    themselves, so one scan and one hash exchange on l_orderkey carry
+    both the filter and the join feed. Pinned in
+    test_plans.py::test_q18_single_lineitem_scan."""
     customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
-    big = (
-        lineitem.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sq"))
+    w = Window.partitionBy("l_orderkey")
+    big_lines = (
+        lineitem.select("l_orderkey", "l_quantity")
+        .withColumn("sq", F.sum("l_quantity").over(w))
         .filter(F.col("sq") > 200)
-        .select(F.col("l_orderkey").alias("big_key"))
     )
     return (
-        orders.join(big, F.col("o_orderkey") == F.col("big_key"), "left_semi")
+        big_lines.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum(dec2("l_quantity"), "sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")

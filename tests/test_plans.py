@@ -415,3 +415,13 @@ def test_scalar_branch_reuses_exchange(spark, sf_dir, qname):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_q18_single_lineitem_scan(spark, sf_dir):
+    """q18's big-order filter is a window sum over the same exchange
+    that feeds the join — lineitem must appear ONCE in the plan (the
+    semi-join form scanned and shuffled it twice)."""
+    from rust_query_engine_greatest_spark.plans import plan_string
+
+    df = REGISTRY["tpch_q18"].build(spark, sf_dir)
+    assert plan_string(df).count("lineitem.parquet") == 1
