@@ -572,6 +572,106 @@ def _rewrite_fn_calls(sql: str) -> str:
         out = (out[: m.start()]
                + f"approx_percentile({inner}, 0.5)"
                + out[close_p + 1 :])
+    # approx_percentile_cont(c, p[, centroids]) → approx_percentile(c, p)
+    pat = re.compile(r"\bapprox_percentile_cont\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(out)
+        if not m:
+            break
+        open_p = m.end() - 1
+        close_p = _find_close(out, open_p)
+        args = _split_top_level(out[open_p + 1 : close_p])
+        repl = (f"approx_percentile({args[0].strip()}, {args[1].strip()})"
+                if len(args) >= 2 else "approx_percentile()")
+        out = out[: m.start()] + repl + out[close_p + 1 :]
+    # var is sample variance in DataFusion/PG
+    out = re.sub(r"\bvar\s*\(", "var_samp(", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bstarts_with\s*\(", "startswith(", out, flags=re.IGNORECASE)
+    # digest(x, 'algo') → the matching Spark hash (all render lowercase hex)
+    def _digest(m: re.Match) -> str:
+        arg, algo = m.group(1), m.group(2).lower()
+        if algo == "md5":
+            return f"md5({arg})"
+        if algo == "sha1":
+            return f"sha1({arg})"
+        return f"sha2({arg}, {algo[3:]})"
+
+    out = re.sub(
+        r"\bdigest\s*\(\s*('[^']*'|[^,()]+?)\s*,\s*"
+        r"'(md5|sha1|sha224|sha256|sha384|sha512)'\s*\)",
+        _digest, out, flags=re.IGNORECASE)
+    # bare shaN(x) → sha2(x, N)
+    pat = re.compile(r"\bsha(224|256|384|512)\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(out)
+        if not m:
+            break
+        open_p = m.end() - 1
+        close_p = _find_close(out, open_p)
+        inner = out[open_p + 1 : close_p]
+        out = (out[: m.start()] + f"sha2({inner}, {m.group(1)})"
+               + out[close_p + 1 :])
+    # to_unixtime: epoch seconds as Int64
+    pat = re.compile(r"\bto_unixtime\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(out)
+        if not m:
+            break
+        open_p = m.end() - 1
+        close_p = _find_close(out, open_p)
+        inner = out[open_p + 1 : close_p]
+        out = (out[: m.start()]
+               + f"CAST(CAST({inner} AS TIMESTAMP) AS BIGINT)"
+               + out[close_p + 1 :])
+    # arrow_typeof → Spark runtime typeof mapped to Arrow type names.
+    # Literal ints type differently (Spark INT vs Arrow Int64) — those
+    # blocks pin under the literal-typing family; TIMESTAMP carries the
+    # DataFusion name for the equivalent SQL type (ns, SURVEY §1.2).
+    pat = re.compile(r"\barrow_typeof\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(out)
+        if not m:
+            break
+        open_p = m.end() - 1
+        close_p = _find_close(out, open_p)
+        e = out[open_p + 1 : close_p]
+        t = f"typeof({e})"
+        case = (
+            f"CASE {t} WHEN 'tinyint' THEN 'Int8' WHEN 'smallint' THEN 'Int16' "
+            "WHEN 'int' THEN 'Int32' WHEN 'bigint' THEN 'Int64' "
+            "WHEN 'float' THEN 'Float32' WHEN 'double' THEN 'Float64' "
+            "WHEN 'string' THEN 'Utf8' WHEN 'boolean' THEN 'Boolean' "
+            "WHEN 'binary' THEN 'Binary' WHEN 'date' THEN 'Date32' "
+            "WHEN 'timestamp_ntz' THEN 'Timestamp(Nanosecond, None)' "
+            "WHEN 'timestamp' THEN 'Timestamp(Nanosecond, Some(\"+00:00\"))' "
+            "WHEN 'void' THEN 'Null' "
+            f"WHEN {t} LIKE 'decimal%' THEN concat('Decimal128(', "
+            f"replace(substr({t}, 9, length({t}) - 9), ',', ', '), ')') "
+            f"ELSE {t} END")
+        out = out[: m.start()] + case + out[close_p + 1 :]
+    # EXTRACT: quoted field names, and the epoch/ms/us/ns fields Spark
+    # lacks (DataFusion yields the value within the minute, fractional)
+    out = re.sub(r"\bEXTRACT\s*\(\s*'(\w+)'\s+FROM", r"EXTRACT(\1 FROM",
+                 out, flags=re.IGNORECASE)
+    pat = re.compile(
+        r"\bEXTRACT\s*\(\s*(epoch|millisecond|microsecond|nanosecond)\s+FROM\b",
+        re.IGNORECASE)
+    while True:
+        m = pat.search(out)
+        if not m:
+            break
+        open_p = out.index("(", m.start())
+        close_p = _find_close(out, open_p)
+        field = m.group(1).lower()
+        e = out[m.end() : close_p].strip()
+        us = f"unix_micros(CAST({e} AS TIMESTAMP))"
+        repl = {
+            "epoch": f"(CAST({us} AS DOUBLE) / 1000000.0)",
+            "millisecond": f"(CAST({us} % 60000000 AS DOUBLE) / 1000.0)",
+            "microsecond": f"CAST({us} % 60000000 AS DOUBLE)",
+            "nanosecond": f"(CAST({us} % 60000000 AS DOUBLE) * 1000.0)",
+        }[field]
+        out = out[: m.start()] + repl + out[close_p + 1 :]
     # DATE_BIN's INTERVAL stride → whole seconds for the product's
     # date_bin(stride_s, ts, origin) compat shim (datetime/date_bin.rs)
     def _date_bin_stride(m: re.Match) -> str:
