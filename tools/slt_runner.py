@@ -649,6 +649,39 @@ def _rewrite_fn_calls(sql: str) -> str:
             f"replace(substr({t}, 9, length({t}) - 9), ',', ', '), ')') "
             f"ELSE {t} END")
         out = out[: m.start()] + case + out[close_p + 1 :]
+    # nth_value offset forms Spark rejects: NULL/0/NULL-valued offsets
+    # yield NULL in DataFusion (→ a typed NULL scalar); a negative
+    # offset counts from the frame end — for the default frame ending
+    # at the current row, nth(-k) ≡ lag(e, k-1)
+    pat = re.compile(r"\bnth_value\s*\(", re.IGNORECASE)
+    spos = 0
+    while True:
+        m = pat.search(out, spos)
+        if not m:
+            break
+        open_p = m.end() - 1
+        close_p = _find_close(out, open_p)
+        args = _split_top_level(out[open_p + 1 : close_p])
+        spos = m.end()
+        if len(args) != 2:
+            continue
+        e, off = args[0].strip(), args[1].strip().lower()
+        tail = out[close_p + 1 :]
+        tm = re.match(r"(\s*ignore\s+nulls)?\s*over\s*\(", tail,
+                      re.IGNORECASE)
+        if off in ("null", "0") or re.fullmatch(r".*\*\s*null", off):
+            if tm:  # drop the whole window expression: typed NULL
+                w_open = close_p + 1 + tm.end() - 1
+                w_close = _find_close(out, w_open)
+                out = (out[: m.start()]
+                       + f"(CASE WHEN 1=0 THEN {e} END)"
+                       + out[w_close + 1 :])
+                spos = m.start()
+        elif re.fullmatch(r"-\d+", off) and (not tm or not tm.group(1)):
+            k = int(off[1:])
+            out = (out[: m.start()] + f"lag({e}, {k - 1})"
+                   + out[close_p + 1 :])
+            spos = m.start()
     # EXTRACT: quoted field names, and the epoch/ms/us/ns fields Spark
     # lacks (DataFusion yields the value within the minute, fractional)
     out = re.sub(r"\bEXTRACT\s*\(\s*'(\w+)'\s+FROM", r"EXTRACT(\1 FROM",
@@ -1091,6 +1124,112 @@ def _dquote_idents(sql: str) -> str:
     return "".join(out)
 
 
+_PG_INTERVAL_UNITS = {
+    "nanosecond": ("us", 1e-3), "ns": ("us", 1e-3),
+    "microsecond": ("us", 1.0), "us": ("us", 1.0),
+    "millisecond": ("us", 1e3), "ms": ("us", 1e3),
+    "second": ("us", 1e6), "sec": ("us", 1e6), "s": ("us", 1e6),
+    "minute": ("us", 6e7), "min": ("us", 6e7), "m": ("us", 6e7),
+    "hour": ("us", 3.6e9), "h": ("us", 3.6e9),
+    "day": ("day", 1.0), "d": ("day", 1.0),
+    "week": ("day", 7.0), "w": ("day", 7.0),
+    "month": ("mon", 1.0), "mon": ("mon", 1.0),
+    "year": ("mon", 12.0), "y": ("mon", 12.0),
+    "decade": ("mon", 120.0),
+    "century": ("mon", 1200.0), "centuries": ("mon", 1200.0),
+    "millennium": ("mon", 12000.0), "millenniums": ("mon", 12000.0),
+    "millennia": ("mon", 12000.0),
+}
+
+
+def _fold_pg_interval(sql: str) -> str:
+    """Postgres interval-literal forms Spark's parser lacks: fractional
+    quantities (``'0.5 minute'``), extended units (decade/century/
+    millennium), and a trailing bare number meaning seconds (``'1'``,
+    ``'1 day 1'``). Folded to integer months / a DAY TO SECOND literal
+    with PG's fractional-spillover rules (0.5 mon → 15 days, 0.5 day →
+    43200 s). Literals Spark parses natively — and the ``'5' hours``
+    suffix-alias form whose divergence is pinned — are left alone."""
+    def repl(m: re.Match) -> str:
+        body = m.group(1).strip()
+        toks = body.split()
+        pairs: list[tuple[float, str | None]] = []
+        i = 0
+        ok = True
+        while i < len(toks):
+            try:
+                qty = float(toks[i])
+            except ValueError:
+                ok = False
+                break
+            unit = None
+            if i + 1 < len(toks):
+                u = toks[i + 1].lower().rstrip(",")
+                key = u[:-1] if u.endswith("s") and u[:-1] in _PG_INTERVAL_UNITS else u
+                if key in _PG_INTERVAL_UNITS:
+                    unit = key
+                    i += 2
+                else:
+                    ok = False
+                    break
+            else:
+                i += 1
+            pairs.append((qty, unit))
+        needs = ok and any(
+            u is None or qty != int(qty)
+            or u in ("decade", "century", "centuries",
+                     "millennium", "millenniums", "millennia")
+            for qty, u in pairs)
+        if not ok or not needs:
+            return m.group(0)
+        mon = day = 0.0
+        us = 0.0
+        for qty, unit in pairs:
+            fam, mult = _PG_INTERVAL_UNITS[unit or "s"]
+            if fam == "mon":
+                v = qty * mult
+                mon += int(v)
+                day += (v - int(v)) * 30.0    # PG: fractional month → days
+            elif fam == "day":
+                v = qty * mult
+                day += int(v)
+                us += (v - int(v)) * 86400e6  # fractional day → time
+            else:
+                us += qty * mult
+        mon_i, day_i, us_i = int(mon), int(day), int(round(us))
+        if mon_i and not day_i and not us_i:
+            return f"INTERVAL '{mon_i}' MONTH"
+        if mon_i:
+            return (f"make_interval(0, {mon_i}, 0, {day_i}, 0, 0, "
+                    f"{us_i / 1e6!r})")
+        sec, frac = divmod(abs(us_i), 10**6)
+        d2, rest = divmod(sec, 86400)
+        h, rest = divmod(rest, 3600)
+        mi, s = divmod(rest, 60)
+        sign = "-" if us_i < 0 else ""
+        return (f"INTERVAL '{sign}{day_i + d2} {h}:{mi}:{s}.{frac:06d}' "
+                "DAY TO SECOND")
+
+    # only inside-quote unit forms; skip when a unit keyword follows the
+    # literal (Spark's `INTERVAL '5' HOUR` / the pinned `'5' hours`)
+    out = []
+    pos = 0
+    for m in re.finditer(r"\binterval\s+'([^']+)'(\s*([A-Za-z_]+))?",
+                         sql, re.IGNORECASE):
+        nxt = (m.group(3) or "").lower()
+        key = (nxt[:-1] if nxt.endswith("s") and nxt[:-1] in _PG_INTERVAL_UNITS
+               else nxt)
+        out.append(sql[pos : m.start()])
+        if key in _PG_INTERVAL_UNITS:
+            out.append(m.group(0))  # outside-unit form: leave untouched
+        else:
+            lit = re.match(r"\binterval\s+'([^']+)'", m.group(0), re.IGNORECASE)
+            out.append(repl(lit) + (m.group(2) or ""))
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def _rewrite_dialect(sql: str) -> str:
     if '"' in sql:
         sql = _dquote_idents(sql)
@@ -1109,6 +1248,8 @@ def _rewrite_dialect(sql: str) -> str:
         r"(-?)\binterval\s+('?\d+'?)((?:\s*[-+]\s*'?\d+'?)+)\s+"
         r"(year|month|day|hour|minute|second)s?\b",
         _fold_interval, sql, flags=re.IGNORECASE)
+    if re.search(r"\binterval\s+'", sql, re.IGNORECASE):
+        sql = _fold_pg_interval(sql)
     # Arrow int→date32 cast is days-since-epoch (the ClickBench
     # `"EventDate"::INT::DATE` idiom); Spark forbids INT→DATE
     sql = re.sub(
