@@ -187,6 +187,18 @@ def _arrow_type_to_spark(t: str) -> str | None:
     m = re.match(r"Dictionary\([^,]+,\s*(.+)\)$", t)
     if m:
         return _arrow_type_to_spark(m.group(1))
+    # Arrow list families all map to Spark ARRAY<> (Spark has a single
+    # list type: LargeList's 64-bit offsets are Spark's default, and
+    # FixedSizeList's length constraint has no Spark analog — length
+    # asserts on it pin as mismatch rather than skip)
+    m = re.match(r"(?:Large)?List\((.+)\)$", t)
+    if m:
+        inner = _arrow_type_to_spark(m.group(1))
+        return None if inner is None else f"ARRAY<{inner}>"
+    m = re.match(r"FixedSizeList\(\d+\s*,\s*(.+)\)$", t)
+    if m:
+        inner = _arrow_type_to_spark(m.group(1))
+        return None if inner is None else f"ARRAY<{inner}>"
     if t.startswith("Time32") or t.startswith("Time64"):
         return None  # Spark has no TIME type
     if t.startswith("Interval"):
@@ -539,6 +551,440 @@ def _ts_bigint_repl(m: re.Match) -> str:
     return nanos
 
 
+def _typeof_array_chain(t: str) -> str:
+    """SQL expression turning Spark's ``typeof`` rendering of an array
+    type into arrow_typeof's verbose Field form, e.g. ``array<bigint>``
+    → ``List(Field { name: "item", data_type: Int64, nullable: true,
+    dict_id: 0, dict_is_ordered: false, metadata: {} })`` (the exact
+    string DataFusion v42's arrow_typeof prints for list types)."""
+    head = 'List(Field { name: "item", data_type: '
+    tail = (", nullable: true, dict_id: 0, dict_is_ordered: false, "
+            "metadata: {} })")
+    pairs = [
+        ("array<", head),
+        ("smallint", "Int16"), ("tinyint", "Int8"), ("bigint", "Int64"),
+        ("int", "Int32"), ("float", "Float32"), ("double", "Float64"),
+        ("string", "Utf8"), ("boolean", "Boolean"), ("date", "Date32"),
+        ("void", "Null"),
+        (">", tail),
+    ]
+    expr = t
+    for frm, to in pairs:
+        expr = f"replace({expr}, '{frm}', '{to}')"
+    return expr
+
+
+def _map_fn_args(sql: str, name: str, repl_fn) -> str:
+    """Rewrite every ``name(args…)`` call via ``repl_fn(args) -> str |
+    None`` (None leaves that call site untouched). The replacement text
+    is re-scanned so nested calls in the argument text are processed;
+    replacements must therefore never re-emit ``name(`` itself — use a
+    ``@PLACEHOLDER@(`` spelling and resolve it afterwards."""
+    pat = re.compile(rf"(?<![A-Za-z0-9_@]){re.escape(name)}\s*\(",
+                     re.IGNORECASE)
+    out, spos = sql, 0
+    while True:
+        m = pat.search(out, spos)
+        if not m:
+            return out
+        open_p = m.end() - 1
+        try:
+            close_p = _find_close(out, open_p)
+        except Untranslatable:
+            return out
+        args = [a.strip() for a in _split_top_level(out[open_p + 1 : close_p])]
+        repl = repl_fn(args)
+        if repl is None:
+            spos = m.end()
+            continue
+        out = out[: m.start()] + repl + out[close_p + 1 :]
+        spos = m.start()
+
+
+# DataFusion list/array function aliases → the canonical array_* name
+# (or directly the Spark builtin when the signature matches exactly).
+_ARRAY_ALIASES = {
+    "array_cat": "array_concat", "list_concat": "array_concat",
+    "list_cat": "array_concat",
+    "array_has": "array_contains_df", "list_has": "array_contains_df",
+    "array_has_any": "arrays_overlap", "list_has_any": "arrays_overlap",
+    "array_reverse": "reverse", "list_reverse": "reverse",
+    "array_to_string": "@AJ@", "list_to_string": "@AJ@",
+    "list_join": "@AJ@", "array_join": "@AJ@",
+    "make_list": "array",
+    "array_push_back": "array_append", "list_push_back": "array_append",
+    "list_append": "array_append", "array_push_front": "array_prepend",
+    "list_sort": "array_sort",
+    "list_element": "array_element", "list_extract": "array_element",
+    "array_extract": "array_element",
+    "list_slice": "array_slice",
+    "list_distance": "array_distance",
+    "list_empty": "array_empty", "empty": "array_empty",
+    "list_ndims": "array_ndims",
+    "list_any_value": "array_any_value",
+    "list_distinct": "array_distinct",
+    "list_union": "array_union", "list_intersect": "array_intersect",
+    "array_contains": "array_contains_df",
+    "list_position": "array_position", "list_indexof": "array_position",
+    "array_indexof": "array_position",
+    "list_positions": "array_positions",
+    "list_remove": "array_remove", "list_remove_n": "array_remove_n",
+    "list_remove_all": "array_remove_all",
+    "list_replace": "array_replace", "list_replace_n": "array_replace_n",
+    "list_replace_all": "array_replace_all",
+    "list_repeat": "array_repeat", "list_resize": "array_resize",
+    "list_push_front": "array_prepend", "list_prepend": "array_prepend",
+}
+
+# 1-based inclusive index window over an array, as a filter/transform
+# chain (never raises, unlike slice/element_at under ANSI): {a}=array,
+# {lo}/{hi}=1-based inclusive bounds, {extra}=additional predicate.
+_IDX_WINDOW = (
+    "transform(filter(transform({a}, (__v, __i) -> "
+    "struct(__v AS v, __i + 1 AS i)), "
+    "__s -> __s.i BETWEEN {lo} AND {hi}{extra}), __s -> __s.v)"
+)
+
+
+def _df_lo(a: str, s: str) -> str:
+    """DataFusion 1-based begin index: NULL → 1, 0 → 1, negative →
+    from the end — and a negative index past the front yields an
+    empty slice (NULL here, which empties the BETWEEN)."""
+    return (f"IF(({s}) IS NULL, 1, IF(({s}) < 0, "
+            f"IF(size({a}) + ({s}) + 1 < 1, NULL, size({a}) + ({s}) + 1), "
+            f"IF(({s}) = 0, 1, {s})))")
+
+
+def _df_hi(a: str, e: str) -> str:
+    """NULL end → the array end; negative → from the end."""
+    return (f"IF(({e}) IS NULL, size({a}), "
+            f"IF(({e}) < 0, size({a}) + ({e}) + 1, {e}))")
+
+
+def _slice_expr(a: str, s: str, e: str, st: str | None = None) -> str | None:
+    """array_slice semantics (1-based, inclusive, negative-from-end;
+    NULL array → empty array). A negative stride walks begin→end
+    DOWNWARD (begin must be >= end), emitting elements in reverse."""
+    lo, hi = _df_lo(a, s), _df_hi(a, e)
+    if st is not None and st.lstrip().startswith("-"):
+        abs_st = st.lstrip().lstrip("-")
+        body = _IDX_WINDOW.format(
+            a=a, lo=hi, hi=lo,
+            extra=f" AND (({lo}) - __s.i) % ({abs_st}) = 0")
+        return f"IF({a} IS NULL, array(), reverse({body}))"
+    extra = f" AND (__s.i - ({lo})) % ({st}) = 0" if st is not None else ""
+    body = _IDX_WINDOW.format(a=a, lo=lo, hi=hi, extra=extra)
+    return f"IF({a} IS NULL, array(), {body})"
+
+
+def _series_expr(s: str, e: str, st: str | None, inclusive: bool) -> str | None:
+    """generate_series (inclusive) / range (end-exclusive) → sequence.
+
+    The empty-range guard mirrors DataFusion: a begin already past the
+    end yields [] (Spark's sequence instead auto-reverses)."""
+    if st is None:
+        guard = f"({s}) > ({e})" if inclusive else f"({s}) >= ({e})"
+        seq = f"sequence({s}, {e})"
+    elif re.fullmatch(r"-?\s*\d+", st.strip()):
+        guard = (f"((({st}) > 0 AND ({s}) > ({e})) OR "
+                 f"(({st}) < 0 AND ({s}) < ({e})))")
+        if not inclusive:
+            guard = (f"((({st}) > 0 AND ({s}) >= ({e})) OR "
+                     f"(({st}) < 0 AND ({s}) <= ({e})))")
+        seq = f"sequence({s}, {e}, {st})"
+    else:  # interval stride (dates/timestamps)
+        neg = re.search(r"'\s*-", st) or st.lstrip().startswith("-")
+        if neg:
+            guard = f"({s}) < ({e})" if inclusive else f"({s}) <= ({e})"
+        else:
+            guard = f"({s}) > ({e})" if inclusive else f"({s}) >= ({e})"
+        seq = f"sequence({s}, {e}, {st})"
+    if not inclusive:  # drop the end bound if the stride lands on it
+        seq = f"filter({seq}, __x -> __x <> ({e}))"
+    return f"IF({guard}, array(), {seq})"
+
+
+def _rewrite_array_dialect(sql: str) -> str:
+    """DataFusion array-function dialect → Spark equivalents.
+
+    Mirrors the semantics DataFusion's array.slt pins (array_kernels in
+    functions-nested): 1-based indexing with negative-from-end and
+    NULL (not error) out of bounds; array_remove/replace act on the
+    FIRST occurrence (*_all on every one, *_n on the first n);
+    array_position is NULL (not 0) when absent. Spark-side spellings
+    stay inside whole-stage codegen (higher-order functions, no UDFs).
+    """
+    out = sql
+    low = out.lower()
+    if not ("array" in low or "list_" in low or "generate_series" in low
+            or "range" in low or "empty" in low or "make_list" in low):
+        return out
+    for frm, to in _ARRAY_ALIASES.items():
+        out = re.sub(rf"\b{frm}\s*\(", f"{to}(", out, flags=re.IGNORECASE)
+
+    # --- table-position series: FROM generate_series(...) / range(...)
+    def _tvf(m: re.Match, inclusive: bool) -> str | None:
+        return None  # placeholder (overwritten below)
+
+    for fname, inclusive in (("generate_series", True), ("range", False)):
+        pat = re.compile(rf"\bFROM\s+{fname}\s*\(", re.IGNORECASE)
+        while True:
+            m = pat.search(out)
+            if not m:
+                break
+            open_p = out.index("(", m.start() + 4)
+            try:
+                close_p = _find_close(out, open_p)
+            except Untranslatable:
+                break
+            args = [x.strip() for x in
+                    _split_top_level(out[open_p + 1 : close_p])]
+            if len(args) == 1:
+                expr = _series_expr("0", args[0], None, inclusive)
+            elif len(args) == 2:
+                expr = _series_expr(args[0], args[1], None, inclusive)
+            elif len(args) == 3:
+                expr = _series_expr(args[0], args[1], args[2], inclusive)
+            else:
+                break
+            if expr is None:
+                break
+            out = (out[: m.start()]
+                   + f"FROM (SELECT explode({expr}) AS value)"
+                   + out[close_p + 1 :])
+
+    # --- scalar series
+    def _gen_series(args):
+        if len(args) == 2:
+            return _series_expr(args[0], args[1], None, True)
+        if len(args) == 3:
+            return _series_expr(args[0], args[1], args[2], True)
+        return None
+
+    def _range_scalar(args):
+        if len(args) == 2:
+            return _series_expr(args[0], args[1], None, False)
+        if len(args) == 3:
+            return _series_expr(args[0], args[1], args[2], False)
+        return None
+
+    out = _map_fn_args(out, "generate_series", _gen_series)
+    out = _map_fn_args(out, "range", _range_scalar)
+
+    # --- element access: NULL out of bounds, negative from end
+    out = _map_fn_args(
+        out, "array_element",
+        lambda a: (f"IF(({a[1]}) = 0, NULL, "
+                   f"try_element_at({a[0]}, CAST({a[1]} AS INT)))"
+                   if len(a) == 2 else None))
+
+    # --- slicing
+    out = _map_fn_args(
+        out, "array_slice",
+        lambda a: (_slice_expr(a[0], a[1], a[2],
+                               a[3] if len(a) == 4 else None)
+                   if len(a) in (3, 4) else None))
+
+    # --- position(s): NULL when absent; optional 1-based from-index
+    def _position(a):
+        # null-safe: array_position(a, NULL) finds the first NULL
+        # element in DataFusion; absent -> NULL (not 0)
+        if len(a) not in (2, 3):
+            return None
+        frm = f" AND __i + 1 >= ({a[2]})" if len(a) == 3 else ""
+        return (f"try_element_at(filter(transform({a[0]}, (__v, __i) -> "
+                f"IF(__v <=> ({a[1]}){frm}, __i + 1, CAST(NULL AS INT))), "
+                f"__p -> __p IS NOT NULL), 1)")
+
+    out = _map_fn_args(out, "array_position", _position)
+    out = _map_fn_args(
+        out, "array_positions",
+        lambda a: (f"filter(transform({a[0]}, (__v, __i) -> "
+                   f"IF(__v <=> ({a[1]}), __i + 1, NULL)), "
+                   f"__p -> __p IS NOT NULL)"
+                   if len(a) == 2 else None))
+
+    # --- replace: first occurrence / first n / all
+    out = _map_fn_args(
+        out, "array_replace_all",
+        lambda a: (f"transform({a[0]}, __v -> "
+                   f"IF(__v <=> ({a[1]}), {a[2]}, __v))"
+                   if len(a) == 3 else None))
+    out = _map_fn_args(
+        out, "array_replace_n",
+        lambda a: (f"transform({a[0]}, (__v, __i) -> "
+                   f"IF(__v <=> ({a[1]}) AND "
+                   f"size(filter(slice({a[0]}, 1, __i + 1), "
+                   f"__u -> __u <=> ({a[1]}))) <= ({a[3]}), {a[2]}, __v))"
+                   if len(a) == 4 else None))
+    out = _map_fn_args(
+        out, "array_replace",
+        lambda a: (f"transform({a[0]}, (__v, __i) -> "
+                   f"IF(__v <=> ({a[1]}) AND size(filter(slice({a[0]}, 1, "
+                   f"__i + 1), __u -> __u <=> ({a[1]}))) <= 1, {a[2]}, __v))"
+                   if len(a) == 3 else None))
+
+    # --- remove: *_all = Spark's array_remove; *_n / first via index
+    out = _map_fn_args(
+        out, "array_remove_all",
+        lambda a: (f"IF(({a[1]}) IS NULL, {a[0]}, @ARM@({a[0]}, {a[1]}))"
+                   if len(a) == 2 else None))
+    out = _map_fn_args(
+        out, "array_remove_n",
+        lambda a: (f"transform(filter(transform({a[0]}, (__v, __i) -> "
+                   f"struct(__v AS v, __i + 1 AS i)), "
+                   f"__s -> NOT(coalesce(__s.v = ({a[1]}), false) AND "
+                   f"size(filter(slice({a[0]}, 1, __s.i), "
+                   f"__u -> __u = ({a[1]}))) <= ({a[2]}))), __s -> __s.v)"
+                   if len(a) == 3 else None))
+    out = _map_fn_args(
+        out, "array_remove",
+        lambda a: (f"transform(filter(transform({a[0]}, (__v, __i) -> "
+                   f"struct(__v AS v, __i + 1 AS i)), "
+                   f"__s -> NOT(__s.v <=> ({a[1]}) AND "
+                   f"size(filter(slice({a[0]}, 1, __s.i), "
+                   f"__u -> __u <=> ({a[1]}))) <= 1)), __s -> __s.v)"
+                   if len(a) == 2 else None))
+
+    # --- resize / distance / prepend / empty / any_value / ndims
+    def _resize(a):
+        if len(a) not in (2, 3):
+            return None
+        fill = a[2] if len(a) == 3 else "NULL"
+        arr = f"coalesce({a[0]}, array())"  # NULL array resizes as empty
+        return (f"IF(({a[1]}) IS NULL, array(), "
+                f"IF(({a[1]}) <= size({arr}), "
+                f"slice({arr}, 1, greatest(({a[1]}), 0)), "
+                f"@CAT@({arr}, array_repeat({fill}, "
+                f"CAST(({a[1]}) - size({arr}) AS INT)))))")
+
+    out = _map_fn_args(out, "array_resize", _resize)
+    out = _map_fn_args(
+        out, "array_distance",
+        lambda a: (f"sqrt(aggregate(zip_with({a[0]}, {a[1]}, (__x, __y) -> "
+                   f"(CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE)) * "
+                   f"(CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE))), "
+                   f"CAST(0 AS DOUBLE), (__s, __t) -> __s + __t))"
+                   if len(a) == 2 else None))
+    # DataFusion concat/append/prepend SKIP null array arguments
+    # (append to NULL -> [elem]); all-NULL concat stays NULL.
+    def _cat_nullskip(a):
+        if len(a) < 2:
+            return None
+        allnull = " AND ".join(f"({x}) IS NULL" for x in a)
+        inner = ", ".join(f"coalesce({x}, array())" for x in a)
+        return f"IF({allnull}, NULL, @CAT@({inner}))"
+
+    out = _map_fn_args(out, "array_concat", _cat_nullskip)
+    out = _map_fn_args(
+        out, "array_append",
+        lambda a: (f"@CAT@(coalesce({a[0]}, array()), array({a[1]}))"
+                   if len(a) == 2 else None))
+    # DataFusion array_prepend(elem, arr); push_front(arr, elem)
+    out = _map_fn_args(
+        out, "array_prepend",
+        lambda a: (f"@CAT@(array({a[0]}), coalesce({a[1]}, array()))"
+                   if len(a) == 2 else None))
+    # array_to_string: DataFusion float elements render Rust-style
+    # (1.0 -> "1"); stringify with a trailing-".0" trim for floats
+    def _arr_join(a):
+        if len(a) not in (2, 3):
+            return None
+        # escapedStringLiterals=true during slt runs: emit regexes
+        # with SQL-standard single backslashes
+        elem = ("CASE WHEN typeof(__v) IN ('float', 'double') "
+                "OR typeof(__v) LIKE 'decimal%' THEN "
+                "regexp_replace(regexp_replace(CAST(__v AS STRING), "
+                "'(\\.[0-9]*?)0+$', '$1'), '\\.$', '') "
+                "ELSE CAST(__v AS STRING) END")
+        rest = f", {a[1]}" + (f", {a[2]}" if len(a) == 3 else "")
+        return f"array_join(transform({a[0]}, __v -> {elem}){rest})"
+
+    out = _map_fn_args(out, "@AJ@", _arr_join)
+    # cardinality: NULL (not 0) for an empty top level; nested totals
+    # across dimensions are not statically expressible (pinned)
+    out = _map_fn_args(
+        out, "cardinality",
+        lambda a: f"nullif(size({a[0]}), 0)" if len(a) == 1 else None)
+    out = _map_fn_args(
+        out, "array_empty",
+        lambda a: f"(size({a[0]}) = 0)" if len(a) == 1 else None)
+    out = _map_fn_args(
+        out, "array_any_value",
+        lambda a: (f"try_element_at(array_compact({a[0]}), 1)"
+                   if len(a) == 1 else None))
+    out = _map_fn_args(
+        out, "array_ndims",
+        lambda a: (f"IF({a[0]} IS NULL, NULL, "
+                   f"CAST((length(typeof({a[0]})) - "
+                   f"length(replace(typeof({a[0]}), 'array<', ''))) / 6 "
+                   f"AS INT))"
+                   if len(a) == 1 else None))
+
+    out = _map_fn_args(
+        out, "array_contains_df",
+        lambda a: (f"IF({a[0]} IS NULL, NULL, "
+                   f"coalesce(@ACT@({a[0]}, {a[1]}), false))"
+                   if len(a) == 2 else None))
+    # DataFusion's distinct/intersect/except sort their output
+    # (sort-dedup kernels) and treat a NULL second array as empty
+    out = _map_fn_args(
+        out, "array_distinct",
+        lambda a: f"sort_array(@ADI@({a[0]}))" if len(a) == 1 else None)
+    out = _map_fn_args(
+        out, "array_intersect",
+        lambda a: (f"sort_array(@AIN@({a[0]}, coalesce({a[1]}, array())))"
+                   if len(a) == 2 else None))
+    # except keeps first-occurrence order (hash kernel), unlike the
+    # sorted distinct/intersect kernels
+    out = _map_fn_args(
+        out, "array_except",
+        lambda a: (f"@AEX@({a[0]}, coalesce({a[1]}, array()))"
+                   if len(a) == 2 else None))
+
+    # --- array_length(a, dim): length along the dim-th dimension
+    out = _map_fn_args(
+        out, "array_length",
+        lambda a: (f"size(try_element_at({a[0]}, 1))"
+                   if len(a) == 2 and a[1].strip() == "2" else
+                   (f"size({a[0]})" if len(a) == 2 and a[1].strip() == "1"
+                    else None)))
+
+    # --- array_sort with explicit order/null placement literals
+    def _arr_sort(a):
+        if len(a) == 1:
+            return f"sort_array({a[0]})"  # DataFusion: ASC NULLS FIRST
+        if len(a) not in (2, 3):
+            return None
+        order = a[1].strip().strip("'").upper()
+        nulls = a[2].strip().strip("'").upper() if len(a) == 3 else None
+        if order not in ("ASC", "DESC"):
+            return None
+        if nulls is None:
+            nulls = "NULLS FIRST"
+        if (order, nulls) == ("ASC", "NULLS LAST"):
+            return f"@AS@({a[0]})"
+        if (order, nulls) == ("ASC", "NULLS FIRST"):
+            return f"sort_array({a[0]})"
+        if (order, nulls) == ("DESC", "NULLS LAST"):
+            return f"sort_array({a[0]}, false)"
+        return (f"@AS@({a[0]}, (__l, __r) -> CASE "
+                f"WHEN __l IS NULL AND __r IS NULL THEN 0 "
+                f"WHEN __l IS NULL THEN -1 WHEN __r IS NULL THEN 1 "
+                f"WHEN __l < __r THEN 1 WHEN __l > __r THEN -1 "
+                f"ELSE 0 END)")
+
+    out = _map_fn_args(out, "array_sort", _arr_sort)
+
+    return (out.replace("@AP@(", "array_position(")
+               .replace("@ARM@(", "array_remove(")
+               .replace("@ACT@(", "array_contains(")
+               .replace("@ADI@(", "array_distinct(")
+               .replace("@AIN@(", "array_intersect(")
+               .replace("@AEX@(", "array_except(")
+               .replace("@AS@(", "array_sort("))
+
+
 def _rewrite_fn_calls(sql: str) -> str:
     """Function-level dialect gaps, rewritten semantically:
 
@@ -550,7 +996,7 @@ def _rewrite_fn_calls(sql: str) -> str:
     - ``agg(x ORDER BY x [ASC|DESC])`` (no Spark syntax): for the
       self-ordered array_agg case → sort_array(collect_list(x)).
     """
-    out = sql
+    out = _rewrite_array_dialect(sql)
     out = re.sub(r"\bmake_array\s*\(", "array(", out, flags=re.IGNORECASE)
     out = re.sub(r"\barray_length\s*\(", "size(", out, flags=re.IGNORECASE)
     # DataFusion allows zero-arg count() as count(*)
@@ -647,6 +1093,7 @@ def _rewrite_fn_calls(sql: str) -> str:
             "WHEN 'void' THEN 'Null' "
             f"WHEN {t} LIKE 'decimal%' THEN concat('Decimal128(', "
             f"replace(substr({t}, 9, length({t}) - 9), ',', ', '), ')') "
+            f"WHEN {t} LIKE 'array<%' THEN {_typeof_array_chain(t)} "
             f"ELSE {t} END")
         out = out[: m.start()] + case + out[close_p + 1 :]
     # nth_value offset forms Spark rejects: NULL/0/NULL-valued offsets
@@ -808,7 +1255,9 @@ def _rewrite_fn_calls(sql: str) -> str:
             except Untranslatable:
                 break
             a = out[open_p + 1 : close_p].strip()
-            repl = f"slice({a}, {start}, {lenexpr.format(a=a)})"
+            # DataFusion pops yield [] (not NULL) for a NULL array
+            repl = (f"IF({a} IS NULL, array(), "
+                    f"slice({a}, {start}, {lenexpr.format(a=a)}))")
             out = out[: m.start()] + repl + out[close_p + 1 :]
     out = re.sub(r"\bconcat(?!_ws)\s*\(", "concat_ws('', ", out, flags=re.IGNORECASE)
     # string_agg(x, 'sep' ORDER BY x [ASC|DESC]) → sorted collect + join
@@ -920,7 +1369,9 @@ def _rewrite_fn_calls(sql: str) -> str:
         r"\barray_agg\s*\(([^()]+?)\s+ORDER\s+BY\s+([^()]+?)(\s+ASC|\s+DESC)?\)",
         _agg_order, out, flags=re.IGNORECASE,
     )
-    return out
+    # array-concat placeholder: resolved after the string-concat →
+    # concat_ws('') NULL-skip rewrite so array concats stay `concat`
+    return out.replace("@CAT@(", "concat(")
 
 
 # words after which a '[' opens an array LITERAL, not a subscript
@@ -932,14 +1383,73 @@ _SQL_KEYWORDS = {
 }
 
 
+def _prev_operand(s: str) -> int:
+    """Start index of the trailing operand of ``s`` (an identifier
+    chain, a parenthesized/bracketed tail with a preceding function
+    name, or a chain of those) — the base expression a subscript
+    applies to. Returns len(s) when no operand is found."""
+    i = len(s) - 1
+    end = len(s)
+    while i >= 0:
+        c = s[i]
+        if c in ")]":
+            closer, opener = c, "(" if c == ")" else "["
+            depth = 0
+            while i >= 0:
+                ch = s[i]
+                if ch == closer:
+                    depth += 1
+                elif ch == opener:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i -= 1
+            if i < 0:
+                return end
+            i -= 1
+            # absorb the function name / base before the parens
+            while i >= 0 and (s[i].isalnum() or s[i] in "_.`"):
+                i -= 1
+            if i >= 0 and s[i] in ")]":  # chained call/subscript
+                continue
+            return i + 1
+        if c.isalnum() or c in "_.`":
+            while i >= 0 and (s[i].isalnum() or s[i] in "_.`"):
+                i -= 1
+            return i + 1
+        return end
+    return end
+
+
+def _subscript_expr(base: str, inner: str) -> str | None:
+    """DataFusion subscript/slice semantics over ``base``:
+
+    - ``base[i]``: 1-based, negative counts from the end, out of
+      bounds → NULL (``try_element_at``; index 0 guarded to NULL);
+    - ``base[s:e]`` / ``base[s:e:st]``: 1-based inclusive slice,
+      empty bounds default to the ends, negative from the end.
+    """
+    parts = _split_top_level(inner, ":")
+    if len(parts) == 1:
+        i = inner.strip()
+        return f"IF(({i}) = 0, NULL, try_element_at({base}, {i}))"
+    if len(parts) not in (2, 3):
+        return None
+    s = parts[0].strip() or "1"
+    e = parts[1].strip() or f"size({base})"
+    st = parts[2].strip() if len(parts) == 3 else None
+    return _slice_expr(base, s, e, st)
+
+
 def _rewrite_brackets(sql: str) -> str:
     """DataFusion array syntax → Spark:
 
     - literal ``[1, 2, 3]`` → ``array(1, 2, 3)`` (a ``[`` NOT preceded
       by an identifier/``)``/``]`` opens a literal);
-    - subscript ``expr[i]`` (1-based in DataFusion, 0-based in Spark)
-      → ``expr[(i) - 1]``. Slices ``a[i:j]`` are left untouched
-      (censused when they fail).
+    - subscript ``expr[i]`` and slice ``expr[s:e[:st]]`` → the
+      DataFusion-semantics templates in ``_subscript_expr`` (1-based,
+      negative-from-end, NULL out of bounds);
+    - string subscript stays a native map-key lookup.
     """
     out: list[str] = []
     i, n = 0, len(sql)
@@ -969,13 +1479,18 @@ def _rewrite_brackets(sql: str) -> str:
             wm = re.search(r"([A-Za-z_][A-Za-z0-9_]*)$", sofar)
             prev_kw = wm.group(1).upper() in _SQL_KEYWORDS if wm else False
             if prev and not prev_kw and (prev.isalnum() or prev in "_)]"):
-                if ":" in inner:
-                    out.append("[" + inner + "]")  # slice — unsupported
-                elif re.match(r"^\s*'(?:[^']|'')*'\s*$", inner):
+                if re.match(r"^\s*'(?:[^']|'')*'\s*$", inner):
                     # string subscript = map-key lookup (not 1-based)
                     out.append(f"[{inner}]")
                 else:
-                    out.append(f"[({inner}) - 1]")
+                    k = _prev_operand(sofar)
+                    base = sofar[k:]
+                    repl = (_subscript_expr(base, inner)
+                            if base else None)
+                    if repl is None:
+                        out.append("[" + inner + "]")
+                    else:
+                        out = [sofar[:k], repl]
             else:
                 out.append(f"array({inner})")
             i = j + 1
