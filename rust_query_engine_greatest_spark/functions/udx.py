@@ -76,7 +76,10 @@ def cents_sum(v: pd.Series) -> int:
     as a window function (`cents_sum(col).over(w)`) — the WindowUDF
     extension point."""
     arr = v.to_numpy(dtype=np.float64, na_value=np.nan)
-    return int(np.round(arr[~np.isnan(arr)] * 100).astype(np.int64).sum())
+    cents = arr[~np.isnan(arr)] * 100
+    # half-AWAY-from-zero to match SQL round() (DuckDB/Spark); np.round
+    # is half-to-even, a latent tie mismatch on exact .5 cents
+    return int((np.sign(cents) * np.floor(np.abs(cents) + 0.5)).astype(np.int64).sum())
 
 
 def make_generate_series_udtf():

@@ -398,11 +398,22 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction via Arrow-batched mapInPandas
     (decode stubbed deterministically — see pipeline/multimodal.py).
     Python-boundary op → rows-only driver check; batch-shape and
-    determinism asserted in test_pipeline.py."""
+    determinism asserted in test_pipeline.py. The float32 feature
+    vector is surfaced as integer micro-units CSV-joined — the driver's
+    rows-only check still tuples raw cells, and Python lists are
+    unhashable there (CORRECTNESS_r04 err)."""
     d = load_table(spark, sf_dir, "documents")
     media = multimodal.media_from_documents(d)
     feats = multimodal.extract_features(media)
-    return feats.select("media_id", "n_bytes", F.col("feat").cast("array<double>").alias("feat"))
+    feat_csv = F.array_join(
+        F.transform(
+            F.col("feat").cast("array<double>"),
+            lambda x: F.round(x * 1000000).cast("bigint").cast("string"),
+        ),
+        ",",
+        "N",
+    )
+    return feats.select("media_id", "n_bytes", feat_csv.alias("feat_csv"))
 
 
 # DuckDB mirror of the PPM render→decode→channel-mean path: the PPM
@@ -539,7 +550,8 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
              count(*) OVER (PARTITION BY id) AS n_grams
       FROM grams)
-    SELECT id, count(DISTINCT m) AS n_fps, list_sort(list(DISTINCT m)) AS fps
+    SELECT id, count(DISTINCT m) AS n_fps,
+           array_to_string(list_sort(list(DISTINCT m)), ',') AS fps_csv
     FROM mins
     WHERE i <= n_grams - 3 OR (n_grams < 4 AND i = 1)
     GROUP BY id
@@ -553,10 +565,16 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     string collation, full-window selection, per-doc dedup) is
     hash-verified against an independent SQL implementation. The
     xxhash64 fast path shares every line but the hash expression; the
-    shared-substring guarantee is property-tested in test_pipeline.py."""
+    shared-substring guarantee is property-tested in test_pipeline.py.
+    The fingerprint set is surfaced as its sorted CSV join (raw array
+    cells are unhashable by the driver's value-hash — CORRECTNESS_r04)."""
     d = load_table(spark, sf_dir, "documents")
     fps = text.winnow_fingerprints(d, "doc_id", "text", k=5, w=4, hash_fn="md5")
-    return fps.select("id", F.size("fps").alias("n_fps"), "fps")
+    return fps.select(
+        "id",
+        F.size("fps").alias("n_fps"),
+        F.array_join(F.array_sort("fps"), ",").alias("fps_csv"),
+    )
 
 
 # Round-4 additions: value-level oracles for the resize and
@@ -585,9 +603,11 @@ def _chan_resized_sum(c: int) -> str:
         f"(({cs}) // 16 + CASE WHEN ({cs}) % 16 > 8 THEN 1 "
         f"WHEN ({cs}) % 16 = 8 THEN (({cs}) // 16) % 2 ELSE 0 END)"
     )
+    # CAST: DuckDB list_aggregate 'sum' yields HUGEINT (int128), which
+    # the driver's value-hash renders differently from Spark's BIGINT
     return (
-        "list_aggregate(list_transform(generate_series(0, 15), "
-        f"cell -> {rint}), 'sum')"
+        "CAST(list_aggregate(list_transform(generate_series(0, 15), "
+        f"cell -> {rint}), 'sum') AS BIGINT)"
     )
 
 
@@ -638,8 +658,8 @@ def multimodal_resize_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS buf
       FROM b)
     SELECT media_id, f.i AS frame_idx, 256 AS n,
-           list_aggregate(list_transform(generate_series(0, 255),
-             p -> {_byte_at("512 * f.i + 2 * p + 1")}), 'sum') AS s
+           CAST(list_aggregate(list_transform(generate_series(0, 255),
+             p -> {_byte_at("512 * f.i + 2 * p + 1")}), 'sum') AS BIGINT) AS s
     FROM t, LATERAL unnest(generate_series(0, 2)) AS f(i)
     """,
     tags=("pipeline", "multimodal"),

@@ -164,7 +164,7 @@ def source_object_store_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVOLUTION_ORACLE = """
     SELECT COUNT(*) AS n_rows,
            COUNT(n_regionkey) AS n_with_region,
-           SUM(n_regionkey) AS region_sum
+           CAST(SUM(n_regionkey) AS BIGINT) AS region_sum
     FROM (SELECT n_nationkey, n_name, NULL AS n_regionkey FROM nation
           UNION ALL
           SELECT n_nationkey, n_name, n_regionkey FROM nation)

@@ -51,11 +51,39 @@ def norm_cell(v):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, bool):
         return str(int(v))
-    if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    # The REAL driver hashes raw row tuples and dies on unhashable cells
+    # (CORRECTNESS_r04: 8 `err` rows for list/bytearray outputs). Do NOT
+    # stringify here — complex cells must be rejected up front by
+    # check_driver_hashable(); reaching one is an emulator bug.
+    if isinstance(v, (bytes, bytearray, list, tuple, dict, set)):
+        raise TypeError(f"unhashable driver cell type {type(v).__name__}: {v!r}")
     return str(v)
+
+
+# Spark output types the driver's value-hash cannot consume (raw row
+# tuples with list/bytearray/dict cells are unhashable), plus DuckDB
+# HUGEINT (int128) whose rendering skews vs Spark BIGINT — the
+# udx_grouped_agg_cents r4 hash-fail. Reject these BEFORE comparing so
+# emulator-green always implies driver-hashable.
+_BAD_SPARK_TYPES = ("ArrayType", "MapType", "BinaryType", "StructType")
+
+
+def check_driver_hashable(name, sdf, con, oracle):
+    probs = []
+    for f in sdf.schema.fields:
+        tn = type(f.dataType).__name__
+        if tn in _BAD_SPARK_TYPES:
+            probs.append(f"spark col {f.name}: {tn}")
+    if oracle is not None:
+        try:
+            desc = con.sql(f"DESCRIBE ({oracle})").fetchall()
+        except Exception:
+            desc = []
+        for row in desc:
+            cname, ctype = row[0], str(row[1]).upper()
+            if "HUGEINT" in ctype or "STRUCT" in ctype or ctype.endswith("[]") or "MAP(" in ctype or ctype == "BLOB":
+                probs.append(f"oracle col {cname}: {ctype}")
+    return probs
 
 
 def value_hash(cols, rows):
@@ -97,6 +125,11 @@ def main():
             continue
         try:
             sdf = qs[name](spark, SF_DIR)
+            probs = check_driver_hashable(name, sdf, con, oracles.get(name))
+            if probs:
+                print(f"FAIL {name}: driver-unhashable output: {'; '.join(probs)}")
+                n_fail += 1
+                continue
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
