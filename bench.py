@@ -27,6 +27,7 @@ ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
 # when the VM runs 2x slow — the headline tpch numbers are never cut.
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
 _T0 = time.time()
+_LOAD0 = os.getloadavg()
 
 
 def bench_names() -> list[str]:
@@ -183,6 +184,15 @@ def main() -> None:
         "sf": sf,
         "layout": layout,
         "compact_s": compact_s,
+        # measurement context: r4's +12% uniform drift was attributed to
+        # VM contention but unprovable from the JSON alone (VERDICT r4
+        # #5). load_start/load_end = 1/5/15-min os.getloadavg() — a
+        # recording taken at load ≫ ncpus is machine-distinguishable.
+        "ts": round(time.time(), 1),
+        "ncpus": os.cpu_count(),
+        "load_start": [round(x, 2) for x in _LOAD0],
+        "load_end": [round(x, 2) for x in os.getloadavg()],
+        "wall_s": round(time.time() - _T0, 1),
     }
     if times_mem:
         out["queries_mem"] = times_mem

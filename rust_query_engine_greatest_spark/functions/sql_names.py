@@ -36,10 +36,14 @@ _DDL = {
                     "RETURN substring_index(s, d, n)",
     # functions-nested string_to_array — Postgres edge semantics
     # (functions-nested/src/string.rs): NULL delimiter splits into
-    # characters; empty delimiter returns the whole string as one element.
+    # characters; empty delimiter returns the whole string as one
+    # element; empty INPUT returns an empty array (PG 9.1+ — Spark's
+    # split('', d) would yield [''], one empty element).
     "string_to_array": "CREATE OR REPLACE TEMPORARY FUNCTION string_to_array"
                        "(s STRING, d STRING) RETURNS ARRAY<STRING> "
                        "RETURN CASE WHEN s IS NULL THEN NULL "
+                       "WHEN s = '' AND d IS NOT NULL AND d != '' "
+                       "THEN array() "
                        "WHEN d IS NULL THEN split(s, '') "
                        "WHEN d = '' THEN array(s) "
                        "ELSE split(s, regexp_replace(d, "

@@ -672,7 +672,11 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation subtree and AQE's exchange reuse computes it once
     (pinned in test_plans.py::test_scalar_branch_reuses_exchange);
     NULL-keyed lineitem can't join supplier, so the view is unchanged
-    for every joinable row."""
+    for every joinable row. NOTE the MAX scalar leans on more than
+    that: a NULL-keyed GROUP's total_revenue could in principle be the
+    max and change the threshold — correctness relies on the TPC-H
+    schema's l_suppkey NOT NULL (identifier, TPC-H spec §1.4), which
+    the exchange-reuse pin test asserts against the actual data."""
     lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
     revenue = (
         lineitem.filter(

@@ -3,7 +3,8 @@ AvroExec parity (reference core/src/datasource/physical_plan/avro.rs:38)
 when the spark-avro jar is absent (this container). Implements the
 public Avro 1.11 spec subset that covers practical datasets:
 
-- codecs: null, deflate
+- codecs: null, deflate, bzip2, xz (stdlib), snappy, zstandard (via
+  pyarrow's bundled compressors; snappy carries the spec's 4-byte CRC)
 - primitives: null, boolean, int, long, float, double, bytes, string
 - complex: record (nested), array, map, enum, fixed, 2-branch unions
   with null (nullable fields)
@@ -358,6 +359,95 @@ def _arrow_schema(schema: dict) -> pa.Schema:
     )
 
 
+def _snappy_uncompressed_len(block: bytes) -> int:
+    """Raw-snappy blocks lead with the uncompressed length as a varint
+    (snappy format description §1) — pyarrow's decompress requires it."""
+    size = shift = 0
+    for i, byte in enumerate(block):
+        size |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return size
+        shift += 7
+        if i > 9:
+            break
+    raise ValueError("bad snappy length varint")
+
+
+def _zstd_content_size(block: bytes) -> int:
+    """Frame_Content_Size from a zstd frame header (RFC 8878 §3.1.1) —
+    present in single-shot frames, which is all Avro blocks are."""
+    if len(block) < 6 or block[:4] != b"\x28\xb5\x2f\xfd":
+        raise ValueError("not a zstd frame")
+    fhd = block[4]
+    fcs_flag, single_seg, did_flag = fhd >> 6, (fhd >> 5) & 1, fhd & 3
+    pos = 5 + (0 if single_seg else 1) + (0, 1, 2, 4)[did_flag]
+    if fcs_flag == 0:
+        if not single_seg:
+            raise ValueError("zstd frame has no content size")
+        return block[pos]
+    width = (0, 2, 4, 8)[fcs_flag]
+    val = int.from_bytes(block[pos:pos + width], "little")
+    return val + (256 if fcs_flag == 1 else 0)
+
+
+def _decompress_block(block: bytes, codec: str) -> bytes:
+    """Avro 1.11 block codecs. null/deflate are self-contained; bzip2/xz
+    use the stdlib; snappy (4-byte big-endian CRC32-of-plain suffix per
+    the spec) and zstandard go through pyarrow's bundled codecs."""
+    if codec == "null":
+        return block
+    if codec == "deflate":
+        return zlib.decompress(block, -15)
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.decompress(block)
+    if codec == "xz":
+        import lzma
+
+        return lzma.decompress(block)
+    if codec == "snappy":
+        import pyarrow as _pa
+
+        data, crc = block[:-4], block[-4:]
+        out = bytes(_pa.Codec("snappy").decompress(
+            data, _snappy_uncompressed_len(data)))
+        if struct.pack(">I", zlib.crc32(out) & 0xFFFFFFFF) != crc:
+            raise ValueError("Avro snappy block CRC mismatch")
+        return out
+    if codec == "zstandard":
+        import pyarrow as _pa
+
+        return bytes(_pa.Codec("zstd").decompress(
+            block, _zstd_content_size(block)))
+    raise NotImplementedError(f"Avro codec {codec!r} unsupported in fallback")
+
+
+def _compress_block(body: bytes, codec: str) -> bytes:
+    if codec == "null":
+        return body
+    if codec == "deflate":
+        return zlib.compress(body, 6)[2:-4]
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.compress(body)
+    if codec == "xz":
+        import lzma
+
+        return lzma.compress(body)
+    if codec == "snappy":
+        import pyarrow as _pa
+
+        return bytes(_pa.Codec("snappy").compress(body)) + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF)
+    if codec == "zstandard":
+        import pyarrow as _pa
+
+        return bytes(_pa.Codec("zstd").compress(body))
+    raise NotImplementedError(f"Avro codec {codec!r} unsupported in fallback")
+
+
 def decode_container(blob: bytes) -> tuple[dict, list[tuple]]:
     """One container file → (schema json, rows). Executor-side kernel."""
     cur = _Cursor(blob)
@@ -370,10 +460,7 @@ def decode_container(blob: bytes) -> tuple[dict, list[tuple]]:
         count = cur.zlong()
         size = cur.zlong()
         block = cur.read(size)
-        if codec == "deflate":
-            block = zlib.decompress(block, -15)
-        elif codec != "null":
-            raise NotImplementedError(f"Avro codec {codec!r} unsupported in fallback")
+        block = _decompress_block(block, codec)
         if cur.read(16) != sync:
             raise ValueError("Avro sync marker mismatch (corrupt block)")
         bcur = _Cursor(block)
@@ -526,7 +613,7 @@ def encode_container(schema: dict, rows, codec: str = "deflate") -> bytes:
         for enc, v in zip(encs, row):
             enc(body, v)
         n += 1
-    block = zlib.compress(bytes(body), 6)[2:-4] if codec == "deflate" else bytes(body)
+    block = _compress_block(bytes(body), codec)
     sync = b"\x00" * 8 + struct.pack("<Q", zlib.crc32(json.dumps(schema).encode()))
     meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
     out = bytearray(_MAGIC)

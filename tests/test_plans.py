@@ -415,6 +415,14 @@ def test_scalar_branch_reuses_exchange(spark, sf_dir, qname):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+    if qname == "tpch_q15":
+        # the MAX-scalar semantics of the shared null-filtered view rely
+        # on l_suppkey never being NULL (TPC-H identifier column) —
+        # assert the schema invariant the rewrite leans on
+        from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        assert lineitem.filter(lineitem.l_suppkey.isNull()).count() == 0
 
 
 def test_q18_single_lineitem_scan(spark, sf_dir):
