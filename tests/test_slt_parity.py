@@ -2,9 +2,9 @@
 
 Executes 96 of the reference's own ``.slt`` files —
 ``datafusion-greatest/datafusion/sqllogictest/test_files/*.slt`` — against
-Spark SQL via tools/slt_runner.py and pins the census: **3,915+
-content-verified query blocks** and the exact set of **200 divergent
-blocks** (188 deterministic + 12 run-to-run-underdetermined), each with
+Spark SQL via tools/slt_runner.py and pins the census: **4,062+
+content-verified query blocks** and the exact set of **149 divergent
+blocks** (135 deterministic + 14 run-to-run-underdetermined), each with
 a named, verified cause. Re-pin with tools/repin_slt.py after ANY
 harness change (r4 shipped a widening without re-pinning and left 4
 parity tests red at HEAD — never again). Mirrors the TPC-DS execution differential's
@@ -46,6 +46,32 @@ semantics as verdict-gated alternative readings, and 8 new files
 introspection (information_schema*, options, set_variable, explain,
 arrow_typeof.slt as a file).
 
+Round-5 session-2 widening (+147 content floor; 53 deterministic
+pins resolved — 51 translated, 2 reclassified underdetermined): a
+DataFusion-edge-semantics layer — the df_* shim bodies (IEEE log/ln
+edges, NULL-propagating isnan/nanvl, any-codepoint chr, PG
+negative-n left/right, PG-window substr, DataFusion overlay clamping,
+first-match-only regexp_replace with \\N backrefs, last-wins
+translate, NULL-keeping empty-is-NULL array_agg) textually inlined at
+translation time (Spark forbids SQL UDFs inside Sort and in grouped
+ORDER BY resolution, so registration-based shims could not cover the
+corpus); float-literal retyping (1.5 → 1.5e0 — DataFusion types bare
+float literals Float64, Spark DECIMAL) with decimal-exact constant
+folding of literal ± literal (tpch q6's BETWEEN bounds); the plural
+interval word parsed as a column ALIAS (sqlparser-rs: only singular
+unit keywords are units — interval '5' years = 5 seconds);
+``^``-XOR/shift precedence (additive > ^ > shift in DataFusion;
+shift > ^ in Spark) plus the PG ``#`` XOR spelling; multi-key ordered
+aggregates (array_agg/first_value/last_value/nth_value/string_agg
+with ORDER BY key lists — struct-collect + comparator array_sort
+encoding per-key direction and PG null placement); arrow_typeof
+emulation rebuilt as a searched CASE (the simple-CASE form
+equality-compared its boolean LIKE branches and raised
+CAST_INVALID_INPUT on every decimal/array input instead of rendering
+them — decimal.slt +19 content alone); qualified DISTINCT ON carried
+through the ROW_NUMBER subquery via aliased projections, and the CTE
+(WITH-prefixed) DISTINCT ON form.
+
 Census buckets (tools/slt_runner.py): ``match`` (slt-exact),
 ``match_unordered`` (same multiset; order differs only where the SQL
 leaves it underdetermined — ORDER BY ties, engine default NULL sort:
@@ -57,21 +83,22 @@ Pinned divergence families (every pinned line belongs to one):
 
 1.  **Integer division / numeric-literal typing** — DataFusion ``/`` on
     integers truncates (Arrow); Spark yields DOUBLE, and Spark types
-    the literal ``2.0`` as DECIMAL where DataFusion uses f64, integer
-    literals INT where Arrow uses Int64, float literals DOUBLE where
-    Arrow keeps Float32 (visible through arrow_typeof).
-    group_by 445/473/655/770/1329; select 1552; scalar 509/554/590/
-    597/1461; predicates 362 (IN-list over c7/10 truncation);
-    coalesce 26/54/320; window 3989/3995 (first/last_value over a
-    VALUES-typed column).
+    the literal ``2.0`` as DECIMAL where DataFusion uses f64 (now
+    retyped by the harness — 1.5 → 1.5e0 — so only the INTEGER-literal
+    half of the family remains: Spark types ``3`` INT where Arrow uses
+    Int64, and unsigned/decimal coercions widen differently, visible
+    through arrow_typeof). coalesce 26/54/109/165/172/320 (int and
+    UInt64/decimal coalesce widths); decimal 121 (avg's decimal
+    precision/scale inference); window 3989/3995 (first/last_value
+    over a VALUES-typed column).
 2.  **NaN sign & null totality** — Spark has no negative NaN and NaN
-    sorts greatest; ``isnan(NULL)`` is false in Spark, NULL in
-    DataFusion; ``nanvl`` NULL-propagates in DataFusion only.
-    select 572; math 104/109; scalar 626/655/661; predicates
-    324/338/352/357.
-3.  **log domain** — Spark returns NULL for log/ln/log10/log2 of 0 or
-    negatives; DataFusion returns -Infinity / NaN.
-    scalar 467/473/516/531/561/567/603.
+    sorts greatest (the isnan/nanvl NULL-propagation half of this
+    family is now reproduced by the inlined df_isnan/df_nanvl shims).
+    select 572; predicates 324/338/352/357.
+3.  **log domain** — retired: the inlined df_ln/df_log10/df_log2/
+    df_log_base shims reproduce DataFusion's IEEE edges (-Infinity at
+    0, NaN below, log(1,x) sign-split) — scalar.slt now pins zero
+    divergences.
 4.  **Nanosecond / per-unit timestamp precision** — Spark has a single
     µs-precision timestamp (repo ns→µs policy, SURVEY §1.2); Arrow has
     s/ms/µs/ns units with type-level truncation. joins 833 (ns-distinct
@@ -86,21 +113,22 @@ Pinned divergence families (every pinned line belongs to one):
     condition; ANSI/Spark/DuckDB fall through to ELSE); aggregate 393
     (single-row ``corr`` returns 0 in DataFusion; Spark and DuckDB
     return NULL — undefined variance).
-6.  **Collect-aggregate NULL/empty semantics** — Spark's
-    array_agg/collect_list drop NULL inputs and return [] on empty
-    input; DataFusion keeps NULLs and returns NULL.
-    aggregate 213/2919-3014 block.
+6.  **Collect-aggregate NULL/empty semantics** — retired: the
+    struct-wrapped collect_list rewrite keeps NULL inputs and returns
+    NULL on empty input exactly as DataFusion's array_agg does
+    (aggregate's 213/2919-3014 block now content-verifies).
 7.  **Integer median** — DataFusion returns the lower-middle value
-    (integers AND decimals, keeping the input type); Spark interpolates
-    and widens to double. aggregate 730/747/759/783/795;
-    aggregate_skip_partial 331/596/609; decimal 127.
-8.  **String-function edges** — negative-length LEFT/RIGHT/SUBSTR
-    (Postgres drop-last-n semantics vs Spark's empty/from-end):
-    functions 21/26/96/141, string files 142/527/547, string_literal
-    18/66; OVERLAY length-edge handling: functions 623/635/648/660;
-    TRANSLATE duplicate source char (last-wins vs first-wins): string
-    files 260; ``chr`` beyond Latin-1: expr 402; regexp_replace
-    replaces first match in DataFusion (PG), all in Spark: regexp 372.
+    (integers AND decimals, keeping the input type); Spark
+    interpolates and widens to double. The harness's verdict-gated
+    lower-middle alternative reading covers the int cases; the
+    remaining pins are decimal medians whose displayed scale differs:
+    aggregate 730/735/747/759; decimal 127.
+8.  **String-function edges** — retired: the inlined df_left/df_right/
+    df_substr2/df_substr3/df_overlay3/df_overlay4/df_chr/df_rr_first
+    shims and the last-wins translate rewrite reproduce the Postgres
+    / DataFusion edge semantics (functions.slt, the four string files,
+    string_literal.slt, regexp.slt and expr 402 now pin zero
+    string-edge divergences).
 9.  **Array-function semantics** — recursive cardinality/flatten vs
     Spark's top-level-only; array_remove first-occurrence vs Spark
     all; array_append/except/intersect NULL-operand handling and
@@ -110,15 +138,14 @@ Pinned divergence families (every pinned line belongs to one):
     2389/2443/2622/2676); recursive cardinality/flatten over
     LargeList(List(...)) (4307/4312/4317/4323/4328/4341/4352/4363/
     6696/6706/6716); generate_series over a zone-carrying ns timestamp
-    renders offsets Spark's single µs type drops (6099).
+    renders offsets Spark's single µs type drops (6099); nested List(List(...)) typeof display through the emulated chain (692); the FixedSizeList parquet file's typeof (6605); cardinality over nested maps through the array-recursive emulation (map 547).
 10. **Session-zone display** — Arrow timestamps carry a zone:
     ``SET TIME ZONE`` changes both date_trunc boundaries and the
     rendered offset in DataFusion; this harness pins the session to
     UTC (SURVEY §1.2). timestamps 149/1332/1416/1637/1643/1655/1685.
-11. **Parse/precedence dialect** — ``interval '5' hours`` (a plural
-    suffix is an alias in DataFusion/PG, a unit in Spark): interval
-    44/61/83; ``^``/``>>`` operator precedence: scalar 1059;
-    engine-default NULL ordering interacting with a LIMIT boundary
+11. **Parse/precedence dialect** — the plural-interval-alias and
+    XOR/shift precedence pins are retired (both translated now);
+    what remains: engine-default NULL ordering at a LIMIT boundary
     (NULLS FIRST admits the all-NULL group into the top-k):
     aggregates_topk 78/201; non-total ORDER BY + LIMIT picks
     engine-defined rows for the unordered columns:
@@ -128,6 +155,8 @@ Pinned divergence families (every pinned line belongs to one):
     match or mismatch run to run and are allowed either way):
     aggregate 3027/5436/5495 (array_agg/string_agg output order),
     group_by 3722/3737 (LAST_VALUE as a plain aggregate),
+    group_by 3052/3076 (multi-key ordered array_agg whose ts keys
+    tie — tie order follows each engine's collect order),
     window 4336/4343/4350/4476 (first/last_value over an unordered
     window).
 13. **Float32 rounding at the representability boundary** — DataFusion
@@ -167,7 +196,9 @@ Pinned divergence families (every pinned line belongs to one):
     timestamps 2800); window rank-family return widths (row_number/
     rank/dense_rank/ntile → UInt64, lag/lead over Int32 widen to
     Int64 in DataFusion; Spark keeps Int32 — window 3941/3947/3953/
-    3971/3977/3983).
+    3971/3977/3983); struct typeof renders Spark's compact
+    struct<name:type> form, not Arrow's Field list (struct
+    229/234).
 19. **dbgen text pool** — DuckDB's tpch extension reproduces official
     dbgen keys and numerics exactly (16/21 tpch.slt goldens content-
     verify, q1 sums match to the cent) but not the comment/address
@@ -204,15 +235,14 @@ pytestmark = pytest.mark.skipif(
 # measured content minus the file's underdetermined-block count (an
 # underdetermined block that flips to mismatch lowers content by 1).
 PINNED = {
-    # regenerated by tools/repin_slt.py (round 5, clean exclusive
-    # run) — re-run it after ANY harness change and land both in one
-    # commit. tpch/tpch.slt lines are '<part>:<line>' (include parts
-    # renumber per file).
+    # regenerated by tools/repin_slt.py (round 5 session 2, clean
+    # exclusive run; the 5 float-fold-affected files re-pinned after
+    # the q6 decimal-exactness fix landed)
     "agg_func_substitute.slt": (1, set()),
-    "aggregate.slt": (373, {213, 393, 600, 606, 721, 730, 747, 759, 1149, 1200, 1211, 1216, 1307, 1323, 1625, 1645, 2836, 2919, 2924, 2929, 2934, 2949, 2954, 2969, 2989, 2994, 2999, 3004, 3009, 3014, 3243, 3292, 3340, 3390, 4112, 4141, 4146, 4153, 4158, 4184, 4869, 6053, 6064}),
+    "aggregate.slt": (399, {393, 600, 606, 721, 730, 735, 747, 759, 1149, 1200, 1211, 1216, 1307, 1323, 1625, 1645, 2836, 3243, 3292, 3340, 3390, 4112, 4141, 4146, 4153, 4158, 4184, 4869, 6053, 6064}),
     "aggregate_skip_partial.slt": (38, {281, 291, 341, 351, 475, 621, 634}),
     "aggregates_topk.slt": (10, {78, 201}),
-    "array.slt": (616, {2389, 2443, 2622, 2676, 4307, 4312, 4317, 4323, 4328, 4341, 4352, 4363, 6099, 6696, 6706, 6716}),
+    "array.slt": (619, {692, 2389, 2443, 2622, 2676, 4307, 4312, 4317, 4323, 4328, 4341, 4352, 4363, 6099, 6605, 6696, 6706, 6716}),
     "array_query.slt": (26, set()),
     "arrow_files.slt": (1, set()),
     "avro.slt": (10, set()),
@@ -221,7 +251,7 @@ PINNED = {
     "case.slt": (21, {45, 56}),
     "cast.slt": (9, set()),
     "clickbench.slt": (45, {289}),
-    "coalesce.slt": (24, {26, 54, 320}),
+    "coalesce.slt": (26, {26, 54, 109, 165, 172, 320}),
     "copy.slt": (43, set()),
     "count_star_rule.slt": (2, set()),
     "create_external_table.slt": (3, set()),
@@ -230,24 +260,24 @@ PINNED = {
     "cte.slt": (16, set()),
     "dates.slt": (10, set()),
     "ddl.slt": (12, {317}),
-    "decimal.slt": (32, {127}),
+    "decimal.slt": (51, {121, 127}),
     "describe.slt": (0, set()),
     "dictionary.slt": (10, set()),
-    "distinct_on.slt": (8, set()),
+    "distinct_on.slt": (9, set()),
     "dynamic_file.slt": (19, set()),
     "encoding.slt": (4, set()),
     "errors.slt": (0, set()),
-    "expr.slt": (337, {222, 402}),
+    "expr.slt": (338, {222}),
     "filter_without_sort_exec.slt": (0, set()),
-    "functions.slt": (84, {21, 26, 96, 141, 623, 635, 648, 660}),
+    "functions.slt": (92, set()),
     "group.slt": (21, set()),
-    "group_by.slt": (331, {4541, 4550}),
+    "group_by.slt": (354, {4541, 4550}),
     "grouping.slt": (2, set()),
     "identifiers.slt": (11, set()),
     "insert.slt": (21, {308, 379, 393, 399}),
     "insert_to_external.slt": (19, {309}),
     "intersection.slt": (2, set()),
-    "interval.slt": (31, {44, 61, 83}),
+    "interval.slt": (34, set()),
     "interval_mysql.slt": (7, set()),
     "join.slt": (75, set()),
     "join_disable_repartition_joins.slt": (76, {65}),
@@ -255,7 +285,7 @@ PINNED = {
     "json.slt": (2, set()),
     "limit.slt": (33, set()),
     "map.slt": (70, {495, 501, 547}),
-    "math.slt": (24, {66, 104, 109}),
+    "math.slt": (27, {66}),
     "metadata.slt": (0, set()),
     "misc.slt": (4, set()),
     "monotonic_projection_test.slt": (0, set()),
@@ -278,21 +308,21 @@ PINNED = {
     "projection.slt": (11, set()),
     "push_down_filter.slt": (5, set()),
     "references.slt": (5, set()),
-    "regexp.slt": (29, {372}),
+    "regexp.slt": (39, set()),
     "repartition.slt": (2, set()),
     "repartition_scan.slt": (2, set()),
     "same_column_name_cross_join.slt": (4, set()),
-    "scalar.slt": (196, {467, 473, 509, 516, 531, 554, 561, 567, 590, 597, 603, 626, 655, 661, 1059}),
+    "scalar.slt": (214, set()),
     "schema_evolution.slt": (1, set()),
     "select.slt": (97, {572}),
     "sort_merge_join.slt": (46, set()),
-    "string/dictionary_utf8.slt": (38, {142, 260, 527, 547}),
-    "string/large_string.slt": (39, {142, 260, 527, 547}),
-    "string/string.slt": (38, {142, 260, 527, 547}),
-    "string/string_literal.slt": (102, {18, 66}),
-    "string/string_view.slt": (49, {142, 260, 527, 547, 986}),
+    "string/dictionary_utf8.slt": (44, set()),
+    "string/large_string.slt": (45, set()),
+    "string/string.slt": (44, set()),
+    "string/string_literal.slt": (106, set()),
+    "string/string_view.slt": (55, {986}),
     "strings.slt": (10, set()),
-    "struct.slt": (26, set()),
+    "struct.slt": (26, {229, 234}),
     "subquery.slt": (34, set()),
     "subquery_sort.slt": (4, set()),
     "timestamps.slt": (193, {149, 679, 697, 715, 1294, 1305, 1332, 1378, 1389, 1416, 1637, 1643, 1655, 1685, 2030, 2035, 2040, 2045, 2102, 2444, 2800}),
@@ -303,7 +333,7 @@ PINNED = {
     "unnest.slt": (25, {209, 250, 539}),
     "update.slt": (0, set()),
     "wildcard.slt": (4, set()),
-    "window.slt": (126, {2567, 2774, 2820, 2867, 3941, 3947, 3953, 3971, 3977, 3983, 3989, 3995}),
+    "window.slt": (128, {2567, 2774, 2820, 2867, 3941, 3947, 3953, 3971, 3977, 3983, 3989, 3995}),
 }
 
 
@@ -311,7 +341,7 @@ PINNED = {
 UNDERDETERMINED = {
     "aggregate.slt": {3027, 5436, 5495},
     "array.slt": {3942, 3952},  # array_agg over a dictionary column
-    "group_by.slt": {3722, 3737},
+    "group_by.slt": {3052, 3076, 3722, 3737},  # 3052/3076: multi-key ordered array_agg with duplicate ts keys - tie order follows collect order
     # 375: correlated IN over external-CSV tables; matched in every
     # builder run, diverged once in the r4 judge's environment
     "subquery.slt": {375},
@@ -321,7 +351,7 @@ UNDERDETERMINED = {
 # measured on the round-5 clean-scratch pinning run (tools/repin_slt.py,
 # 96 files); per-file floors subtract every underdetermined block so
 # any legal flip stays above the floor
-TOTAL_CONTENT_FLOOR = 3915
+TOTAL_CONTENT_FLOOR = 4062
 
 
 _totals = {"content": 0}

@@ -1092,18 +1092,410 @@ def _rewrite_array_dialect(sql: str) -> str:
                .replace("@AS@(", "array_sort("))
 
 
+# DataFusion function semantics that differ from Spark's built-in of
+# the same name on EDGE domains only (identical on the common domain),
+# reproduced as Catalyst-inlined SQL UDFs the query rewrite retargets.
+# Each cites the reference implementation it mirrors.
+_IEEE_LN = ("CASE WHEN {v} = 0D THEN double('-Infinity') "
+            "WHEN {v} < 0D THEN double('NaN') ELSE ln({v}) END")
+
+_DF_SEMANTICS_DDL = [
+    # math log family (datafusion/functions/src/math/log.rs): IEEE
+    # f64::ln — log of 0 is -Infinity, log of a negative is NaN; Spark
+    # returns NULL for both.
+    "CREATE OR REPLACE TEMPORARY FUNCTION df_ln(x DOUBLE) RETURNS DOUBLE "
+    "RETURN CASE WHEN x IS NULL THEN NULL "
+    "WHEN x = 0D THEN double('-Infinity') "
+    "WHEN x < 0D THEN double('NaN') ELSE ln(x) END",
+    "CREATE OR REPLACE TEMPORARY FUNCTION df_log10(x DOUBLE) RETURNS DOUBLE "
+    "RETURN CASE WHEN x IS NULL THEN NULL "
+    "WHEN x = 0D THEN double('-Infinity') "
+    "WHEN x < 0D THEN double('NaN') ELSE log10(x) END",
+    "CREATE OR REPLACE TEMPORARY FUNCTION df_log2(x DOUBLE) RETURNS DOUBLE "
+    "RETURN CASE WHEN x IS NULL THEN NULL "
+    "WHEN x = 0D THEN double('-Infinity') "
+    "WHEN x < 0D THEN double('NaN') ELSE log2(x) END",
+    # log(base, x) = ln(x)/ln(base) with IEEE edges (log(1, 64) =
+    # +Infinity). ANSI mode forbids x/0, so the ln(base)=0 case picks
+    # the sign explicitly.
+    "CREATE OR REPLACE TEMPORARY FUNCTION df_log_base(b DOUBLE, x DOUBLE) "
+    "RETURNS DOUBLE RETURN CASE WHEN b IS NULL OR x IS NULL THEN NULL "
+    f"WHEN {_IEEE_LN.format(v='b')} = 0D THEN "
+    f"(CASE WHEN {_IEEE_LN.format(v='x')} > 0D THEN double('Infinity') "
+    f"WHEN {_IEEE_LN.format(v='x')} < 0D THEN double('-Infinity') "
+    "ELSE double('NaN') END) "
+    f"ELSE {_IEEE_LN.format(v='x')} / {_IEEE_LN.format(v='b')} END",
+    # math/nanvl.rs + isnan: DataFusion NULL-propagates both (Spark's
+    # isnan(NULL) is false, nanvl(2, NULL) is 2).
+    "CREATE OR REPLACE TEMPORARY FUNCTION df_isnan(x DOUBLE) "
+    "RETURNS BOOLEAN RETURN CASE WHEN x IS NULL THEN NULL "
+    "ELSE isnan(x) END",
+    "CREATE OR REPLACE TEMPORARY FUNCTION df_nanvl(x DOUBLE, y DOUBLE) "
+    "RETURNS DOUBLE RETURN CASE WHEN x IS NULL OR y IS NULL THEN NULL "
+    "WHEN isnan(x) THEN y ELSE x END",
+    # string/chr.rs: any Unicode code point (Spark's chr wraps at
+    # Latin-1). 4-byte big-endian code unit decoded as UTF-32.
+    "CREATE OR REPLACE TEMPORARY FUNCTION df_chr(n BIGINT) RETURNS STRING "
+    "RETURN CASE WHEN n IS NULL THEN NULL "
+    "ELSE decode(unhex(lpad(hex(n), 8, '0')), 'UTF-32') END",
+    # unicode/left.rs / right.rs: negative n drops |n| chars from the
+    # other end (Postgres); Spark returns ''.
+    "CREATE OR REPLACE TEMPORARY FUNCTION df_left(s STRING, n BIGINT) "
+    "RETURNS STRING RETURN CASE WHEN n < 0 THEN "
+    "substr(s, 1, CAST(greatest(char_length(s) + n, 0) AS INT)) "
+    "ELSE left(s, CAST(n AS INT)) END",
+    "CREATE OR REPLACE TEMPORARY FUNCTION df_right(s STRING, n BIGINT) "
+    "RETURNS STRING RETURN CASE WHEN n < 0 THEN "
+    "substr(s, CAST(1 - n AS INT)) "
+    "ELSE right(s, CAST(n AS INT)) END",
+    # unicode/substr.rs (Postgres window semantics): the result is the
+    # chars at positions [max(start,1), start+len) — a start <= 0 eats
+    # into the length; Spark's negative start counts from the end.
+    "CREATE OR REPLACE TEMPORARY FUNCTION df_substr2(s STRING, p BIGINT) "
+    "RETURNS STRING RETURN CASE WHEN s IS NULL OR p IS NULL THEN NULL "
+    "ELSE substr(s, CAST(greatest(p, 1) AS INT)) END",
+    "CREATE OR REPLACE TEMPORARY FUNCTION df_substr3"
+    "(s STRING, p BIGINT, l BIGINT) RETURNS STRING "
+    "RETURN CASE WHEN s IS NULL OR p IS NULL OR l IS NULL THEN NULL "
+    "WHEN l < 0 THEN "
+    "CAST(raise_error('negative substring length not allowed') AS STRING) "
+    "ELSE substr(s, CAST(greatest(p, 1) AS INT), "
+    "CAST(greatest(p + l - greatest(p, 1), 0) AS INT)) END",
+    # string/overlay.rs: replace_len = min(len, char_length(s)) (4-arg)
+    # or char_length(replacement) (3-arg); NO prefix when the start is
+    # past the string (Spark/PG keep the whole string as prefix).
+    "CREATE OR REPLACE TEMPORARY FUNCTION df_overlay4"
+    "(s STRING, c STRING, p BIGINT, l BIGINT) RETURNS STRING "
+    "RETURN CASE WHEN s IS NULL OR c IS NULL OR p IS NULL OR l IS NULL "
+    "THEN NULL ELSE concat("
+    "CASE WHEN p > 1 AND p - 1 < char_length(s) "
+    "THEN substr(s, 1, CAST(p - 1 AS INT)) ELSE '' END, c, "
+    "CASE WHEN p + least(l, char_length(s)) - 1 < char_length(s) "
+    "THEN substr(s, CAST(greatest(p + least(l, char_length(s)), 1) AS INT)) "
+    "ELSE '' END) END",
+    "CREATE OR REPLACE TEMPORARY FUNCTION df_overlay3"
+    "(s STRING, c STRING, p BIGINT) RETURNS STRING "
+    "RETURN CASE WHEN s IS NULL OR c IS NULL OR p IS NULL THEN NULL "
+    "ELSE concat("
+    "CASE WHEN p > 1 AND p - 1 < char_length(s) "
+    "THEN substr(s, 1, CAST(p - 1 AS INT)) ELSE '' END, c, "
+    "CASE WHEN p + char_length(c) - 1 < char_length(s) "
+    "THEN substr(s, CAST(greatest(p + char_length(c), 1) AS INT)) "
+    "ELSE '' END) END",
+    # regexp/regexpreplace.rs: without the 'g' flag only the FIRST
+    # match is replaced (Postgres); Spark's regexp_replace is global.
+    # Replacing within the extracted first match keeps $N group refs
+    # working (the extracted text is exactly one match).
+    "CREATE OR REPLACE TEMPORARY FUNCTION df_rr_first"
+    "(s STRING, p STRING, r STRING) RETURNS STRING "
+    "RETURN CASE WHEN s IS NULL OR p IS NULL OR r IS NULL THEN NULL "
+    "WHEN regexp_instr(s, p) = 0 THEN s "
+    "ELSE concat(substr(s, 1, CAST(regexp_instr(s, p) - 1 AS INT)), "
+    "regexp_replace(regexp_extract(s, p, 0), p, r), "
+    "substr(s, CAST(regexp_instr(s, p) "
+    "+ char_length(regexp_extract(s, p, 0)) AS INT))) END",
+]
+
+
+def register_df_semantics(spark) -> None:
+    """Install the df_* edge-semantics shims (idempotent). The harness
+    inlines the same bodies textually (_inline_df_calls) because Spark
+    forbids SQL UDFs in some plan contexts (UNSUPPORTED_SQL_UDF_USAGE
+    inside Sort; grouped-expression ORDER BY resolution) — registration
+    is kept as a safety net and for direct unit-testing of the shims."""
+    for ddl in _DF_SEMANTICS_DDL:
+        spark.sql(ddl)
+
+
+_DF_DDL_RE = re.compile(
+    r"CREATE OR REPLACE TEMPORARY FUNCTION (df_\w+)\s*"
+    r"\(([^)]*)\)\s*RETURNS \w+\s*RETURN\s+(.+)$",
+    re.DOTALL,
+)
+
+
+def _df_inline_table() -> dict[str, tuple[list[str], str]]:
+    table: dict[str, tuple[list[str], str]] = {}
+    for ddl in _DF_SEMANTICS_DDL:
+        m = _DF_DDL_RE.match(ddl)
+        params = [p.strip().split()[0] for p in m.group(2).split(",")]
+        table[m.group(1)] = (params, m.group(3).strip())
+    return table
+
+
+_DF_INLINE: dict[str, tuple[list[str], str]] | None = None
+
+
+def _inline_df_calls(sql: str) -> str:
+    """Expand every df_* shim call into its CASE body (args substituted
+    parenthesized, simultaneously). Runs LAST in _rewrite_fn_calls, so
+    the expanded built-in names are never re-captured by a rewrite
+    pass; bodies never emit df_* names, so one pass per shim suffices
+    even for cross-nested calls."""
+    global _DF_INLINE
+    if "df_" not in sql:
+        return sql
+    if _DF_INLINE is None:
+        _DF_INLINE = _df_inline_table()
+    for name, (params, body) in _DF_INLINE.items():
+        def repl(a, params=params, body=body):
+            if len(a) != len(params):
+                return None
+            sub = {p: f"({arg})" for p, arg in zip(params, a)}
+            pat = re.compile("|".join(rf"\b{re.escape(p)}\b" for p in params))
+            return "(" + pat.sub(lambda mm: sub[mm.group(0)], body) + ")"
+
+        sql = _map_fn_args(sql, name, repl)
+    return sql
+
+
+_LIT_RE = re.compile(r"^'([^']*)'$")
+
+
+def _pg_backrefs(r: str) -> str:
+    r"""A literal replacement's Postgres ``\N`` group refs → Spark
+    ``$N`` (the slt text carries them as ``\\N``)."""
+    m = _LIT_RE.match(r)
+    if not m:
+        return r
+    body = re.sub(r"\\\\(\d)", r"$\1", m.group(1))
+    return f"'{body}'"
+
+
+def _rewrite_df_fn_semantics(sql: str) -> str:
+    """Retarget corpus calls whose DataFusion edge semantics differ
+    from Spark's same-named built-in onto the df_* shims. Runs FIRST
+    in _rewrite_fn_calls so harness-GENERATED code emitted by later
+    passes (e.g. _arr_join's global regexp_replace) is never touched.
+    Emits @RRG@(/@CAT@( placeholders where the raw Spark name would be
+    re-captured by this or a later pass.
+    """
+    out = sql
+    # --- log family: 1-arg log is base-10 in DataFusion
+    out = _map_fn_args(
+        out, "log",
+        lambda a: (f"df_log10({a[0]})" if len(a) == 1 else
+                   (f"df_log_base({a[0]}, {a[1]})" if len(a) == 2 else None)))
+    out = _map_fn_args(out, "ln",
+                       lambda a: f"df_ln({a[0]})" if len(a) == 1 else None)
+    out = _map_fn_args(out, "log10",
+                       lambda a: f"df_log10({a[0]})" if len(a) == 1 else None)
+    out = _map_fn_args(out, "log2",
+                       lambda a: f"df_log2({a[0]})" if len(a) == 1 else None)
+    out = _map_fn_args(out, "isnan",
+                       lambda a: f"df_isnan({a[0]})" if len(a) == 1 else None)
+    out = _map_fn_args(
+        out, "nanvl",
+        lambda a: f"df_nanvl({a[0]}, {a[1]})" if len(a) == 2 else None)
+    out = _map_fn_args(out, "chr",
+                       lambda a: f"df_chr({a[0]})" if len(a) == 1 else None)
+    out = _map_fn_args(
+        out, "left",
+        lambda a: f"df_left({a[0]}, {a[1]})" if len(a) == 2 else None)
+    out = _map_fn_args(
+        out, "right",
+        lambda a: f"df_right({a[0]}, {a[1]})" if len(a) == 2 else None)
+
+    # --- substr/substring, incl. SUBSTRING(x FROM a [FOR b])
+    def _substr(a):
+        if len(a) == 1:
+            m = re.match(r"(.+?)\s+FROM\s+(.+?)(?:\s+FOR\s+(.+))?$",
+                         a[0], re.IGNORECASE | re.DOTALL)
+            if not m:
+                return None
+            a = ([m.group(1), m.group(2), m.group(3)] if m.group(3)
+                 else [m.group(1), m.group(2)])
+        if len(a) == 2:
+            return f"df_substr2({a[0]}, {a[1]})"
+        if len(a) == 3:
+            return f"df_substr3({a[0]}, {a[1]}, {a[2]})"
+        return None
+
+    out = _map_fn_args(out, "substr", _substr)
+    out = _map_fn_args(out, "substring", _substr)
+
+    # --- overlay: both call-form and OVERLAY(s PLACING c FROM p [FOR l])
+    def _overlay(a):
+        if len(a) == 1:
+            m = re.match(
+                r"(.+?)\s+PLACING\s+(.+?)\s+FROM\s+(.+?)(?:\s+FOR\s+(.+))?$",
+                a[0], re.IGNORECASE | re.DOTALL)
+            if not m:
+                return None
+            a = ([m.group(1), m.group(2), m.group(3), m.group(4)]
+                 if m.group(4) else [m.group(1), m.group(2), m.group(3)])
+        if len(a) == 3:
+            return f"df_overlay3({a[0]}, {a[1]}, {a[2]})"
+        if len(a) == 4:
+            return f"df_overlay4({a[0]}, {a[1]}, {a[2]}, {a[3]})"
+        return None
+
+    out = _map_fn_args(out, "overlay", _overlay)
+
+    # --- regexp_replace: PG flags — no flag = first match only; 'g' =
+    # global (Spark's default); 'i' composes as a (?i) pattern prefix.
+    # Non-literal flag expressions are left as-is (runtime skip).
+    def _rr(a):
+        if len(a) == 3:
+            return f"df_rr_first({a[0]}, {a[1]}, {_pg_backrefs(a[2])})"
+        if len(a) == 4:
+            fm = _LIT_RE.match(a[3])
+            if not fm or not set(fm.group(1)) <= {"g", "i"}:
+                return None
+            pat = a[1]
+            if "i" in fm.group(1):
+                pm = _LIT_RE.match(pat)
+                pat = (f"'(?i){pm.group(1)}'" if pm
+                       else f"@CC@('(?i)', {pat})")
+            if "g" in fm.group(1):
+                return f"@RRG@({a[0]}, {pat}, {_pg_backrefs(a[2])})"
+            return f"df_rr_first({a[0]}, {pat}, {_pg_backrefs(a[2])})"
+        return None
+
+    out = _map_fn_args(out, "regexp_replace", _rr)
+
+    # --- translate: a source char repeated in `from` maps through its
+    # LAST pair in DataFusion (string/translate.rs kernel), first in
+    # Spark — dedupe literal from/to keeping the last mapping (mapped
+    # chars first so deletions never steal a `to` slot).
+    def _translate(a):
+        if len(a) != 3:
+            return None
+        fm, tm = _LIT_RE.match(a[1]), _LIT_RE.match(a[2])
+        if not fm or not tm:
+            return None
+        frm, to = fm.group(1), tm.group(1)
+        if len(set(frm)) == len(frm):
+            return None  # no duplicates — Spark built-in is identical
+        last: dict[str, str | None] = {}
+        for i, ch in enumerate(frm):
+            last[ch] = to[i] if i < len(to) else None
+        mapped = [(f, t) for f, t in last.items() if t is not None]
+        deleted = [f for f, t in last.items() if t is None]
+        frm2 = "".join(f for f, _ in mapped) + "".join(deleted)
+        to2 = "".join(t for _, t in mapped)
+        return f"@TR@({a[0]}, '{frm2}', '{to2}')"
+
+    out = _map_fn_args(out, "translate", _translate)
+
+    # --- array_agg: DataFusion keeps NULL inputs and returns NULL on
+    # empty input (functions-aggregate/src/array_agg.rs; Spark's drops
+    # NULLs and returns []). NULL elements survive collect_list inside
+    # a struct; ORDER BY places NULLs PG-style (LAST for ASC).
+    def _array_agg(a):
+        if len(a) != 1:
+            return None
+        body = a[0]
+        dm = re.match(r"DISTINCT\s+(.+)$", body, re.IGNORECASE | re.DOTALL)
+        distinct = bool(dm)
+        if dm:
+            body = dm.group(1)
+        om = re.match(r"(.+?)\s+ORDER\s+BY\s+(.+?)(\s+ASC|\s+DESC)?$",
+                      body, re.IGNORECASE | re.DOTALL)
+        expr, order_desc = body, None
+        if om:
+            if om.group(1).strip().lower() != om.group(2).strip().lower():
+                return None  # sort key != expr — leave (will skip)
+            expr = om.group(1).strip()
+            order_desc = bool(om.group(3)
+                              and om.group(3).strip().upper() == "DESC")
+        coll = f"collect_list(struct({expr} AS __f))"
+        vals = f"transform({coll}, __s -> __s.__f)"
+        if distinct:
+            vals = f"array_distinct({vals})"
+        if om:
+            nn = f"filter({vals}, __e -> __e IS NOT NULL)"
+            nu = f"filter({vals}, __e -> __e IS NULL)"
+            vals = (f"@CAT@({nu}, sort_array({nn}, false))" if order_desc
+                    else f"@CAT@(sort_array({nn}, true), {nu})")
+        return f"if(size({coll}) = 0, NULL, {vals})"
+
+    out = _map_fn_args(out, "array_agg", _array_agg)
+
+    # --- ordered aggregates, arbitrary multi-key ORDER BY: DataFusion
+    # allows ORDER BY inside any aggregate call (functions-aggregate:
+    # array_agg.rs, first_last.rs, nth_value.rs, string_agg.rs); Spark
+    # has no such syntax. Collect (keys..., value) structs, sort with
+    # a comparator encoding each key's direction and PG null placement
+    # (ASC -> NULLS LAST, DESC -> NULLS FIRST), then project the value.
+    def _sorted_values(expr: str, keys_text: str) -> tuple[str, str]:
+        keys = []
+        for k in _split_top_level(keys_text):
+            km = re.match(
+                r"(.+?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$",
+                k.strip(), re.IGNORECASE | re.DOTALL)
+            desc = bool(km.group(2)) and km.group(2).upper() == "DESC"
+            nulls = (km.group(3).upper() if km.group(3)
+                     else ("FIRST" if desc else "LAST"))
+            keys.append((km.group(1).strip(), desc, nulls))
+        fields = ", ".join(
+            [f"({k}) AS __s{i}" for i, (k, _, _) in enumerate(keys)]
+            + [f"({expr}) AS __v"])
+        cmp = "0"
+        for i, (_, desc, nulls) in reversed(list(enumerate(keys))):
+            d = "-1" if desc else "1"
+            nd = "1" if nulls == "LAST" else "-1"
+            cmp = (f"CASE WHEN __l.__s{i} IS NULL AND __r.__s{i} IS NULL "
+                   f"THEN {cmp} WHEN __l.__s{i} IS NULL THEN {nd} "
+                   f"WHEN __r.__s{i} IS NULL THEN -({nd}) "
+                   f"WHEN __l.__s{i} < __r.__s{i} THEN -({d}) "
+                   f"WHEN __l.__s{i} > __r.__s{i} THEN ({d}) "
+                   f"ELSE {cmp} END")
+        coll = f"collect_list(struct({fields}))"
+        vals = (f"transform(array_sort({coll}, (__l, __r) -> {cmp}), "
+                f"__s -> __s.__v)")
+        return vals, coll
+
+    _ob_re = re.compile(r"^(.*?)\s+ORDER\s+BY\s+(.+)$",
+                        re.IGNORECASE | re.DOTALL)
+
+    def _ordered_agg(fname):
+        def go(a):
+            body = ", ".join(a)
+            m2 = _ob_re.match(body)
+            if not m2 or re.search(r"\bDISTINCT\b", body, re.IGNORECASE) \
+                    or re.search(r"\bOVER\b", body, re.IGNORECASE):
+                return None
+            left, keys_text = m2.group(1).strip(), m2.group(2).strip()
+            if left.count("'") % 2 or keys_text.count("'") % 2:
+                return None  # ORDER BY matched inside a string literal
+            largs = [x.strip() for x in _split_top_level(left)]
+            if fname == "array_agg" and len(largs) == 1:
+                vals, coll = _sorted_values(largs[0], keys_text)
+                return f"if(size({coll}) = 0, NULL, {vals})"
+            if fname in ("first_value", "last_value") and len(largs) == 1:
+                vals, _ = _sorted_values(largs[0], keys_text)
+                pos = "1" if fname == "first_value" else "-1"
+                return f"try_element_at({vals}, {pos})"
+            if fname == "nth_value" and len(largs) == 2:
+                vals, _ = _sorted_values(largs[0], keys_text)
+                return f"try_element_at({vals}, CAST({largs[1]} AS INT))"
+            if fname == "string_agg" and len(largs) == 2:
+                vals, _ = _sorted_values(largs[0], keys_text)
+                return f"array_join({vals}, {largs[1]})"
+            return None
+        return go
+
+    for _fname in ("array_agg", "first_value", "last_value", "nth_value",
+                   "string_agg"):
+        out = _map_fn_args(out, _fname, _ordered_agg(_fname))
+    return out
+
+
 def _rewrite_fn_calls(sql: str) -> str:
     """Function-level dialect gaps, rewritten semantically:
 
+    - df_* edge-semantics retargeting first (log/ln IEEE edges, isnan/
+      nanvl NULL propagation, PG substr/left/right windows, DataFusion
+      overlay, first-match regexp_replace, any-codepoint chr,
+      NULL-keeping empty-is-NULL array_agg, last-wins translate) —
+      see _rewrite_df_fn_semantics.
     - DataFusion ``concat`` skips NULL args (Postgres); Spark's returns
       NULL on any NULL — Spark's NULL-skipping spelling is concat_ws('').
-    - DataFusion single-arg ``log`` is base-10; Spark's is ln. (Two-arg
-      log is base-b in both — only the 1-arg form is rewritten.)
     - ``make_array`` → ``array``.
-    - ``agg(x ORDER BY x [ASC|DESC])`` (no Spark syntax): for the
-      self-ordered array_agg case → sort_array(collect_list(x)).
     """
-    out = _rewrite_array_dialect(sql)
+    out = _rewrite_df_fn_semantics(sql)
+    out = _rewrite_array_dialect(out)
     out = re.sub(r"\bmake_array\s*\(", "array(", out, flags=re.IGNORECASE)
     out = re.sub(r"\barray_length\s*\(", "size(", out, flags=re.IGNORECASE)
     # DataFusion allows zero-arg count() as count(*)
@@ -1202,15 +1594,24 @@ def _rewrite_fn_calls(sql: str) -> str:
             out = out[: m.start()] + "'Float64'" + out[close_p + 1 :]
             continue
         t = f"typeof({e})"
+        # searched CASE throughout: a simple CASE would equality-compare
+        # the boolean `{t} LIKE 'decimal%'` WHEN operands against the
+        # string {t} (CAST_INVALID_INPUT at runtime on decimal/array
+        # types instead of rendering them)
         case = (
-            f"CASE {t} WHEN 'tinyint' THEN 'Int8' WHEN 'smallint' THEN 'Int16' "
-            "WHEN 'int' THEN 'Int32' WHEN 'bigint' THEN 'Int64' "
-            "WHEN 'float' THEN 'Float32' WHEN 'double' THEN 'Float64' "
-            "WHEN 'string' THEN 'Utf8' WHEN 'boolean' THEN 'Boolean' "
-            "WHEN 'binary' THEN 'Binary' WHEN 'date' THEN 'Date32' "
-            "WHEN 'timestamp_ntz' THEN 'Timestamp(Nanosecond, None)' "
-            "WHEN 'timestamp' THEN 'Timestamp(Nanosecond, Some(\"+00:00\"))' "
-            "WHEN 'void' THEN 'Null' "
+            f"CASE WHEN {t} = 'tinyint' THEN 'Int8' "
+            f"WHEN {t} = 'smallint' THEN 'Int16' "
+            f"WHEN {t} = 'int' THEN 'Int32' WHEN {t} = 'bigint' THEN 'Int64' "
+            f"WHEN {t} = 'float' THEN 'Float32' "
+            f"WHEN {t} = 'double' THEN 'Float64' "
+            f"WHEN {t} = 'string' THEN 'Utf8' "
+            f"WHEN {t} = 'boolean' THEN 'Boolean' "
+            f"WHEN {t} = 'binary' THEN 'Binary' WHEN {t} = 'date' "
+            "THEN 'Date32' "
+            f"WHEN {t} = 'timestamp_ntz' THEN 'Timestamp(Nanosecond, None)' "
+            f"WHEN {t} = 'timestamp' "
+            "THEN 'Timestamp(Nanosecond, Some(\"+00:00\"))' "
+            f"WHEN {t} = 'void' THEN 'Null' "
             f"WHEN {t} LIKE 'decimal%' THEN concat('Decimal128(', "
             f"replace(substr({t}, 9, length({t}) - 9), ',', ', '), ')') "
             f"WHEN {t} LIKE 'array<%' THEN {_typeof_array_chain(t)} "
@@ -1461,37 +1862,15 @@ def _rewrite_fn_calls(sql: str) -> str:
             inner = out[open_p + 1 : close_p]
             out = (out[:j] + f"(EXTRACT(DAYOFWEEK FROM {inner}) - 1)"
                    + out[close_p + 1 :])
-    # single-arg log → log10
-    pos = 0
-    while True:
-        m = re.search(r"\blog\s*\(", out[pos:], re.IGNORECASE)
-        if not m:
-            break
-        open_p = pos + m.end() - 1
-        try:
-            close_p = _find_close(out, open_p)
-        except Untranslatable:
-            break
-        if len(_split_top_level(out[open_p + 1 : close_p])) == 1:
-            out = out[: pos + m.start()] + "LOG10(" + out[open_p + 1 :]
-            pos = pos + m.start() + 6
-        else:
-            pos = open_p + 1
-    # array_agg(x ORDER BY x [ASC|DESC]) → sort_array(collect_list(x), asc)
-    def _agg_order(m: re.Match) -> str:
-        expr, by, desc = m.group(1).strip(), m.group(2).strip(), m.group(3)
-        if expr.lower() != by.lower():
-            return m.group(0)  # different sort key — leave (will skip)
-        asc = "false" if desc and desc.strip().upper() == "DESC" else "true"
-        return f"sort_array(collect_list({expr}), {asc})"
-
-    out = re.sub(
-        r"\barray_agg\s*\(([^()]+?)\s+ORDER\s+BY\s+([^()]+?)(\s+ASC|\s+DESC)?\)",
-        _agg_order, out, flags=re.IGNORECASE,
-    )
-    # array-concat placeholder: resolved after the string-concat →
-    # concat_ws('') NULL-skip rewrite so array concats stay `concat`
-    return out.replace("@CAT@(", "concat(")
+    # placeholders: resolved after every name-capturing pass has run
+    # (@CAT@ after the string-concat → concat_ws('') NULL-skip rewrite
+    # so array concats stay `concat`; @RRG@ after the regexp_replace →
+    # df_rr_first retargeting so 'g'-flagged calls stay global)
+    out = out.replace("@RRG@(", "regexp_replace(")
+    out = out.replace("@TR@(", "translate(")
+    out = out.replace("@CC@(", "concat(")
+    out = out.replace("@CAT@(", "concat(")
+    return _inline_df_calls(out)
 
 
 # words after which a '[' opens an array LITERAL, not a subscript
@@ -1925,9 +2304,81 @@ def _rewrite_groups_frames(sql: str) -> str:
         new_sql, count=1, flags=re.IGNORECASE)
 
 
+_FLOAT_LIT = re.compile(r"(?<![\w.])(\d+\.\d+|\.\d+)(?![\w.])")
+_FLOAT_FOLD = re.compile(
+    r"(?<![\w.*/+-])(?<![*/+-] )(\d+\.\d+|\.\d+)\s*([-+])\s*"
+    r"(\d+\.\d+|\.\d+)(?![\w.])(?!\s*[*/])")
+
+
+def _fold_float_pair(m: re.Match) -> str:
+    import decimal
+    a, op, b = (decimal.Decimal(m.group(1)), m.group(2),
+                decimal.Decimal(m.group(3)))
+    r = a + b if op == "+" else a - b
+    return format(r, "f")
+
+
+def _type_float_literals(sql: str) -> str:
+    """DataFusion/Arrow type a bare float literal as Float64; Spark
+    types it DECIMAL(p,s), which shows through arithmetic precision
+    (2.0/3 at decimal scale misses the 1e-6 compare tolerance —
+    scalar.slt:509) and through the arrow_typeof emulation. Retype via
+    the exponent spelling (1.5 -> 1.5e0 is a DOUBLE literal in Spark),
+    outside string literals; literals with >15 significant digits keep
+    decimal typing (a double would lose digits Spark's decimal keeps).
+    """
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    for i in range(0, len(parts), 2):
+        # constant-fold float +/- float first (decimal-exact), as
+        # DataFusion's planner does: `between 0.06 - 0.01 and ...`
+        # must produce the exact 0.05 a decimal column compares
+        # against, not the 0.049999... of double arithmetic
+        # (tpch q6.slt.part:47). Guarded so a tighter-binding */ or
+        # another +- neighbor never regroups the expression.
+        while True:
+            folded = _FLOAT_FOLD.sub(_fold_float_pair, parts[i])
+            if folded == parts[i]:
+                break
+            parts[i] = folded
+        parts[i] = _FLOAT_LIT.sub(
+            lambda m: (m.group(1) + "e0"
+                       if len(re.sub(r"\D", "", m.group(1))) <= 15
+                       else m.group(1)),
+            parts[i])
+    return "".join(parts)
+
+
+_XOR_PRIM = r"(?:\w+\.\w+|\w+\([^()]*\)|\([^()]*\)|[\w.]+)"
+_XOR_SHIFT_R = re.compile(
+    rf"({_XOR_PRIM})\s*\^\s*({_XOR_PRIM})(\s*(?:<<|>>))")
+_XOR_SHIFT_L = re.compile(
+    rf"((?:<<|>>)\s*)({_XOR_PRIM})\s*\^\s*({_XOR_PRIM})")
+
+
+def _bind_xor_tight(sql: str) -> str:
+    """DataFusion's operator table puts ``^`` (XOR) between additive
+    and shift: ``2*c - 1 ^ 856 + d`` groups additively on both sides
+    (same as Spark), but ``d ^ 7 >> 4`` is ``(d ^ 7) >> 4`` where
+    Spark binds the shift first (scalar.slt:1059/1090 — groupings
+    verified against the file's expected values). Parenthesize only
+    the shift-adjacent XOR pairs; PG's ``#`` XOR spelling maps to
+    ``^`` first (scalar.slt:1072/1081)."""
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    for i in range(0, len(parts), 2):
+        p = parts[i].replace(" # ", " ^ ")
+        p = _XOR_SHIFT_R.sub(r"(\1 ^ \2)\3", p)
+        p = _XOR_SHIFT_L.sub(r"\1(\2 ^ \3)", p)
+        parts[i] = p
+    return "".join(parts)
+
+
 def _rewrite_dialect(sql: str) -> str:
     if '"' in sql:
         sql = _dquote_idents(sql)
+    if "." in sql:
+        sql = _type_float_literals(sql)
+    if "^" in sql or " # " in sql:
+        sql = _bind_xor_tight(sql)
     # PG/DataFusion allow order-requiring window functions over an
     # ORDER BY-less window; Spark demands ORDER BY. Two distinct
     # semantics to reproduce:
@@ -1982,6 +2433,15 @@ def _rewrite_dialect(sql: str) -> str:
         r"(-?)\binterval\s+('?\d+'?)((?:\s*[-+]\s*'?\d+'?)+)\s+"
         r"(year|month|day|hour|minute|second)s?\b",
         _fold_interval, sql, flags=re.IGNORECASE)
+    # sqlparser-rs keeps only the SINGULAR unit keywords (+WEEK) as
+    # interval units; a PLURAL word after the literal is a column ALIAS
+    # (`interval '5' years` = `interval '5' AS years` = 5 seconds, the
+    # PG bare-number rule — interval.slt:38-49). Spark parses both as
+    # units, so drop the alias and keep the bare-seconds literal.
+    sql = re.sub(
+        r"\binterval\s+('\d+(?:\.\d+)?')\s+"
+        r"(?:years|months|weeks|days|hours|minutes|seconds)\b",
+        r"interval \1 second", sql, flags=re.IGNORECASE)
     if re.search(r"\binterval\s+'", sql, re.IGNORECASE):
         sql = _fold_pg_interval(sql)
     # Arrow int→date32 cast is days-since-epoch (the ClickBench
@@ -2120,6 +2580,11 @@ def _rewrite_distinct_on(sql: str) -> str:
     handles this in the reference)."""
     m = re.match(r"\s*SELECT\s+DISTINCT\s+ON\s*\(", sql, re.IGNORECASE)
     if not m:
+        # CTE form: rewrite the main query after the WITH list
+        if re.match(r"\s*WITH\b", sql, re.IGNORECASE):
+            spos = _top_level_kw(sql, "SELECT")
+            if spos > 0:
+                return sql[:spos] + _rewrite_distinct_on(sql[spos:])
         # nested form: rewrite each parenthesized DISTINCT ON subquery
         nm = re.search(r"\(\s*SELECT\s+DISTINCT\s+ON\s*\(", sql, re.IGNORECASE)
         if nm:
@@ -2157,6 +2622,32 @@ def _rewrite_distinct_on(sql: str) -> str:
             tail = tail[:lpos]
     keys = ", ".join(on_list)
     win_order = order_by if order_by else keys
+    qualified = "." in sel + keys + order_by and sel != "*"
+    if qualified:
+        # table-qualified refs don't survive the subquery boundary:
+        # compute every projected/ordered expression inside, under
+        # generated aliases (slt compares values, never column names)
+        sel_items = [
+            re.sub(r"\s+AS\s+\w+$", "", s.strip(), flags=re.IGNORECASE)
+            for s in _split_top_level(sel)
+        ]
+        inner_cols = [f"{s} AS __c{i}" for i, s in enumerate(sel_items)]
+        outer_cols = ", ".join(f"__c{i}" for i in range(len(sel_items)))
+        order_outer = []
+        if order_by:
+            for i, o in enumerate(
+                    [x.strip() for x in _split_top_level(order_by)]):
+                om = re.match(
+                    r"(.+?)(\s+(?:ASC|DESC))?(\s+NULLS\s+(?:FIRST|LAST))?$",
+                    o, re.IGNORECASE | re.DOTALL)
+                inner_cols.append(f"{om.group(1).strip()} AS __o{i}")
+                order_outer.append(
+                    f"__o{i}{om.group(2) or ''}{om.group(3) or ''}")
+        outer = f" ORDER BY {', '.join(order_outer)}" if order_outer else ""
+        return (f"SELECT {outer_cols} FROM (SELECT "
+                f"{', '.join(inner_cols)}, ROW_NUMBER() OVER "
+                f"(PARTITION BY {keys} ORDER BY {win_order}) AS __rn "
+                f"{tail.strip()}) WHERE __rn = 1{outer}{limit_part}")
     proj = "* EXCEPT (__rn)" if sel == "*" else sel
     outer = f" ORDER BY {order_by}" if order_by else ""
     return (f"SELECT {proj} FROM (SELECT *, ROW_NUMBER() OVER "
@@ -2518,6 +3009,7 @@ class SltRunner:
             register_sql_names(spark)
         except Exception:  # noqa: BLE001 — harness must run without the package
             pass
+        register_df_semantics(spark)
 
     def _exec(self, sql: str):
         return self.spark.sql(sql)
