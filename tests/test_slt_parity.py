@@ -1,10 +1,10 @@
 """sqllogictest corpus parity (the reference's primary correctness gate).
 
-Executes 96 of the reference's own ``.slt`` files —
+Executes 97 of the reference's own ``.slt`` files —
 ``datafusion-greatest/datafusion/sqllogictest/test_files/*.slt`` — against
-Spark SQL via tools/slt_runner.py and pins the census: **4,062+
-content-verified query blocks** and the exact set of **149 divergent
-blocks** (135 deterministic + 14 run-to-run-underdetermined), each with
+Spark SQL via tools/slt_runner.py and pins the census: **4,083+
+content-verified query blocks** and the exact set of **160 divergent
+blocks** (146 deterministic + 14 run-to-run-underdetermined), each with
 a named, verified cause. Re-pin with tools/repin_slt.py after ANY
 harness change (r4 shipped a widening without re-pinning and left 4
 parity tests red at HEAD — never again). Mirrors the TPC-DS execution differential's
@@ -43,8 +43,7 @@ container codecs real), type-aware token compare (I-lanes exact,
 R-lanes isclose), DataFusion integer-median/int-division/window-order
 semantics as verdict-gated alternative readings, and 8 new files
 (88 → 96). The still-unexecuted reference files are pure engine
-introspection (information_schema*, options, set_variable, explain,
-arrow_typeof.slt as a file).
+introspection (information_schema*, options, set_variable, explain).
 
 Round-5 session-2 widening (+147 content floor; 53 deterministic
 pins resolved — 51 translated, 2 reclassified underdetermined): a
@@ -70,7 +69,11 @@ equality-compared its boolean LIKE branches and raised
 CAST_INVALID_INPUT on every decimal/array input instead of rendering
 them — decimal.slt +19 content alone); qualified DISTINCT ON carried
 through the ROW_NUMBER subquery via aliased projections, and the CTE
-(WITH-prefixed) DISTINCT ON form.
+(WITH-prefixed) DISTINCT ON form. With the searched-CASE emulation,
+arrow_typeof.slt itself now executes (96 -> 97 files, 21 content; its
+11 pins are the Spark-width/zone/LargeList displays of families 9, 10
+and 18, plus bare ::Decimal now mapped to DataFusion's (38,10)
+default).
 
 Census buckets (tools/slt_runner.py): ``match`` (slt-exact),
 ``match_unordered`` (same multiset; order differs only where the SQL
@@ -138,11 +141,15 @@ Pinned divergence families (every pinned line belongs to one):
     2389/2443/2622/2676); recursive cardinality/flatten over
     LargeList(List(...)) (4307/4312/4317/4323/4328/4341/4352/4363/
     6696/6706/6716); generate_series over a zone-carrying ns timestamp
-    renders offsets Spark's single µs type drops (6099); nested List(List(...)) typeof display through the emulated chain (692); the FixedSizeList parquet file's typeof (6605); cardinality over nested maps through the array-recursive emulation (map 547).
+    renders offsets Spark's single µs type drops (6099); nested List(List(...)) typeof display through the emulated chain (692); the FixedSizeList parquet file's typeof (6605); cardinality over nested maps through the array-recursive emulation (map 547);
+    LargeList/FixedSizeList arrow_cast typeof (arrow_typeof
+    380/385/417).
 10. **Session-zone display** — Arrow timestamps carry a zone:
     ``SET TIME ZONE`` changes both date_trunc boundaries and the
     rendered offset in DataFusion; this harness pins the session to
-    UTC (SURVEY §1.2). timestamps 149/1332/1416/1637/1643/1655/1685.
+    UTC (SURVEY §1.2). timestamps 149/1332/1416/1637/1643/1655/1685;
+    arrow_typeof 61 (::timestamp is zone-less in DataFusion, zoned in
+    Spark) and 330/335 (zone-carrying arrow_cast display).
 11. **Parse/precedence dialect** — the plural-interval-alias and
     XOR/shift precedence pins are retired (both translated now);
     what remains: engine-default NULL ordering at a LIMIT boundary
@@ -198,7 +205,8 @@ Pinned divergence families (every pinned line belongs to one):
     Int64 in DataFusion; Spark keeps Int32 — window 3941/3947/3953/
     3971/3977/3983); struct typeof renders Spark's compact
     struct<name:type> form, not Arrow's Field list (struct
-    229/234).
+    229/234); the unsigned/Float16/LargeUtf8/BinaryView/per-unit-
+    timestamp width matrix of arrow_typeof 105/157/222/250/435.
 19. **dbgen text pool** — DuckDB's tpch extension reproduces official
     dbgen keys and numerics exactly (16/21 tpch.slt goldens content-
     verify, q1 sums match to the cent) but not the comment/address
@@ -244,6 +252,7 @@ PINNED = {
     "aggregates_topk.slt": (10, {78, 201}),
     "array.slt": (619, {692, 2389, 2443, 2622, 2676, 4307, 4312, 4317, 4323, 4328, 4341, 4352, 4363, 6099, 6605, 6696, 6706, 6716}),
     "array_query.slt": (26, set()),
+    "arrow_typeof.slt": (21, {61, 105, 157, 222, 250, 330, 335, 380, 385, 417, 435}),
     "arrow_files.slt": (1, set()),
     "avro.slt": (10, set()),
     "binary.slt": (7, set()),
@@ -351,7 +360,7 @@ UNDERDETERMINED = {
 # measured on the round-5 clean-scratch pinning run (tools/repin_slt.py,
 # 96 files); per-file floors subtract every underdetermined block so
 # any legal flip stays above the floor
-TOTAL_CONTENT_FLOOR = 4062
+TOTAL_CONTENT_FLOOR = 4083
 
 
 _totals = {"content": 0}

@@ -2418,6 +2418,12 @@ def _rewrite_dialect(sql: str) -> str:
                  flags=re.IGNORECASE)
     sql = re.sub(r"\bAS\s+VARCHAR\s*\)", "AS STRING)", sql,
                  flags=re.IGNORECASE)
+    # bare DECIMAL defaults to (38, 10) in DataFusion (arrow_typeof.slt
+    # :55), (10, 0) in Spark
+    sql = re.sub(r"::\s*DECIMAL\b(?!\s*\()", "::DECIMAL(38, 10)", sql,
+                 flags=re.IGNORECASE)
+    sql = re.sub(r"\bAS\s+DECIMAL\s*\)", "AS DECIMAL(38, 10))", sql,
+                 flags=re.IGNORECASE)
     # MySQL-dialect interval chains: `interval '1' + '1' + '1' month`
     # applies the unit to the folded sum (interval_mysql.slt). Fold the
     # constant arithmetic here; single-term intervals are left alone
