@@ -524,3 +524,111 @@ def span_dedup_stats(
         )
         .withColumn("keep", F.col("dup_frac") <= max_dup_frac)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    eps: float = 0.3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    cluster the embedding space, pick one representative ("keeper") per
+    cluster, and mark as semantic duplicates the rows whose cosine to
+    their cluster keeper is >= eps.
+
+    Constructive-deterministic centroid contract: the K lowest-id rows
+    ARE the centroids (no sampled k-means), so the whole pipeline is a
+    pure function of the table and a DuckDB oracle can mirror it
+    row-for-row — the same contract trick dedup_minhash uses. A
+    production run would swap learn_centroids() in (same downstream
+    shape) and scale K ~ sqrt(N) so clusters stay bounded.
+
+    Plan shape at 100 TB: the K centroid vectors and the K keeper rows
+    are driver/broadcast-sized; cluster assignment and the dup test are
+    per-row map work over ONE corpus scan; the only exchange is the
+    K-group keeper aggregate whose partial (map-side) combine ships one
+    candidate row per partition per cluster. The corpus itself never
+    shuffles.
+
+    Output: (id, cluster, cos_keeper, keep) — keepers always keep;
+    zero-norm rows have NULL cosine (safe_cos) and are kept (undefined
+    similarity is not evidence of duplication).
+    """
+    from .similarity import dot, norm, safe_cos
+
+    cents = [
+        (i, list(r[1]))
+        for i, r in enumerate(
+            df.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.col(id_col))
+            .limit(k)
+            .collect()
+        )
+    ]
+    vec = F.col("__v")
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+    )
+    # nearest centroid by cosine; ties -> lowest cluster index (the
+    # array_sort on (-cos, idx) pairs; identical double folds on both
+    # engines make the ordering bit-identical)
+    # zero-norm rows: undefined cosine coalesces to -2.0 (below any
+    # real cosine) so assignment stays deterministic on both engines
+    sims = F.array(*[
+        F.coalesce(
+            safe_cos(
+                dot(vec, F.array(*[F.lit(x) for x in c])),
+                F.col("__n"),
+                F.lit(_py_norm(c)),
+            ),
+            F.lit(-2.0),
+        ).alias(f"s{i}")
+        for i, c in cents
+    ])
+    pairs = F.transform(
+        sims, lambda s, i: F.struct((-s).alias("neg"), i.alias("idx"))
+    )
+    assigned = base.withColumn(
+        "cluster", F.array_sort(pairs)[0]["idx"]
+    ).withColumn("cos_c", -F.array_sort(pairs)[0]["neg"])
+    keepers = (
+        assigned.groupBy("cluster")
+        .agg(
+            F.max_by(
+                F.struct(F.col("__id").alias("kid"), F.col("__v").alias("kv"),
+                         F.col("__n").alias("kn")),
+                F.struct(F.col("cos_c"), -F.col("__id")),
+            ).alias("kp")
+        )
+        .select("cluster", "kp.kid", "kp.kv", "kp.kn")
+    )
+    return (
+        assigned.join(F.broadcast(keepers), "cluster")
+        .withColumn(
+            "cos_keeper",
+            safe_cos(dot(F.col("__v"), F.col("kv")), F.col("__n"), F.col("kn")),
+        )
+        .withColumn(
+            "keep",
+            (F.col("__id") == F.col("kid"))
+            | F.col("cos_keeper").isNull()
+            | (F.col("cos_keeper") < F.lit(eps)),
+        )
+        .select(
+            F.col("__id").alias(id_col), "cluster", "cos_keeper", "keep"
+        )
+    )
+
+
+def _py_norm(vec: list[float]) -> float:
+    """Driver-side mirror of norm(): sequential left-to-right double
+    fold, NOT math.sqrt(sum(...)) — sum() may fold differently."""
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    import math
+
+    return math.sqrt(acc)

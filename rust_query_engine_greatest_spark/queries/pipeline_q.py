@@ -152,6 +152,71 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEM_DOT_BC = ("list_aggregate(list_transform(generate_series(1, "
+               "len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) "
+               "* CAST(c.cv[i] AS DOUBLE)), 'sum')")
+_SEM_DOT_AK = ("list_aggregate(list_transform(generate_series(1, "
+               "len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) "
+               "* CAST(k.kv[i] AS DOUBLE)), 'sum')")
+
+_SEM_SQL = f"""
+    WITH cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+             embedding AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 8)),
+    base AS (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embeddings.embedding',
+                             'embeddings.embedding')}) AS n
+      FROM embeddings),
+    scored AS (
+      SELECT b.vec_id, b.embedding, b.n, c.cl,
+             COALESCE({_SEM_DOT_BC}
+               / NULLIF(b.n * sqrt({_duck_dot('c.cv', 'c.cv')}), 0),
+               -2.0) AS s
+      FROM base b CROSS JOIN cents c),
+    assigned AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY s DESC, cl ASC) AS rn
+      FROM scored),
+    arows AS (
+      SELECT vec_id, embedding, n, cl AS cluster, s AS cos_c
+      FROM assigned WHERE rn = 1),
+    keepers AS (
+      SELECT cluster, vec_id AS kid, embedding AS kv, n AS kn,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY cos_c DESC, vec_id ASC) AS krn
+      FROM arows),
+    k1 AS (SELECT cluster, kid, kv, kn FROM keepers WHERE krn = 1)
+    SELECT a.vec_id, a.cluster,
+           {_SEM_DOT_AK} / NULLIF(a.n * k.kn, 0) AS cos_keeper,
+           (a.vec_id = k.kid
+            OR ({_SEM_DOT_AK} / NULLIF(a.n * k.kn, 0)) IS NULL
+            OR ({_SEM_DOT_AK} / NULLIF(a.n * k.kn, 0)) < 0.25) AS keep
+    FROM arows a JOIN k1 k USING (cluster)
+"""
+
+
+@register(
+    "dedup_semantic",
+    _SEM_SQL,
+    tags=("pipeline", "dedup"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, keep one
+    representative per cluster, flag rows whose cosine to the keeper is
+    >= 0.25 (~25% of this synthetic space — a non-vacuous split). Centroids are the K=8 lowest-id embeddings (constructive
+    determinism — the oracle mirrors every step; a production run swaps
+    learn_centroids() in, same downstream plan). Assignment and the dup
+    test are map-only over one corpus scan; the only exchange is the
+    8-group keeper aggregate (map-side combined); keepers broadcast
+    back. Identical sequential double folds on both engines -> exact
+    hash on the cosine column itself."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(e, "vec_id", "embedding", k=8, eps=0.25)
+
+
 @register(
     "dedup_embedding",
     f"""

@@ -629,3 +629,53 @@ def test_rate_hex_threshold_near_one_fraction(spark):
     df = spark.createDataFrame([(i, "a") for i in range(50)], "id long, src string")
     out = mixture_epochs(df, "id", "src", {"a": 2.9999999})
     assert out.count() == 150  # every doc gets the 3rd copy
+
+
+def test_semantic_dedup_contract(spark):
+    """SemDeDup invariants on a constructed space: exactly one keeper
+    per cluster, keepers always kept, and the keep flag is exactly
+    (cos_keeper < eps) for non-keepers. Two orthogonal groups of
+    near-identical vectors must collapse to one keeper each."""
+    from rust_query_engine_greatest_spark.pipeline.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # centroid 0 (lowest ids are cents)
+        (1, [0.0, 1.0, 0.0]),        # centroid 1
+        (2, [0.99, 0.01, 0.0]),      # near group A
+        (3, [0.98, 0.02, 0.0]),      # near group A
+        (4, [0.0, 0.97, 0.03]),      # near group B
+        (5, [0.0, 0.0, 1.0]),        # orthogonal to both keepers
+    ]
+    out = semantic_dedup(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        "vec_id", "embedding", k=2, eps=0.9,
+    )
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert len(got) == len(rows)  # one verdict per row
+    # exactly one keeper per cluster, and every keeper keeps
+    keepers = {}
+    for r in got.values():
+        if r["cos_keeper"] == max(
+            x["cos_keeper"] for x in got.values() if x["cluster"] == r["cluster"]
+        ):
+            keepers.setdefault(r["cluster"], r["vec_id"])
+    assert set(keepers) == {0, 1}
+    # group A collapses onto cluster 0's keeper; 5 is kept (cos < eps)
+    assert got[2]["cluster"] == 0 and got[2]["keep"] is False
+    assert got[3]["cluster"] == 0 and got[3]["keep"] is False
+    assert got[4]["cluster"] == 1 and got[4]["keep"] is False
+    assert got[5]["keep"] is True
+    assert got[0]["keep"] is True and got[1]["keep"] is True
+
+
+def test_semantic_dedup_corpus_never_shuffles(spark, sf_dir):
+    """Scale-shape pin: the only exchange is the K-group keeper
+    aggregate (plus its broadcast back) — assignment and the dup test
+    stay map-side over one scan, so the corpus itself never shuffles
+    on a data-sized key."""
+    from rust_query_engine_greatest_spark.plans import count_shuffle_exchanges
+
+    df = REGISTRY["dedup_semantic"].build(spark, sf_dir)
+    assert count_shuffle_exchanges(df) <= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
