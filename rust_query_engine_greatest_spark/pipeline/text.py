@@ -459,3 +459,81 @@ def mixture_epochs(df, id_col: str, strata_col: str,
         .withColumn("__epoch", F.col("__pos") + 1)
         .drop("__pos", "__one")
     )
+
+
+def unigram_prob_score(
+    df,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 1000,
+):
+    """Corpus-LM quality score (the CCNet / Wenzek et al. 2020 filter
+    family, public method): build a unigram model over the corpus,
+    score each document by how typical its tokens are, and bucket the
+    tail for filtering. Production uses KenLM perplexity in log space;
+    this operator scores the EXACT-ARITHMETIC proxy — mean in-vocab
+    unigram probability — because +, / and integer counts are
+    IEEE-exact on every engine while ln() differs by ±1 ulp between
+    libm (DuckDB) and Java Math.log (Spark), which would break the
+    oracle's bitwise hash. Rare-token-heavy documents score low in
+    either formulation.
+
+    Plan shape at 100 TB: ONE token-count aggregate (map-side
+    combined) builds the vocabulary; the top-V table broadcasts
+    (V·~40 bytes); scoring is a broadcast-join lookup plus a per-doc
+    fold, so the corpus crosses exactly one data-sized exchange (the
+    doc-id aggregate). The per-doc mean folds the probabilities in
+    token-position order (sort_array on (pos, p) structs) so the sum
+    is a deterministic sequential fold both engines reproduce.
+
+    Output: (id, n_tokens, n_in_vocab, score); documents with zero
+    tokens have no row (no tokens, no model evidence).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), " +"),
+                     lambda x: x != "")
+        ).alias("pos", "tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    vocab = (
+        # orderBy+limit plans as TakeOrderedAndProject — a distributed
+        # per-partition top-V + driver merge, NOT a single-partition
+        # window sort of the whole vocabulary
+        freq.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            (F.col("cnt").cast("double")
+             / F.col("total").cast("double")).alias("p"),
+        )
+    )
+    scored = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "__id", "pos",
+        F.coalesce(F.col("p"), F.lit(0.0)).alias("p0"),
+        F.col("p").isNotNull().cast("long").alias("iv"),
+    )
+    folded = (
+        scored.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("iv").alias("n_in_vocab"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("p0")))
+                    ),
+                    lambda s: s["p0"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("psum"),
+        )
+    )
+    return folded.select(
+        F.col("__id").alias(id_col), "n_tokens", "n_in_vocab",
+        (F.col("psum") / F.col("n_tokens").cast("double")).alias("score"),
+    )

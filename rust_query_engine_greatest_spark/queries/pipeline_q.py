@@ -909,6 +909,50 @@ def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-set build runs between dedup and shard-writing. ------------
 
 @register(
+    "text_unigram_quality",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok, t.pos
+      FROM documents,
+           LATERAL (SELECT unnest(list_filter(string_split_regex(
+                             lower(text), ' +'), x -> x != '')) AS tok,
+                           generate_subscripts(list_filter(
+                             string_split_regex(lower(text), ' +'),
+                             x -> x != ''), 1) AS pos) t),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS total FROM freq),
+    vocab AS (
+      SELECT tok, CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS p
+      FROM freq, tot ORDER BY cnt DESC, tok ASC LIMIT 1000),
+    scored AS (
+      SELECT t.doc_id, t.pos, COALESCE(v.p, 0.0) AS p0,
+             CASE WHEN v.p IS NULL THEN 0 ELSE 1 END AS iv
+      FROM toks t LEFT JOIN vocab v ON v.tok = t.tok),
+    folded AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(iv) AS BIGINT) AS n_in_vocab,
+             list_aggregate(list(p0 ORDER BY pos ASC), 'sum') AS psum
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_in_vocab,
+           psum / CAST(n_tokens AS DOUBLE) AS score
+    FROM folded
+    """,
+    tags=("pipeline", "text"),
+)
+def text_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score (CCNet / Wenzek et al. 2020 family):
+    unigram model over the whole corpus, each document scored by the
+    position-ordered mean probability of its tokens (top-1000 vocab,
+    OOV=0). Exact-arithmetic proxy for KenLM perplexity — see
+    pipeline/text.py::unigram_prob_score for why ln() cannot be
+    hash-compared cross-engine. One vocab aggregate + broadcast
+    lookup + one doc-id aggregate; the fold order is pinned by token
+    position on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.unigram_prob_score(d, "doc_id", "text", vocab_size=1000)
+
+
+@register(
     "text_repetition",
     """
     WITH base AS (

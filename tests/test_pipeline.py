@@ -679,3 +679,34 @@ def test_semantic_dedup_corpus_never_shuffles(spark, sf_dir):
     assert count_shuffle_exchanges(df) <= 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_unigram_prob_score_semantics(spark):
+    """Common-token docs outscore rare-token docs; OOV tokens score 0
+    but still count; zero-token docs emit no row."""
+    from rust_query_engine_greatest_spark.pipeline.text import unigram_prob_score
+
+    rows = [(1, "the the the cat"), (2, "zyx qwv"), (3, "the cat"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           unigram_prob_score(df, "doc_id", "text", vocab_size=3).collect()}
+    assert set(out) == {1, 2, 3}  # the empty doc has no row
+    # vocab (top-3 by count, tok asc ties): the(4), cat(2), qwv(1)
+    assert out[1]["n_in_vocab"] == 4 and out[1]["n_tokens"] == 4
+    assert out[2]["n_in_vocab"] == 1  # qwv in vocab, zyx OOV
+    assert out[1]["score"] > out[3]["score"] > out[2]["score"]
+    assert all(0.0 <= r["score"] <= 1.0 for r in out.values())
+
+
+def test_unigram_quality_plan_shape(spark, sf_dir):
+    """Scale-shape pin: the vocabulary is a distributed top-V
+    (TakeOrderedAndProject, not a single-partition window) broadcast
+    back to the token stream; the corpus crosses bounded exchanges
+    (token-count agg, scalar total, doc-id fold)."""
+    from rust_query_engine_greatest_spark.plans import count_shuffle_exchanges
+
+    df = REGISTRY["text_unigram_quality"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert count_shuffle_exchanges(df) <= 4
