@@ -537,3 +537,49 @@ def unigram_prob_score(
         F.col("__id").alias(id_col), "n_tokens", "n_in_vocab",
         (F.col("psum") / F.col("n_tokens").cast("double")).alias("score"),
     )
+
+
+def chunk_overlap(
+    df,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 48,
+):
+    """Sliding-window chunking for training sequences (the standard
+    fixed-context pretraining slicer: window W tokens, stride S < W
+    gives W-S tokens of overlap so no boundary context is lost).
+
+    Pure map-side: tokens -> sequence of chunk starts -> slice + join
+    per start — ZERO exchanges; at 100 TB this is scan-shaped and
+    embarrassingly parallel, the shape you want for the heaviest
+    pipeline stage. The trailing partial chunk is kept iff it starts
+    past 0 and adds at least one new token (start < n), matching the
+    epoch-accounting convention of pack_sequences.
+
+    Output: (id, chunk_idx, n_tokens, chunk_text).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " +"),
+                    lambda x: x != "")
+    n = F.size(toks)
+    # chunk starts: 0, S, 2S, ... while start < n (empty docs: none)
+    starts = F.when(
+        n > 0,
+        F.sequence(F.lit(0), n - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(
+            F.col(id_col).alias("__id"),
+            toks.alias("__toks"),
+            F.posexplode(starts).alias("chunk_idx", "start"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "chunk_idx",
+            F.size(F.slice(F.col("__toks"), F.col("start") + 1, window))
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("start") + 1, window), " "
+            ).alias("chunk_text"),
+        )
+    )

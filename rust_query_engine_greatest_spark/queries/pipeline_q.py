@@ -953,6 +953,37 @@ def text_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunk_overlap",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), ' +'),
+                         x -> x != '') AS ts
+      FROM documents),
+    starts AS (
+      SELECT doc_id, ts, t.s AS start,
+             CAST(t.ci - 1 AS INT) AS chunk_idx
+      FROM toks,
+           LATERAL (SELECT unnest(range(0, len(ts), 48)) AS s,
+                           generate_subscripts(range(0, len(ts), 48), 1)
+                             AS ci) t
+      WHERE len(ts) > 0)
+    SELECT doc_id, chunk_idx,
+           CAST(len(ts[start + 1 : start + 64]) AS INT) AS n_tokens,
+           array_to_string(ts[start + 1 : start + 64], ' ') AS chunk_text
+    FROM starts
+    """,
+    tags=("pipeline", "text"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window pretraining chunker: window 64 tokens, stride 48
+    (16-token overlap). Pure map-side — ZERO exchanges (plan-pinned);
+    at 100 TB the heaviest pipeline stage stays scan-shaped."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.chunk_overlap(d, "doc_id", "text", window=64, stride=48)
+
+
+@register(
     "text_repetition",
     """
     WITH base AS (

@@ -710,3 +710,32 @@ def test_unigram_quality_plan_shape(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert count_shuffle_exchanges(df) <= 4
+
+
+def test_chunk_overlap_semantics(spark):
+    """Window/stride slicing: full coverage with W-S token overlap,
+    trailing partial kept, sub-window docs yield one chunk, empty docs
+    none."""
+    from rust_query_engine_greatest_spark.pipeline.text import chunk_overlap
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b"), (3, "")], "doc_id long, text string")
+    out = chunk_overlap(df, "doc_id", "text", window=4, stride=3).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+           for r in out}
+    # doc 1: starts 0,3,6,9 -> chunks of 4,4,4,1 tokens
+    assert got[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert got[(1, 1)] == (4, "w3 w4 w5 w6")  # 1-token overlap (W-S)
+    assert got[(1, 3)] == (1, "w9")
+    assert got[(2, 0)] == (2, "a b")
+    assert all(d != 3 for d, _ in got)  # empty doc: no chunks
+
+
+def test_chunk_overlap_zero_exchanges(spark, sf_dir):
+    """Scale-shape pin: chunking is a scan-side projection — no
+    shuffle anywhere in the plan."""
+    from rust_query_engine_greatest_spark.plans import count_shuffle_exchanges
+
+    df = REGISTRY["text_chunk_overlap"].build(spark, sf_dir)
+    assert count_shuffle_exchanges(df) == 0

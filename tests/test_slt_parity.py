@@ -2,9 +2,9 @@
 
 Executes 97 of the reference's own ``.slt`` files —
 ``datafusion-greatest/datafusion/sqllogictest/test_files/*.slt`` — against
-Spark SQL via tools/slt_runner.py and pins the census: **4,083+
+Spark SQL via tools/slt_runner.py and pins the census: **4,082+
 content-verified query blocks** and the exact set of **160 divergent
-blocks** (146 deterministic + 14 run-to-run-underdetermined), each with
+blocks** (145 deterministic + 15 run-to-run-underdetermined), each with
 a named, verified cause. Re-pin with tools/repin_slt.py after ANY
 harness change (r4 shipped a widening without re-pinning and left 4
 parity tests red at HEAD — never again). Mirrors the TPC-DS execution differential's
@@ -162,8 +162,8 @@ Pinned divergence families (every pinned line belongs to one):
     match or mismatch run to run and are allowed either way):
     aggregate 3027/5436/5495 (array_agg/string_agg output order),
     group_by 3722/3737 (LAST_VALUE as a plain aggregate),
-    group_by 3052/3076 (multi-key ordered array_agg whose ts keys
-    tie — tie order follows each engine's collect order),
+    group_by 3001/3052/3076 (ordered first_value/last_value/array_agg
+    whose ts keys tie — order follows each engine's collect order),
     window 4336/4343/4350/4476 (first/last_value over an unordered
     window).
 13. **Float32 rounding at the representability boundary** — DataFusion
@@ -280,7 +280,7 @@ PINNED = {
     "filter_without_sort_exec.slt": (0, set()),
     "functions.slt": (92, set()),
     "group.slt": (21, set()),
-    "group_by.slt": (354, {4541, 4550}),
+    "group_by.slt": (353, {4541, 4550}),
     "grouping.slt": (2, set()),
     "identifiers.slt": (11, set()),
     "insert.slt": (21, {308, 379, 393, 399}),
@@ -350,7 +350,7 @@ PINNED = {
 UNDERDETERMINED = {
     "aggregate.slt": {3027, 5436, 5495},
     "array.slt": {3942, 3952},  # array_agg over a dictionary column
-    "group_by.slt": {3052, 3076, 3722, 3737},  # 3052/3076: multi-key ordered array_agg with duplicate ts keys - tie order follows collect order
+    "group_by.slt": {3001, 3052, 3076, 3722, 3737},  # 3001/3052/3076: ordered first/last/array_agg whose ts keys tie - order follows collect order
     # 375: correlated IN over external-CSV tables; matched in every
     # builder run, diverged once in the r4 judge's environment
     "subquery.slt": {375},
@@ -360,7 +360,7 @@ UNDERDETERMINED = {
 # measured on the round-5 clean-scratch pinning run (tools/repin_slt.py,
 # 96 files); per-file floors subtract every underdetermined block so
 # any legal flip stays above the floor
-TOTAL_CONTENT_FLOOR = 4083
+TOTAL_CONTENT_FLOOR = 4082
 
 
 _totals = {"content": 0}
