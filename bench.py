@@ -124,6 +124,9 @@ def main() -> None:
             ("text_decontaminate", REGISTRY["text_decontaminate"].build),
             ("text_hash_sample", REGISTRY["text_hash_sample"].build),
             ("text_repetition", REGISTRY["text_repetition"].build),
+            ("dedup_semantic", REGISTRY["dedup_semantic"].build),
+            ("text_unigram_quality", REGISTRY["text_unigram_quality"].build),
+            ("text_chunk_overlap", REGISTRY["text_chunk_overlap"].build),
         ]
         for name, build in pipe:
             if time.time() - _T0 > BUDGET_S:
