@@ -125,6 +125,7 @@ def main() -> None:
             ("text_hash_sample", REGISTRY["text_hash_sample"].build),
             ("text_repetition", REGISTRY["text_repetition"].build),
             ("dedup_semantic", REGISTRY["dedup_semantic"].build),
+            ("dedup_bloom_incremental", REGISTRY["dedup_bloom_incremental"].build),
             ("text_unigram_quality", REGISTRY["text_unigram_quality"].build),
             ("text_chunk_overlap", REGISTRY["text_chunk_overlap"].build),
         ]

@@ -632,3 +632,89 @@ def _py_norm(vec: list[float]) -> float:
     import math
 
     return math.sqrt(acc)
+
+
+# --- Bloom-filter incremental dedup ----------------------------------------
+# Bloom (CACM 1970) membership screening against an already-curated
+# base corpus: the anti-join a snapshot-over-snapshot 100 TB pipeline
+# cannot afford to re-shuffle is replaced by a broadcastable m-bit
+# bitmap. False-positive rate (1 - e^(-k*n/m))^k; no false negatives,
+# so "maybe_dup = false" rows are PROVABLY new.
+
+BLOOM_M = 1 << 16  # bits; m/64 = 1024 int64 words
+BLOOM_K = 5
+
+
+def _bloom_positions(fp: Column, k: int = BLOOM_K, m: int = BLOOM_M) -> list[Column]:
+    """k independent bit positions via seeded xxhash64 (the i-th hash
+    mixes the literal seed column in, Kirsch-Mitzenmacher style)."""
+    return [
+        F.pmod(F.xxhash64(fp, F.lit(i)), F.lit(m)).cast("int")
+        for i in range(k)
+    ]
+
+
+# single-bit int64 masks, indexed by bit position + 1: Spark's shift
+# builtins take a literal shift amount, so a column-indexed
+# element_at into this 64-entry literal replaces shiftleft(1L, pos%64)
+# (bit 63 is the sign bit — its mask is the negative two's-complement
+# value).
+_BIT_MASKS = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
+
+def _bit_for(pos: Column) -> Column:
+    """int64 with only bit (pos % 64) set."""
+    return F.element_at(F.lit(_BIT_MASKS), (pos % 64) + 1)
+
+
+def bloom_build(base: DataFrame, fp_col: str,
+                k: int = BLOOM_K, m: int = BLOOM_M) -> list[int]:
+    """Fold the base corpus's fingerprints into an m-bit bloom bitmap,
+    DISTRIBUTED: explode each fingerprint to its k bit positions,
+    bit_or-aggregate per 64-bit word (partial map-side combine -> at
+    most m/64 groups cross the wire), and collect only the m/64 word
+    rows — the driver transfer is O(m), independent of corpus size.
+    Returns the bitmap as a list of m/64 int64 words."""
+    pos = F.explode(F.array(*_bloom_positions(F.col(fp_col), k, m)))
+    words = (
+        base.select(pos.alias("pos"))
+        .select(
+            F.floor(F.col("pos") / 64).cast("int").alias("w"),
+            _bit_for(F.col("pos")).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    bitmap = [0] * (m // 64)
+    for r in words:
+        bitmap[r["w"]] = r["word"]
+    return bitmap
+
+
+def bloom_maybe_contains(fp: Column, bitmap: list[int],
+                         k: int = BLOOM_K, m: int = BLOOM_M) -> Column:
+    """Probe expression: true iff all k bits for `fp` are set. The
+    bitmap rides along as an array<bigint> literal (m/64 words), so the
+    probe is a pure map-side projection — no join, no exchange, and it
+    broadcasts to every executor inside the serialized plan."""
+    words = F.lit(bitmap)
+    probe = None
+    for p in _bloom_positions(fp, k, m):
+        word = F.element_at(words, F.floor(p / 64).cast("int") + 1)
+        bit = word.bitwiseAND(_bit_for(p)) != 0
+        probe = bit if probe is None else probe & bit
+    return probe
+
+
+def bloom_incremental_dedup(base: DataFrame, batch: DataFrame,
+                            fp_col: str, k: int = BLOOM_K,
+                            m: int = BLOOM_M) -> DataFrame:
+    """Screen an incremental batch against the base corpus's bloom:
+    adds a `maybe_dup` flag column to `batch`. Rows flagged false are
+    guaranteed-new (no false negatives); flagged rows go to the exact
+    (expensive) verification path in a production pipeline."""
+    bitmap = bloom_build(base, fp_col, k, m)
+    return batch.withColumn(
+        "maybe_dup", bloom_maybe_contains(F.col(fp_col), bitmap, k, m)
+    )

@@ -583,3 +583,35 @@ def chunk_overlap(
             ).alias("chunk_text"),
         )
     )
+
+
+def domain_cap(df, id_col: str, domain_col: str, cap: int = 10):
+    """RefinedWeb-style per-domain document cap (Penedo et al. 2023
+    §3.1 caps pages per registered domain as an anti-spam / diversity
+    measure; Gopher applies the same idea per host). Keep at most
+    ``cap`` documents per domain, chosen DETERMINISTICALLY by md5(id)
+    order — content-stable across runs, engines, and partitionings
+    (same rationale as hash_sample), unlike rand()-ranked caps.
+
+    Output: (id, domain, cap_rank) for the survivors, cap_rank in
+    1..cap.
+
+    Plan shape: one hash exchange on the domain key feeding a window
+    ``row_number``; the ``<= cap`` predicate lets Catalyst insert
+    WindowGroupLimit, so each map task keeps only its local top-``cap``
+    rows per domain BEFORE the shuffle — at 100 TB the exchange carries
+    at most cap x n_domains x n_tasks rows, not the corpus
+    (plan-pinned in tests/test_plans.py). md5 keys are unique per id,
+    so the rank is total and the result deterministic."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(domain_col).orderBy(key)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(domain_col).alias("domain"),
+            F.row_number().over(w).alias("cap_rank"),
+        )
+        .filter(F.col("cap_rank") <= cap)
+    )

@@ -1221,3 +1221,70 @@ def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_md5"),
     )
+
+
+@register(
+    "text_domain_cap",
+    """
+    SELECT doc_id, domain, cap_rank FROM (
+      SELECT doc_id, source AS domain,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS cap_rank
+      FROM documents)
+    WHERE cap_rank <= 10
+    """,
+    tags=("pipeline", "text"),
+)
+def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb per-domain cap (Penedo et al. 2023 §3.1): at most 10
+    docs per source, picked by deterministic md5(id) rank — the
+    anti-spam diversity cap every web-scale corpus applies per
+    registered domain. WindowGroupLimit keeps each map task's local
+    top-10 per domain before the one hash exchange (plan-pinned), so
+    the shuffle carries O(cap x domains x tasks), not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.domain_cap(d, "doc_id", "source", cap=10).withColumn(
+        "cap_rank", F.col("cap_rank").cast("long")
+    )
+
+
+@register(
+    "dedup_bloom_incremental",
+    """
+    SELECT d.doc_id, (b.t IS NOT NULL) AS maybe_dup
+    FROM documents d
+    LEFT JOIN (SELECT DISTINCT doc_id % 150 AS t
+               FROM documents WHERE doc_id < 100) b
+      ON d.doc_id % 150 = b.t
+    WHERE d.doc_id >= 100
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screened incremental dedup (Bloom, CACM 1970): fold the
+    curated base corpus's fingerprints into a 2^16-bit bitmap via a
+    DISTRIBUTED bit_or aggregation (the driver collects m/64 = 1024
+    words, independent of corpus size), then probe each new-batch
+    fingerprint as a pure map-side expression — the bitmap rides in the
+    plan as an array literal, so the 100 TB batch is screened with NO
+    join and NO exchange (plan-pinned) where a snapshot-over-snapshot
+    anti-join would re-shuffle both corpora. No false negatives:
+    maybe_dup=false rows are provably new; flagged rows go to exact
+    verification. Constructive fixture (texts from doc_id % 150
+    templates, base = doc_id < 100) makes the expected flag exactly
+    SQL-expressible; at n=100, m=65536, k=5 the false-positive odds are
+    ~1e-11 per probe, and tests/test_pipeline.py asserts bloom == exact
+    on this fixture. Fingerprints are md5(text) — template identity in
+    the oracle is fingerprint identity here."""
+    d = load_table(spark, sf_dir, "documents")
+    fixture = d.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("t"), (F.col("doc_id") % 150).cast("string")))
+        .alias("fp"),
+    )
+    base = fixture.filter(F.col("doc_id") < 100).select("fp")
+    batch = fixture.filter(F.col("doc_id") >= 100)
+    return dedup.bloom_incremental_dedup(base, batch, "fp").select(
+        "doc_id", "maybe_dup"
+    )

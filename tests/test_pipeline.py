@@ -739,3 +739,109 @@ def test_chunk_overlap_zero_exchanges(spark, sf_dir):
 
     df = REGISTRY["text_chunk_overlap"].build(spark, sf_dir)
     assert count_shuffle_exchanges(df) == 0
+
+
+# --- bloom incremental dedup -------------------------------------------
+
+
+def test_bloom_build_sets_expected_bits(spark):
+    """Every fingerprint's k positions are set in the built bitmap, and
+    a probe of the same fingerprints returns true (no false negatives —
+    the structural bloom guarantee)."""
+    base = spark.createDataFrame([(f"fp{i}",) for i in range(50)], "fp string")
+    bitmap = dedup.bloom_build(base, "fp")
+    assert len(bitmap) == dedup.BLOOM_M // 64
+    assert any(w != 0 for w in bitmap)
+    probed = dedup.bloom_incremental_dedup(base, base, "fp").collect()
+    assert all(r["maybe_dup"] for r in probed)
+
+
+def test_bloom_bit63_roundtrips(spark):
+    """The sign-bit mask (bit 63) sets and probes correctly — the
+    two's-complement edge of the element_at mask table."""
+    from pyspark.sql import Row
+
+    # find a fingerprint whose first hash lands on bit 63 of some word
+    fp = None
+    for i in range(20000):
+        cand = f"b63-{i}"
+        row = spark.range(1).select(
+            *[p.alias(f"p{j}") for j, p in enumerate(
+                dedup._bloom_positions(F.lit(cand)))]
+        ).collect()[0]
+        if any(row[f"p{j}"] % 64 == 63 for j in range(dedup.BLOOM_K)):
+            fp = cand
+            break
+    assert fp is not None
+    one = spark.createDataFrame([Row(fp=fp)])
+    bitmap = dedup.bloom_build(one, "fp")
+    out = dedup.bloom_incremental_dedup(one, one, "fp").collect()
+    assert out[0]["maybe_dup"] is True
+
+
+def test_bloom_incremental_matches_exact_on_fixture(spark, sf_dir):
+    """The registry fixture has ~1e-11 per-probe false-positive odds at
+    n=100/m=2^16/k=5, so bloom == the exact semi-join answer; also pin
+    non-vacuity (both flag values occur)."""
+    got = {(r["doc_id"], r["maybe_dup"])
+           for r in REGISTRY["dedup_bloom_incremental"].build(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    base_t = {r[0] % 150 for r in docs.filter(F.col("doc_id") < 100)
+              .select("doc_id").collect()}
+    want = {(r[0], (r[0] % 150) in base_t)
+            for r in docs.filter(F.col("doc_id") >= 100).select("doc_id").collect()}
+    assert got == want
+    flags = {f for _, f in got}
+    assert flags == {True, False}
+
+
+def test_bloom_probe_no_join_no_exchange(spark, sf_dir):
+    """Scale-shape pin: the probe side is a pure map projection — the
+    bitmap rides as a plan literal, so screening a 100 TB batch adds no
+    join and no shuffle (the build side is a separate, already-executed
+    1024-group aggregation)."""
+    from rust_query_engine_greatest_spark.plans import (
+        count_shuffle_exchanges,
+        plan_string,
+    )
+
+    df = REGISTRY["dedup_bloom_incremental"].build(spark, sf_dir)
+    plan = plan_string(df)
+    assert count_shuffle_exchanges(df) == 0
+    assert "Join" not in plan
+
+
+# --- per-domain cap ------------------------------------------------------
+
+
+def test_domain_cap_caps_and_is_deterministic(spark, sf_dir):
+    """<= cap rows per domain, rank dense in 1..cap, and the survivor
+    set is identical under a different input partitioning (hash-rank
+    determinism — the property rand()-ranked caps lack)."""
+    from rust_query_engine_greatest_spark.pipeline import text as t
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = t.domain_cap(docs, "doc_id", "source", cap=10).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["domain"], []).append(r["cap_rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 10
+               for v in per.values())
+    again = {(r["doc_id"], r["domain"], r["cap_rank"])
+             for r in t.domain_cap(docs.repartition(7), "doc_id", "source",
+                                   cap=10).collect()}
+    assert again == {(r["doc_id"], r["domain"], r["cap_rank"]) for r in out}
+
+
+def test_domain_cap_window_group_limit(spark, sf_dir):
+    """Scale-shape pin: the <= cap rank filter becomes WindowGroupLimit
+    (per-map-task partial top-cap BEFORE the one domain exchange), so
+    the shuffle carries O(cap x domains x tasks), not the corpus."""
+    from rust_query_engine_greatest_spark.plans import (
+        count_shuffle_exchanges,
+        plan_string,
+    )
+
+    df = REGISTRY["text_domain_cap"].build(spark, sf_dir)
+    assert "WindowGroupLimit" in plan_string(df)
+    assert count_shuffle_exchanges(df) == 1
