@@ -202,3 +202,28 @@ def test_regexp_replace_first_match_only(dfspark):
     assert one(dfspark, "df_rr_first('aaa', 'a', 'b')") == "baa"
     assert one(dfspark, "df_rr_first('foobar', '(o)+', '[$1]')") == "f[o]bar"
     assert one(dfspark, "df_rr_first('xyz', 'q', 'b')") == "xyz"
+
+
+def test_null_ordering_translation():
+    """DataFusion defaults ORDER BY to NULLS LAST (ASC) / NULLS FIRST
+    (DESC) — the Postgres convention; Spark defaults to the opposite.
+    The translation pins the reference's default explicitly so LIMIT
+    boundaries keep the same row set (aggregates_topk.slt, ddl.slt)."""
+    from slt_runner import _rewrite_null_ordering as no
+
+    assert no("select * from t order by a") == \
+        "select * from t order by a NULLS LAST "
+    assert no("select * from t order by a desc limit 3") == \
+        "select * from t order by a desc NULLS FIRST limit 3"
+    # explicit NULLS clauses are never rewritten
+    assert no("select * from t order by a nulls first, b") == \
+        "select * from t order by a nulls first, b NULLS LAST "
+    # window-internal ORDER BY sits at depth > 0: untouched
+    s = "select a, row_number() over (order by b) from t"
+    assert no(s) == s
+    # commas inside function args don't split the item
+    assert no("select * from t order by coalesce(a, b) desc, c asc") == \
+        ("select * from t order by coalesce(a, b) desc NULLS FIRST, "
+         "c asc NULLS LAST ")
+    # no ORDER BY: untouched
+    assert no("select 1") == "select 1"

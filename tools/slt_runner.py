@@ -2664,7 +2664,65 @@ def _rewrite_distinct_on(sql: str) -> str:
 def translate_query(sql: str) -> str:
     if re.search(r"\btime\s+'", sql, re.IGNORECASE):
         raise Untranslatable("TIME literal (Spark has no TIME type)")
-    return _rewrite_dialect(_rewrite_distinct_on(sql.strip().rstrip(";")))
+    return _rewrite_null_ordering(
+        _rewrite_dialect(_rewrite_distinct_on(sql.strip().rstrip(";"))))
+
+
+def _rewrite_null_ordering(sql: str) -> str:
+    """DataFusion defaults ORDER BY to NULLS LAST for ASC and NULLS
+    FIRST for DESC (the Postgres convention — NULLs sort as larger than
+    every value); Spark defaults to the opposite. Where the whole
+    result is printed both orders are standard-legal (rows_match's
+    'unordered' verdict), but at a LIMIT boundary the default decides
+    WHICH rows survive (aggregates_topk's all-NULL group, ddl's
+    LIMIT 1), so the reference's default is made explicit on the
+    statement-level ORDER BY items that don't already carry a NULLS
+    clause. Window-internal and subquery ORDER BYs sit at paren
+    depth > 0 and are untouched."""
+    pos = _top_level_kw(sql, "ORDER")
+    if pos < 0:
+        return sql
+    m = re.match(r"ORDER\s+BY\s*", sql[pos:], re.IGNORECASE)
+    if not m:
+        return sql
+    start = pos + m.end()
+    tail = sql[start:]
+    end_rel = len(tail)
+    for kw in ("LIMIT", "OFFSET", "FETCH"):
+        k = _top_level_kw(tail, kw)
+        if k >= 0:
+            end_rel = min(end_rel, k)
+    body = tail[:end_rel]
+    items, depth, in_str, cur = [], 0, False, []
+    for ch in body:
+        if in_str:
+            cur.append(ch)
+            in_str = ch != "'"
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    items.append("".join(cur))
+    out_items = []
+    for it in items:
+        s = it.strip()
+        if not s:
+            return sql  # malformed tail — leave untouched
+        if re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", s, re.IGNORECASE):
+            out_items.append(s)
+        elif re.search(r"\bDESC\s*$", s, re.IGNORECASE):
+            out_items.append(s + " NULLS FIRST")
+        else:
+            out_items.append(s + " NULLS LAST")
+    return sql[:start] + ", ".join(out_items) + " " + tail[end_rel:]
 
 
 # ------------------------------------------------------------- formatting
@@ -3381,6 +3439,15 @@ class SltRunner:
                     c.skip_runtime.append(f"{b.line}: {_head(exc)}")
             return
         if b.kind in ("statement_error", "query_error"):
+            # An expected-error INSERT that Spark ACCEPTS (capability
+            # difference — e.g. NOT NULL columns or single-file external
+            # tables that the session catalog writes happily) would land
+            # rows and corrupt every LATER read of that table (insert.slt
+            # 379/393/399 cascaded off 308 this way). Snapshot the
+            # targets first and restore on unexpected success: the
+            # error_sparkok census row still records the divergence, but
+            # the corpus's intended table state carries forward.
+            snaps: dict[str, str] = {}
             try:
                 t = (translate_statement(b.sql) if b.kind == "statement_error"
                      else translate_query(b.sql))
@@ -3392,12 +3459,45 @@ class SltRunner:
                     c.skip_external += 1
                     return
                 for s in stmts:
-                    df = self._exec(s)
-                if b.kind == "query_error":
-                    df.limit(self.row_cap).collect()
-                c.error_sparkok += 1
+                    m = re.match(r"\s*INSERT\s+(?:INTO|OVERWRITE)\s+"
+                                 r"(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)",
+                                 s, re.IGNORECASE)
+                    if m and m.group(1).lower() not in snaps:
+                        tbl = m.group(1)
+                        bak = f"__slt_err_bak_{tbl.lower()}"
+                        try:
+                            self.spark.sql(f"DROP TABLE IF EXISTS {bak}")
+                            self.spark.sql(
+                                f"CREATE TABLE {bak} AS SELECT * FROM {tbl}")
+                            snaps[tbl.lower()] = bak
+                        except Exception:  # noqa: BLE001 — best effort
+                            pass
+                ok = False
+                try:
+                    for s in stmts:
+                        df = self._exec(s)
+                    if b.kind == "query_error":
+                        df.limit(self.row_cap).collect()
+                    ok = True
+                    c.error_sparkok += 1
+                except Exception:  # noqa: BLE001
+                    c.error_sparkerr += 1
+                if ok:
+                    for tbl, bak in snaps.items():
+                        try:
+                            self._exec(
+                                f"INSERT OVERWRITE TABLE {tbl} "
+                                f"SELECT * FROM {bak}")
+                        except Exception:  # noqa: BLE001 — leave as-is
+                            pass
             except Exception:  # noqa: BLE001
                 c.error_sparkerr += 1
+            finally:
+                for bak in snaps.values():
+                    try:
+                        self.spark.sql(f"DROP TABLE IF EXISTS {bak}")
+                    except Exception:  # noqa: BLE001
+                        pass
             return
         if b.kind == "query":
             if b.types == "TT" or re.match(r"\s*(DESCRIBE|SHOW)\b", b.sql,
@@ -3484,7 +3584,10 @@ class SltRunner:
                 # - `/` on integers truncates (Arrow) → Spark `div`
                 for alt in filter(None, (_alt_map_from_arrays(t),
                                          _alt_median_exact_int(t),
+                                         self._alt_median_exact_dec(t),
                                          _alt_median_disc(t),
+                                         self._alt_deep_arrays(b.sql),
+                                         self._alt_avg_trunc_dec(t),
                                          _alt_int_div(t))):
                     st2, act2 = self._collect_formatted(alt)
                     if self.verbose:
@@ -3698,6 +3801,213 @@ class SltRunner:
                 for i, (v, d) in enumerate(zip(row, dtypes)))
             for row in rows
         ]
+
+    def _alt_median_exact_dec(self, t: str) -> str | None:
+        """DataFusion's median over DECIMAL input keeps the input type
+        (aggregate.slt "median decimal": Decimal128(10,4) in, same type
+        out) and, for an even count, averages the two middles with the
+        half-ulp TRUNCATED toward zero — (0.0003 + 0.0004)/2 renders
+        0.0003, not Spark's interpolated 0.00035 double. Reproduce
+        exactly in unscaled-integer space: sort the collected values,
+        scale the two middles by 10^s (exact — the values are scale-s
+        decimals), average with Spark's truncating `div`, and scale
+        back, CASTing to the probed DECIMAL(p, s) so the emulated
+        arrow_typeof renders the reference's type too. The (p, s) pair
+        is invisible in the SQL text, so each call's argument type is
+        probed against the live session (min() preserves decimal types
+        exactly); non-decimal arguments are left untouched. Like every
+        alternative reading this is verdict-gated — accepted only when
+        it reproduces the reference's recorded answer."""
+        if not re.search(r"\bmedian\s*\(", t, re.IGNORECASE):
+            return None
+        from_pos = _top_level_kw(t, "FROM")
+        if from_pos < 0:
+            return None
+        from_tail = t[from_pos:].rstrip().rstrip(";")
+        out, changed, pos = t, False, 0
+        while True:
+            m = re.search(r"\bmedian\s*\(", out[pos:], re.IGNORECASE)
+            if not m:
+                break
+            open_p = pos + m.end() - 1
+            try:
+                close_p = _find_close(out, open_p)
+            except Untranslatable:
+                return None
+            arg = out[open_p + 1:close_p]
+            if re.match(r"\s*DISTINCT\b", arg, re.IGNORECASE):
+                return None
+            fm = re.match(r"\s*FILTER\s*\(", out[close_p + 1:], re.IGNORECASE)
+            filt, tail_p = "", close_p
+            if fm:
+                fopen = close_p + 1 + fm.end() - 1
+                try:
+                    fclose = _find_close(out, fopen)
+                except Untranslatable:
+                    return None
+                filt = " " + out[close_p + 1:fclose + 1].strip()
+                tail_p = fclose
+            try:
+                dt = self.spark.sql(
+                    f"SELECT min({arg}) AS __p {from_tail}"
+                ).schema[0].dataType
+            except Exception:  # noqa: BLE001 — probe context invalid
+                return None
+            from pyspark.sql.types import DecimalType
+
+            if not isinstance(dt, DecimalType):
+                pos = tail_p + 1
+                continue
+            p, s = dt.precision, dt.scale
+            S = f"array_sort(collect_list({arg}){filt})"
+            lo = f"element_at({S}, CAST((size({S}) + 1) div 2 AS INT))"
+            hi = f"element_at({S}, CAST(size({S}) div 2 + 1 AS INT))"
+            u = f"CAST({10 ** s} AS DECIMAL(38, 0))"
+            repl = (
+                f"IF(size({S}) = 0, CAST(NULL AS DECIMAL({p}, {s})), "
+                f"CAST(CAST((CAST({lo} * {u} AS DECIMAL(38, 0)) + "
+                f"CAST({hi} * {u} AS DECIMAL(38, 0))) div 2 "
+                f"AS DECIMAL(38, {s})) / {u} AS DECIMAL({p}, {s})))"
+            )
+            out = out[:pos + m.start()] + repl + out[tail_p + 1:]
+            pos = pos + m.start() + len(repl)
+            changed = True
+        return out if changed else None
+
+    def _alt_avg_trunc_dec(self, t: str) -> str | None:
+        """DataFusion's avg over DECIMAL(p, s) produces DECIMAL(p+4, s+4)
+        with the quotient TRUNCATED toward zero at the result scale
+        (decimal.slt: avg(c1) = 0.0000366666 where the exact quotient is
+        0.0000366666..6 repeating — Spark/DuckDB HALF_UP to ..67).
+        Reproduce in unscaled space: sum x 10^4 is integral at the
+        result scale, `div` count truncates like Rust, scale back and
+        CAST to the probed DECIMAL(p+4, s+4) so the emulated
+        arrow_typeof renders the reference's type. Verdict-gated."""
+        if not re.search(r"\bavg\s*\(", t, re.IGNORECASE):
+            return None
+        from_pos = _top_level_kw(t, "FROM")
+        if from_pos < 0:
+            return None
+        from_tail = " " + t[from_pos:].rstrip().rstrip(";")
+        out, changed, pos = t, False, 0
+        while True:
+            m = re.search(r"\bavg\s*\(", out[pos:], re.IGNORECASE)
+            if not m:
+                break
+            open_p = pos + m.end() - 1
+            try:
+                close_p = _find_close(out, open_p)
+            except Untranslatable:
+                return None
+            arg = out[open_p + 1:close_p]
+            if re.match(r"\s*DISTINCT\b", arg, re.IGNORECASE):
+                return None
+            try:
+                dt = self.spark.sql(
+                    f"SELECT min({arg}) AS __p{from_tail}"
+                ).schema[0].dataType
+            except Exception:  # noqa: BLE001
+                return None
+            from pyspark.sql.types import DecimalType
+
+            if not isinstance(dt, DecimalType):
+                pos = close_p + 1
+                continue
+            p, s = min(dt.precision + 4, 38), min(dt.scale + 4, 38)
+            u = 10 ** s
+            repl = (
+                f"CAST(CAST(CAST(sum({arg}) * CAST({u} AS DECIMAL(38, 0)) "
+                f"AS DECIMAL(38, 0)) div count({arg}) AS DECIMAL(38, {s})) "
+                f"/ CAST({u} AS DECIMAL(38, 0)) AS DECIMAL({p}, {s}))"
+            )
+            out = out[:pos + m.start()] + repl + out[close_p + 1:]
+            pos = pos + m.start() + len(repl)
+            changed = True
+        return out if changed else None
+
+    def _alt_deep_arrays(self, t: str) -> str | None:
+        """DataFusion's cardinality() counts LEAF elements recursively
+        (cardinality([[1,2],[3,4],[5,6]]) = 6) and returns NULL for an
+        empty TOP-LEVEL array; its flatten() flattens ALL nesting
+        levels to a flat list. Spark's twins are top-level-only
+        (size = 3) / one-level. The nesting depth is a static property
+        of the argument's type, invisible in the SQL text — probe it
+        from the live session and unroll: cardinality becomes a nested
+        aggregate() leaf-count sum built to the probed depth, flatten
+        becomes depth-1 chained flattens. Verdict-gated like every
+        alternative reading (accepted only when it reproduces the
+        reference's recorded answer — array.slt's recursive
+        cardinality/flatten families). Operates on the ORIGINAL block
+        SQL (the standard translation pre-lowers flat cardinality to
+        nullif(size(x), 0), erasing the call) and re-translates the
+        rewritten statement; probes run through the same translation."""
+        if not re.search(r"\b(cardinality|flatten)\s*\(", t, re.IGNORECASE):
+            return None
+        t = t.strip().rstrip(";")
+        from_pos = _top_level_kw(t, "FROM")
+        from_tail = "" if from_pos < 0 else " " + t[from_pos:]
+
+        def probe_depth(arg: str) -> int:
+            """Array nesting depth; -1 for a MapType argument (DataFusion
+            cardinality over maps is the TOP-LEVEL entry count with
+            empty = 0, not the array rule's empty = NULL); 0 unknown."""
+            from pyspark.sql.types import ArrayType, MapType
+            try:
+                dt = self.spark.sql(translate_query(
+                    f"SELECT first({arg}) AS __p{from_tail}"
+                )).schema[0].dataType
+            except Exception:  # noqa: BLE001 — probe context invalid
+                return 0
+            if isinstance(dt, MapType):
+                return -1
+            d = 0
+            while isinstance(dt, ArrayType):
+                d += 1
+                dt = dt.elementType
+            return d
+
+        def leaf_count(expr: str, depth: int) -> str:
+            if depth == 1:
+                return f"size({expr})"
+            inner = leaf_count("e", depth - 1)
+            return (f"aggregate({expr}, 0, "
+                    f"(a, e) -> a + coalesce({inner}, 0))")
+
+        out, changed, pos = t, False, 0
+        while True:
+            m = re.search(r"\b(cardinality|flatten)\s*\(", out[pos:],
+                          re.IGNORECASE)
+            if not m:
+                break
+            fn = m.group(1).lower()
+            open_p = pos + m.end() - 1
+            try:
+                close_p = _find_close(out, open_p)
+            except Untranslatable:
+                return None
+            arg = out[open_p + 1:close_p]
+            depth = probe_depth(arg)
+            if fn == "cardinality" and depth == -1:
+                repl = f"size({arg})"
+            elif fn == "cardinality" and depth >= 1:
+                repl = (f"IF(size({arg}) = 0, NULL, "
+                        f"{leaf_count(arg, depth)})")
+            elif fn == "flatten" and depth >= 3:
+                repl = arg
+                for _ in range(depth - 1):
+                    repl = f"flatten({repl})"
+            else:
+                pos = close_p + 1
+                continue
+            out = out[:pos + m.start()] + repl + out[close_p + 1:]
+            pos = pos + m.start() + len(repl)
+            changed = True
+        if not changed:
+            return None
+        try:
+            return translate_query(out)
+        except Untranslatable:
+            return None
 
     def _mark_created_unavailable(self, sql: str) -> None:
         m = re.match(r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:EXTERNAL\s+)?"
