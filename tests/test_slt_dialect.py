@@ -227,3 +227,22 @@ def test_null_ordering_translation():
          "c asc NULLS LAST ")
     # no ORDER BY: untouched
     assert no("select 1") == "select 1"
+
+
+def test_slt_options_parser_unquoted_values():
+    """The corpus mixes quoted and unquoted OPTIONS values
+    (copy.slt: 'format.has_header' false, 'format.compression' gzip)."""
+    from slt_runner import _parse_slt_options as po
+
+    assert po("OPTIONS ('format.has_header' 'true')") == {
+        "format.has_header": "true"}
+    assert po("STORED AS CSV OPTIONS ('format.has_header' false, "
+              "'format.compression' gzip)") == {
+        "format.has_header": "false", "format.compression": "gzip"}
+    assert po("OPTIONS ('format.delimiter' ';', "
+              "'format.datetime_format' '%FT%H:%M:%S.%9f', "
+              "'format.null_value' 'NULLVAL')") == {
+        "format.delimiter": ";",
+        "format.datetime_format": "%FT%H:%M:%S.%9f",
+        "format.null_value": "NULLVAL"}
+    assert po("no options here") == {}

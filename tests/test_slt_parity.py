@@ -2,9 +2,9 @@
 
 Executes 97 of the reference's own ``.slt`` files —
 ``datafusion-greatest/datafusion/sqllogictest/test_files/*.slt`` — against
-Spark SQL via tools/slt_runner.py and pins the census: **4,111+
-content-verified query blocks** and the exact set of **135 divergent
-blocks** (120 deterministic + 15 run-to-run-underdetermined), each with
+Spark SQL via tools/slt_runner.py and pins the census: **4,117+
+content-verified query blocks** and the exact set of **130 divergent
+blocks** (115 deterministic + 15 run-to-run-underdetermined), each with
 a named, verified cause. Re-pin with tools/repin_slt.py after ANY
 harness change (r4 shipped a widening without re-pinning and left 4
 parity tests red at HEAD — never again). Mirrors the TPC-DS execution differential's
@@ -74,6 +74,26 @@ arrow_typeof.slt itself now executes (96 -> 97 files, 21 content; its
 11 pins are the Spark-width/zone/LargeList displays of families 9, 10
 and 18, plus bare ::Decimal now mapped to DataFusion's (38,10)
 default).
+
+Round-5 session-3 widening (31 deterministic pins resolved, zero new
+divergences, floor 4,082 -> 4,117): SESSION-PROBED alternative
+readings — the argument's decimal (p, s) or array nesting depth is a
+static type invisible in the SQL text, so the harness resolves it
+against the live session before unrolling (decimal median and decimal
+avg reproduced in unscaled-integer space with Rust-style truncation
+toward zero; recursive cardinality/flatten unrolled to the probed
+depth; map cardinality's top-level empty=0 rule); DataFusion's
+Postgres NULL-ordering default (ASC NULLS LAST / DESC NULLS FIRST)
+translated onto statement-level ORDER BY items so LIMIT boundaries
+keep the reference's row set; expected-error INSERT targets
+snapshotted and restored on unexpected Spark-side success so a
+capability difference can't corrupt later blocks (family 16 retired);
+N-way SELECT-list unnest rewritten to one inline() over an
+index-zipped struct array with try_element_at NULL-padding (unnest
+209/250/539); and COPY csv defaults to has_header=true exactly like
+DataFusion's writer, with unquoted OPTIONS values parsed
+('format.has_header' false) and _copy_meta consulted on option-less
+reads (group_by 4541/4550, copy.slt regression-free).
 
 Census buckets (tools/slt_runner.py): ``match`` (slt-exact),
 ``match_unordered`` (same multiset; order differs only where the SQL
@@ -256,16 +276,16 @@ pytestmark = pytest.mark.skipif(
 # underdetermined block that flips to mismatch lowers content by 1).
 PINNED = {
     # regenerated by tools/repin_slt.py (round 5 session 3, clean
-    # exclusive run) after the session-probed alternative-reading batch
-    # (decimal median/avg truncation, recursive cardinality/flatten,
-    # map cardinality), the NULL-ordering default translation, and the
-    # expected-error INSERT snapshot-restore — 26 pins retired, zero
-    # new divergence lines, floor 4082 -> 4111
+    # exclusive runs) after the session-probed alternative-reading
+    # batch, the NULL-ordering translation, the expected-error INSERT
+    # snapshot-restore, the N-way zip unnest alternative, and the COPY
+    # csv header default fix - 31 pins retired, zero new divergence
+    # lines, floor 4082 -> 4117
     "agg_func_substitute.slt": (1, set()),
     "aggregate.slt": (403, {393, 600, 606, 721, 735, 1149, 1200, 1211, 1216, 1307, 1323, 1625, 1645, 2836, 3243, 3292, 3340, 3390, 4112, 4141, 4146, 4153, 4158, 4184, 4869, 6053, 6064}),
     "aggregate_skip_partial.slt": (38, {281, 291, 341, 351, 475, 621, 634}),
     "aggregates_topk.slt": (12, set()),
-    "array.slt": (630, {692, 2389, 2443, 2622, 2676, 6099, 6605}),
+    "array.slt": (632, {692, 2389, 2443, 2622, 2676, 6099, 6605}),
     "array_query.slt": (26, set()),
     "arrow_files.slt": (1, set()),
     "arrow_typeof.slt": (21, {61, 105, 157, 222, 250, 330, 335, 380, 385, 417, 435}),
@@ -295,7 +315,7 @@ PINNED = {
     "filter_without_sort_exec.slt": (0, set()),
     "functions.slt": (92, set()),
     "group.slt": (21, set()),
-    "group_by.slt": (354, {4541, 4550}),
+    "group_by.slt": (357, set()),
     "grouping.slt": (2, set()),
     "identifiers.slt": (11, set()),
     "insert.slt": (25, set()),
@@ -354,10 +374,10 @@ PINNED = {
     "tpch/tpch.slt": (17, {'q10:110', 'q13:79', 'q15:108', 'q2:184'}),
     "type_coercion.slt": (7, set()),
     "union.slt": (25, set()),
-    "unnest.slt": (25, {209, 250, 539}),
+    "unnest.slt": (28, set()),
     "update.slt": (0, set()),
     "wildcard.slt": (4, set()),
-    "window.slt": (129, {2567, 2774, 2820, 2867, 3941, 3947, 3953, 3971, 3977, 3983, 3989, 3995}),
+    "window.slt": (127, {2567, 2774, 2820, 2867, 3941, 3947, 3953, 3971, 3977, 3983, 3989, 3995}),
 }
 
 
@@ -375,7 +395,7 @@ UNDERDETERMINED = {
 # measured on the round-5 clean-scratch pinning run (tools/repin_slt.py,
 # 96 files); per-file floors subtract every underdetermined block so
 # any legal flip stays above the floor
-TOTAL_CONTENT_FLOOR = 4111
+TOTAL_CONTENT_FLOOR = 4117
 
 
 _totals = {"content": 0}

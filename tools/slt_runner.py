@@ -127,6 +127,17 @@ def _contained_join(base: str, suffix: str) -> str | None:
     return p
 
 
+def _parse_slt_options(text: str) -> dict[str, str]:
+    """``OPTIONS ('key' 'value', 'key' value, …)`` — the corpus mixes
+    quoted and UNQUOTED values (``'format.has_header' false``,
+    ``'format.compression' gzip``), so values accept either spelling."""
+    i = text.upper().find("OPTIONS")
+    if i < 0:
+        return {}
+    return {k: v.strip("'") for k, v in re.findall(
+        r"'([^']+)'\s+('[^']*'|[A-Za-z0-9_.:%+\-]+)", text[i:])}
+
+
 def _resolve_external_location(loc: str, scratch: str | None = None) -> str | None:
     loc = _EXT_SUBST.get(loc, loc)
     tm = re.match(r"test_files/tpch/data/([a-z]+)\.tbl$", loc)
@@ -3129,9 +3140,7 @@ class SltRunner:
                     coldefs.append((dm.group(1), _map_coldef_type(dm.group(2))))
                 except Untranslatable:
                     return False
-        opts = dict(re.findall(r"'([^']+)'\s*,?\s*'([^']*)'",
-                               s[s.upper().find("OPTIONS"):])
-                    ) if re.search(r"\bOPTIONS\b", s, re.IGNORECASE) else {}
+        opts = _parse_slt_options(s)
         if part_cols and writable_target is None:
             return False  # hive-layout read: partition discovery not wired
         if writable_target is not None:
@@ -3206,6 +3215,13 @@ class SltRunner:
                 header = (opts.get("format.has_header", "").lower() == "true"
                           or re.search(r"\bWITH\s+HEADER\s+ROW\b", s,
                                        re.IGNORECASE) is not None)
+                if "format.has_header" not in opts and not header:
+                    # location written by this run's COPY with no explicit
+                    # read option: trust the writer's recorded header
+                    # (DataFusion's COPY csv defaults to has_header true)
+                    meta = self._copy_meta.get(os.path.normpath(path))
+                    if meta and meta.get("fmt") == "csv":
+                        header = bool(meta.get("header"))
                 reader = (self.spark.read
                           .option("sep", opts.get("format.delimiter", ","))
                           .option("recursiveFileLookup", True))
@@ -3587,6 +3603,7 @@ class SltRunner:
                                          self._alt_median_exact_dec(t),
                                          _alt_median_disc(t),
                                          self._alt_deep_arrays(b.sql),
+                                         self._alt_multi_unnest(b.sql),
                                          self._alt_avg_trunc_dec(t),
                                          _alt_int_div(t))):
                     st2, act2 = self._collect_formatted(alt)
@@ -3637,9 +3654,7 @@ class SltRunner:
                      os.path.basename(loc) else "parquet"))
         if fmt == "json":
             fmt = "json"
-        opts = dict(re.findall(r"'([^']+)'\s*,?\s*'([^']*)'",
-                               tail[tail.upper().find("OPTIONS"):])
-                    ) if re.search(r"\bOPTIONS\b", tail, re.IGNORECASE) else {}
+        opts = _parse_slt_options(tail)
         pm = re.search(r"\bPARTITIONED\s+BY\s*\(([^)]*)\)", tail,
                        re.IGNORECASE)
         parts = ([c.strip().strip('"') for c in pm.group(1).split(",")]
@@ -3660,10 +3675,15 @@ class SltRunner:
             raise Untranslatable(f"COPY escapes scratch dir: {loc}")
         count = df.count()
         data_cols = [col for col in df.columns if col not in parts]
+        # DataFusion's COPY TO csv writes a header line unless
+        # format.has_header is explicitly false (group_by.slt COPYs
+        # with no OPTIONS and then reads with 'format.has_header'
+        # 'true')
+        hdr_default = "true" if fmt == "csv" else ""
         self._copy_meta[os.path.normpath(target)] = {
             "fmt": fmt, "parts": parts, "cols": data_cols,
-            "header": bool(opts.get("format.has_header", "").lower()
-                           == "true"),
+            "header": bool(opts.get("format.has_header",
+                                    hdr_default).lower() == "true"),
         }
         if fmt == "arrow":
             from rust_query_engine_greatest_spark.sources.writers import (
@@ -3690,7 +3710,8 @@ class SltRunner:
             w = w.partitionBy(*parts)
         if fmt == "csv":
             w = (w.option("header",
-                          opts.get("format.has_header", "").lower() == "true")
+                          opts.get("format.has_header",
+                                   "true").lower() == "true")
                  .option("sep", opts.get("format.delimiter", ",")))
             if "format.quote" in opts:
                 w = w.option("quote", opts["format.quote"])
@@ -3873,6 +3894,91 @@ class SltRunner:
             pos = pos + m.start() + len(repl)
             changed = True
         return out if changed else None
+
+    def _alt_multi_unnest(self, sql: str) -> str | None:
+        """DataFusion ZIPS multiple unnest() calls in one SELECT list:
+        row count = the longest array on that input row, shorter arrays
+        NULL-padded (unnest.slt's 'unnest on multiple columns'
+        family). Spark allows one generator per SELECT (the standard
+        explode translation), so a bare N-way unnest select list is
+        rewritten to one inline() over an index-zipped struct array —
+        try_element_at pads the short arrays with NULL exactly like
+        Arrow's zip. Rows where every array is NULL/empty produce zero
+        rows (CASE -> NULL -> inline drops them), matching
+        `select unnest([]), unnest(NULL::int[])`. Operates on the
+        ORIGINAL block SQL and re-translates; verdict-gated."""
+        s0 = sql.strip().rstrip(";")
+        if len(re.findall(r"\bunnest\s*\(", s0, re.IGNORECASE)) < 2:
+            return None
+        m = re.match(r"\s*select\s+", s0, re.IGNORECASE)
+        if not m or re.match(r"\s*select\s+distinct\b", s0, re.IGNORECASE):
+            return None
+        from_pos = _top_level_kw(s0, "FROM")
+        head = s0[m.end():from_pos] if from_pos >= 0 else s0[m.end():]
+        tail = s0[from_pos:] if from_pos >= 0 else ""
+        for kw in ("GROUP", "ORDER", "HAVING", "LIMIT", "UNION",
+                   "INTERSECT", "EXCEPT", "JOIN"):
+            if _top_level_kw(tail, kw) >= 0:
+                return None
+        items, depth, in_str, cur = [], 0, False, []
+        for ch in head:
+            if in_str:
+                cur.append(ch)
+                in_str = ch != "'"
+                continue
+            if ch == "'":
+                in_str = True
+            elif ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            if ch == "," and depth == 0:
+                items.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        items.append("".join(cur))
+        un_exprs: list[str] = []
+        out_items: list[str] = []
+        plains: list[str] = []
+        for it in items:
+            s = it.strip()
+            mm = re.match(r"unnest\s*\(", s, re.IGNORECASE)
+            if mm:
+                try:
+                    close = _find_close(s, mm.end() - 1)
+                except Untranslatable:
+                    return None
+                inner = s[mm.end():close]
+                rest = s[close + 1:].strip()
+                al = (re.fullmatch(r"(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)",
+                                   rest, re.IGNORECASE) if rest else None)
+                if rest and not al:
+                    return None
+                k = len(un_exprs)
+                un_exprs.append(inner)
+                out_items.append(
+                    f"__u{k}" + (f" AS {al.group(1)}" if al else ""))
+            else:
+                j = len(plains)
+                plains.append(f"{s} AS __p{j}")
+                out_items.append(f"__p{j}")
+        if len(un_exprs) < 2:
+            return None
+        sizes = ", ".join(f"size({e})" for e in un_exprs)
+        fields = ", ".join(
+            f"'__u{k}', try_element_at({e}, __i)"
+            for k, e in enumerate(un_exprs))
+        gen = (f"inline(CASE WHEN greatest({sizes}) >= 1 THEN "
+               f"transform(sequence(1, greatest({sizes})), "
+               f"__i -> named_struct({fields})) END)")
+        inner_sel = ", ".join(plains + [gen])
+        out = (f"SELECT {', '.join(out_items)} FROM "
+               f"(SELECT {inner_sel} {tail})")
+        try:
+            return translate_query(out)
+        except Untranslatable:
+            return None
 
     def _alt_avg_trunc_dec(self, t: str) -> str | None:
         """DataFusion's avg over DECIMAL(p, s) produces DECIMAL(p+4, s+4)
