@@ -1212,3 +1212,33 @@ def func_cast_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(TRY_CAST(s AS BIGINT) AS STRING) AS back_to_str
         FROM {_CAST_EDGE_VALUES.replace("AS VARCHAR", "AS STRING")}
     """)
+
+
+@register(
+    "udx_window_cents",
+    """
+    SELECT event_id, event_type,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY event_type) AS BIGINT) AS type_cents
+    FROM events
+    """,
+    tags=("udx", "window"),
+)
+def udx_window_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WindowUDF (expr/src/udwf.rs analog): the GROUPED_AGG pandas
+    cents kernel applied OVER an unbounded partition window — the same
+    custom kernel serves aggregate and window call sites, mirroring
+    the reference's UDAF-as-window rule. Integer-cents addition
+    commutes, so the hash matches the oracle regardless of Arrow batch
+    order."""
+    from pyspark.sql.window import Window as W
+
+    from ..functions import udx
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing)
+    return e.select(
+        "event_id", "event_type",
+        udx.cents_sum("value").over(w).alias("type_cents"),
+    )

@@ -1588,3 +1588,21 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(dec2("o_totalprice"), "sum_price"),
     )
+
+
+@register(
+    "join_sort_merge",
+    _join_oracle("JOIN"),
+    tags=("join",),
+)
+def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SortMergeJoin (physical-plan/src/joins/sort_merge_join.rs) — the
+    same mismatch-rich inner join FORCED onto the sorted-merge path
+    with the MERGE hint (broadcast wins by default at test scale), so
+    the SMJ executor gets its own per-round driver row; the fuzz suite
+    covers it only via a global broadcast-off permutation. Plan pinned
+    in tests/test_plans.py::test_join_sort_merge_hint_plans_smj. At
+    100 TB this is the join strategy two already-sorted/bucketed fact
+    tables should take — no hash table, spill-friendly."""
+    c, o = _join_pair(spark, sf_dir)
+    return c.hint("merge").join(o, c.c_custkey == o.o_custkey, "inner")

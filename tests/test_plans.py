@@ -433,3 +433,13 @@ def test_q18_single_lineitem_scan(spark, sf_dir):
 
     df = REGISTRY["tpch_q18"].build(spark, sf_dir)
     assert plan_string(df).count("lineitem.parquet") == 1
+
+
+def test_join_sort_merge_hint_plans_smj(spark, sf_dir):
+    """join_sort_merge: the MERGE hint must actually select
+    SortMergeJoin (broadcast would win on size at test SF) — the
+    driver row is only evidence for the SMJ path if the plan takes it."""
+    from rust_query_engine_greatest_spark.plans import plan_string
+
+    df = REGISTRY["join_sort_merge"].build(spark, sf_dir)
+    assert "SortMergeJoin" in plan_string(df)
