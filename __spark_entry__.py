@@ -174,11 +174,13 @@ def _ordered_names() -> list[str]:
     redo = [n for n in REGISTRY
             if n in rows and not rows[n][1] and rows[n][2] != "no_oracle"]
     never = [n for n in REGISTRY if n not in rows]
-    # Within the never-checked group: subquery decorrelation first (the
-    # r4 verdict's named priority), the h2o/cb harness tail last (the
-    # documented acceptable spillover) — stable otherwise.
+    # Within the never-checked group: subquery decorrelation first,
+    # then sources (both named by the r4 verdict's priority order),
+    # the h2o/cb harness tail last (the documented acceptable
+    # spillover) — stable otherwise.
     never.sort(key=lambda n: 0 if n.startswith("subq_")
-               else 2 if n.startswith(("cb_", "h2o_")) else 1)
+               else 1 if n.startswith("source_")
+               else 3 if n.startswith(("cb_", "h2o_")) else 2)
     done = [n for n in REGISTRY
             if n in rows and (rows[n][1] or rows[n][2] == "no_oracle")]
     done.sort(key=lambda n: rows[n][0])  # stalest first (stable)
