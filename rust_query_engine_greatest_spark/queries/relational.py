@@ -1606,3 +1606,22 @@ def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables should take — no hash table, spill-friendly."""
     c, o = _join_pair(spark, sf_dir)
     return c.hint("merge").join(o, c.c_custkey == o.o_custkey, "inner")
+
+
+@register(
+    "join_shuffle_hash",
+    _join_oracle("JOIN"),
+    tags=("join",),
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned HashJoin (physical-plan/src/joins/hash_join.rs,
+    PartitionMode::Partitioned — DataFusion's default for two large
+    inputs): the inner join FORCED onto Spark's ShuffledHashJoin with
+    the SHUFFLE_HASH hint, completing the strategy trio next to the
+    broadcast default and join_sort_merge. Plan pinned in
+    tests/test_plans.py::test_join_shuffle_hash_hint_plans_shj. At
+    100 TB this is the shape when neither side broadcasts and neither
+    is pre-sorted: both sides hash-exchange on the key, build the
+    smaller per-partition."""
+    c, o = _join_pair(spark, sf_dir)
+    return c.hint("shuffle_hash").join(o, c.c_custkey == o.o_custkey, "inner")

@@ -443,3 +443,12 @@ def test_join_sort_merge_hint_plans_smj(spark, sf_dir):
 
     df = REGISTRY["join_sort_merge"].build(spark, sf_dir)
     assert "SortMergeJoin" in plan_string(df)
+
+
+def test_join_shuffle_hash_hint_plans_shj(spark, sf_dir):
+    """join_shuffle_hash: the SHUFFLE_HASH hint must actually select
+    ShuffledHashJoin — the driver row evidences that executor path."""
+    from rust_query_engine_greatest_spark.plans import plan_string
+
+    df = REGISTRY["join_shuffle_hash"].build(spark, sf_dir)
+    assert "ShuffledHashJoin" in plan_string(df)
