@@ -388,3 +388,40 @@ def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ctx.select("event_type", "h", interp.alias("interp"))
+
+
+@register(
+    "events_ohlc_bars",
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bar_start_s,
+           first(value ORDER BY ts, event_id) AS open,
+           MAX(value)                         AS high,
+           MIN(value)                         AS low,
+           last(value ORDER BY ts, event_id)  AS close,
+           COUNT(*)                           AS n_obs,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS volume
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("events", "datetime"),
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars — the canonical timeseries downsample
+    (candlestick / continuous-aggregate rollup): open/close are the
+    FIRST/LAST observation in the bar by (ts, event_id) — min_by /
+    max_by over a struct key, deterministic under ties — high/low are
+    plain extremes, volume is the exact-decimal sum (base.py float
+    policy). One map-side-combined hash aggregate; at 100 TB each bar
+    compresses in its map task before the exchange, the same shape as
+    events_time_bucket."""
+    e = _events(spark, sf_dir)
+    bar = compat.date_bin(3600, F.col("ts")).cast("long").alias("bar_start_s")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy(bar).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(dec2("value")).cast("double").alias("volume"),
+    )
