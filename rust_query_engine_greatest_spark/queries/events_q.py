@@ -425,3 +425,57 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_obs"),
         F.sum(dec2("value")).cast("double").alias("volume"),
     )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, ts,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id) AS first_p
+      FROM events)
+    SELECT CAST(date_trunc('week', first_p) AS DATE) AS cohort_week,
+           CAST(datediff('day', date_trunc('week', first_p),
+                         date_trunc('week', ts)) / 7 AS BIGINT) AS weeks_since,
+           COUNT(DISTINCT user_id) AS active_users
+    FROM f
+    WHERE first_p IS NOT NULL AND ts >= first_p
+    GROUP BY 1, 2
+    """,
+    tags=("events", "datetime"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the canonical product-analytics
+    rollup: cohort = ISO week of the user's FIRST PURCHASE (a
+    conditional window MIN over the user partition — one exchange, no
+    join-back; anchoring on the conversion event spreads users across
+    cohorts), cell = distinct cohort users active N weeks on. Both
+    engines truncate weeks to Monday (ISO), and week-trunc deltas are
+    exact multiples of 7 days, so the division is exact. Plan shape:
+    the user_id exchange feeds the window; the (cohort, week) distinct
+    aggregate is the only other shuffle pair — no self-join of events
+    (the naive formulation joins events to a first-seen subquery and
+    shuffles the fact twice)."""
+    e = _events(spark, sf_dir)
+    first_p = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(Window.partitionBy("user_id"))
+    f = (
+        e.select("user_id", "ts", first_p.alias("first_p"))
+        .filter(F.col("first_p").isNotNull() & (F.col("ts") >= F.col("first_p")))
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("first_p")).cast("date")
+            .alias("cohort_week"),
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        )
+    )
+    return (
+        f.groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long").alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

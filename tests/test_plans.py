@@ -452,3 +452,18 @@ def test_join_shuffle_hash_hint_plans_shj(spark, sf_dir):
 
     df = REGISTRY["join_shuffle_hash"].build(spark, sf_dir)
     assert "ShuffledHashJoin" in plan_string(df)
+
+
+def test_retention_cohorts_two_exchanges_no_self_join(spark, sf_dir):
+    """events_retention_cohorts: conditional window MIN anchors cohorts
+    without joining events back to a first-seen subquery — exactly the
+    user_id exchange plus the (cohort, week) distinct aggregate, and
+    no join operator at all."""
+    from rust_query_engine_greatest_spark.plans import (
+        count_shuffle_exchanges,
+        plan_string,
+    )
+
+    df = REGISTRY["events_retention_cohorts"].build(spark, sf_dir)
+    assert count_shuffle_exchanges(df) == 2
+    assert "Join" not in plan_string(df)
