@@ -845,3 +845,21 @@ def test_domain_cap_window_group_limit(spark, sf_dir):
     df = REGISTRY["text_domain_cap"].build(spark, sf_dir)
     assert "WindowGroupLimit" in plan_string(df)
     assert count_shuffle_exchanges(df) == 1
+
+
+def test_bloom_no_false_negatives_randomized(spark):
+    """Structural bloom guarantee on arbitrary fingerprints: EVERY
+    member of the base set probes true (false positives are possible by
+    design; false negatives never). Deterministic seed keeps the driver
+    check reproducible."""
+    import random as pyrandom
+
+    rnd = pyrandom.Random(20240815)
+    fps = [("fp-%030x" % rnd.getrandbits(120),) for _ in range(300)]
+    base = spark.createDataFrame(fps[:150], "fp string")
+    allfp = spark.createDataFrame(fps, "fp string")
+    out = dedup.bloom_incremental_dedup(base, allfp, "fp").collect()
+    members = {r[0] for r in fps[:150]}
+    for r in out:
+        if r["fp"] in members:
+            assert r["maybe_dup"], f"false negative on {r['fp']}"
