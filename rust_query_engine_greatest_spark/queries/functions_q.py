@@ -1242,3 +1242,43 @@ def udx_window_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type",
         udx.cents_sum("value").over(w).alias("type_cents"),
     )
+
+
+@register(
+    "func_struct_suite",
+    """
+    SELECT n_nationkey,
+           n_name                                   AS sk,
+           n_regionkey + 1                          AS sr1,
+           to_json(struct_pack(k := n_name, r := n_regionkey)) AS sj,
+           (ROW(n_name, n_regionkey) = ROW('NATION_3', 3))     AS eq_probe,
+           (ROW(n_name, n_regionkey) < ROW('NATION_2', 0))     AS lt_probe
+    FROM nation
+    """,
+    tags=("functions", "struct"),
+)
+def func_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct surface (functions/src/core/named_struct.rs, struct.slt):
+    build via named_struct, field access, lexicographic struct
+    equality/ordering (field order, then value — both engines), and
+    the canonical JSON rendering as the hashable projection for the
+    nested value itself (the r4 driver-hash lesson: complex columns
+    ship as primitives)."""
+    n = load_table(spark, sf_dir, "nation")
+    s = F.struct(F.col("n_name").alias("k"), F.col("n_regionkey").alias("r"))
+    probe_eq = F.struct(F.lit("NATION_3").alias("k"),
+                        F.lit(3).cast("long").alias("r"))
+    probe_lt = F.struct(F.lit("NATION_2").alias("k"),
+                        F.lit(0).cast("long").alias("r"))
+    pair = F.struct(F.col("n_name").alias("c1"),
+                    F.col("n_regionkey").alias("c2"))
+    return n.select(
+        "n_nationkey",
+        s.getField("k").alias("sk"),
+        (s.getField("r") + 1).alias("sr1"),
+        F.to_json(s).alias("sj"),
+        (pair == F.struct(F.lit("NATION_3").alias("c1"),
+                          F.lit(3).cast("long").alias("c2"))).alias("eq_probe"),
+        (pair < F.struct(F.lit("NATION_2").alias("c1"),
+                         F.lit(0).cast("long").alias("c2"))).alias("lt_probe"),
+    )
