@@ -3324,6 +3324,11 @@ class SltRunner:
         # escapes); Spark's default processes C-style escapes. Align so
         # '\d' regex patterns and literal backslashes survive verbatim.
         spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+        # config-surface corpus files (set_variable.slt) carry SET TIME
+        # ZONE statements; if one ever reaches execution (e.g. inside an
+        # expected-error block Spark accepts), it must not leak the zone
+        # into later files — every result here is pinned against UTC
+        saved_tz = spark.conf.get("spark.sql.session.timeZone")
         try:
             if os.path.basename(path) == "avro.slt":
                 # the reference's Rust harness pre-registers this table
@@ -3373,6 +3378,7 @@ class SltRunner:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
             spark.conf.set("spark.sql.parser.escapedStringLiterals", saved_esc)
+            spark.conf.set("spark.sql.session.timeZone", saved_tz)
             spark.sql("USE default")
             spark.sql(f"DROP DATABASE IF EXISTS {self.db} CASCADE")
             for v in self._temp_views:
