@@ -54,6 +54,22 @@ def main() -> None:
             layout = "compacted"
         except Exception as e:
             print(f"compaction skipped: {e}", file=sys.stderr)
+    # Optional bucketed fact layout (sources/bucketing.py): pay the
+    # l_orderkey/o_orderkey clustering once at write time and the whole
+    # orderkey join/agg chain plans exchange-free. Off by default (the
+    # driver's recorded numbers stay comparable across rounds); set
+    # SPARK_GRAFT_BUCKETS=<n> to measure the 100 TB layout.
+    n_buckets = int(os.environ.get("SPARK_GRAFT_BUCKETS", "0") or 0)
+    if n_buckets > 0:
+        try:
+            from rust_query_engine_greatest_spark.sources import (
+                bucketing as _bucketing,
+            )
+
+            compact_s += _bucketing.activate(spark, SF_DIR, n_buckets)
+            layout = f"bucketed({n_buckets})"
+        except Exception as e:
+            print(f"bucketing skipped: {e}", file=sys.stderr)
     # Global warm-up: one untimed collect per query. A fresh JVM spends
     # seconds on C2 JIT + Janino codegen compilation for the first plans
     # it sees; collect (not count) warms the exact plan each timed

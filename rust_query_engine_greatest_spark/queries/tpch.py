@@ -794,25 +794,26 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large volume customer (threshold 300→200 to fit TESTDATA's ~4
-    lineitems/order). IN-subquery over the same fact → per-order window
-    sum on ONE lineitem exchange (the q21 discipline): the semi-join
-    form scans and shuffles lineitem twice (aggregated key set + detail
-    rows); the window computes the per-order total on the detail rows
-    themselves, so one scan and one hash exchange on l_orderkey carry
-    both the filter and the join feed. Pinned in
-    test_plans.py::test_q18_single_lineitem_scan."""
+    lineitems/order). The outer grouping keys are all functionally
+    dependent on o_orderkey, so the per-order lineitem aggregate IS the
+    final sum_qty — lineitem is scanned and aggregated ONCE and never
+    rejoined at detail grain (r5 SF1 A/B: the window-over-detail form
+    shuffles 6M detail rows through the join, 7.8 s; the r3 semi-join
+    form scans lineitem twice, 6.5 s; this collapsed form 5.3 s at SF1
+    and 0.84 vs 0.97 s at sf0.1). The filtered aggregate is
+    dimension-sized (sq > 200 keeps ~1.4% of orders), so AQE broadcasts
+    it to orders. Pinned in test_plans.py::test_q18_single_lineitem_scan."""
     customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
-    w = Window.partitionBy("l_orderkey")
-    big_lines = (
-        lineitem.select("l_orderkey", "l_quantity")
-        .withColumn("sq", F.sum("l_quantity").over(w))
-        .filter(F.col("sq") > 200)
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
     )
     return (
-        big_lines.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum(dec2("l_quantity"), "sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
     )

@@ -31,7 +31,21 @@ def write_bucketed(
 ) -> None:
     """Persist df as a bucketed (optionally sort-bucketed) catalog
     table. Sorted buckets additionally let sort-merge joins skip the
-    per-task Sort, not just the Exchange."""
+    per-task Sort, not just the Exchange.
+
+    A previous SESSION's write can leave the warehouse directory behind
+    while the in-memory catalog forgets the table — saveAsTable then
+    fails with LOCATION_ALREADY_EXISTS even in overwrite mode (the
+    bucket spec lives only in the catalog, so the bare files can't be
+    adopted); clear the stale location first."""
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        wh = spark.conf.get("spark.sql.warehouse.dir",
+                            "spark-warehouse").removeprefix("file:")
+        shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
@@ -49,3 +63,53 @@ def bucketed_join(
     bucket counts this plans as an exchange-free sort-merge join —
     asserted in tests/test_sources.py."""
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+# ---- bench/bucketed-layout routing -----------------------------------------
+# (sf_dir, table) -> bucketed catalog table name; consulted by
+# catalog.load_table the same way compact.resolve is. The keys a TPC-H
+# workload co-locates on: the l_orderkey/o_orderkey join+agg chain
+# (q3/q4/q12/q18/q21 never re-shuffle the fact on that key again).
+_BUCKETED: dict[tuple[str, str], str] = {}
+
+BUCKET_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+
+
+def activate(spark: SparkSession, sf_dir: str, n_buckets: int,
+             tables: tuple[str, ...] = ("lineitem", "orders")) -> float:
+    """Write the given fact tables as sorted bucketed catalog tables
+    (once — idempotent per session/warehouse) and route
+    catalog.load_table(sf_dir, table) to them. Returns seconds spent
+    writing (0.0 when already present). The one-time write is the 100 TB
+    trade: pay the orderkey clustering at ingest, never at query time."""
+    import hashlib
+    import os
+    import time
+
+    from . import catalog
+
+    t0 = time.perf_counter()
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    for name in tables:
+        key = BUCKET_KEYS[name]
+        tbl = f"bkt_{tag}_{name}"
+        if not spark.catalog.tableExists(tbl):
+            write_bucketed(catalog.load_table(spark, sf_dir, name), tbl,
+                           [key], n_buckets, [key])
+        _BUCKETED[(os.path.abspath(sf_dir), name)] = tbl
+    return round(time.perf_counter() - t0, 2)
+
+
+def deactivate(sf_dir: str | None = None) -> None:
+    import os
+
+    for k in [k for k in _BUCKETED
+              if sf_dir is None or k[0] == os.path.abspath(sf_dir)]:
+        _BUCKETED.pop(k)
+
+
+def resolve(sf_dir: str, name: str) -> str | None:
+    """Bucketed catalog table for (sf_dir, table) if activated."""
+    import os
+
+    return _BUCKETED.get((os.path.abspath(sf_dir), name))

@@ -95,12 +95,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    from . import compact
+    from . import bucketing, compact
 
     _ensure_session_confs(spark)
     mem = _MEMORY.get((os.path.abspath(sf_dir), name))
     if mem is not None:
         return mem
+    bkt = bucketing.resolve(sf_dir, name)
+    if bkt is not None:
+        # sorted bucketed catalog table: orderkey joins/aggs satisfy
+        # their ClusteredDistribution straight off the scan
+        return spark.table(bkt)
     root = compact.resolve(sf_dir)
     if root is not None:
         # compacted copies are written post-conversion (ts already µs)

@@ -426,13 +426,18 @@ def test_scalar_branch_reuses_exchange(spark, sf_dir, qname):
 
 
 def test_q18_single_lineitem_scan(spark, sf_dir):
-    """q18's big-order filter is a window sum over the same exchange
-    that feeds the join — lineitem must appear ONCE in the plan (the
-    semi-join form scanned and shuffled it twice)."""
+    """q18: the grouping keys are functionally dependent on o_orderkey,
+    so the per-order aggregate IS the answer — lineitem appears ONCE,
+    at aggregate grain, and the detail rows never re-enter a join (the
+    window form shuffled 6M detail rows at SF1; the semi-join form
+    scanned lineitem twice). The filtered aggregate is dimension-sized,
+    so it broadcasts."""
     from rust_query_engine_greatest_spark.plans import plan_string
 
     df = REGISTRY["tpch_q18"].build(spark, sf_dir)
-    assert plan_string(df).count("lineitem.parquet") == 1
+    p = plan_string(df)
+    assert p.count("lineitem.parquet") == 1
+    assert_no_cartesian(df)
 
 
 def test_join_sort_merge_hint_plans_smj(spark, sf_dir):

@@ -1,0 +1,119 @@
+"""TPC-H at the reference's own scale: generate official SF1 with
+DuckDB's bundled dbgen, hash-verify every query against the DuckDB
+oracle on the same files, and time the suite — the apples-to-apples
+number BASELINE.md's standing caveat asks for (the reference's
+published 13.23 s sum is SF1; the driver's per-round bench is sf0.1).
+
+Usage:
+    python tools/tpch_sf1.py [--layout compacted|bucketed|raw]
+                             [--dir /tmp/sf1_tpch] [--passes 3]
+
+Outputs one JSON line: per-query best-of-N seconds, the sum, layout,
+load averages, and the correctness census (hash match per query).
+
+Findings recorded in BENCH_NOTES.md (round 5):
+- 21/22 queries hash-identical to DuckDB on official SF1 data; q1
+  differs in ONE column by 1 ulp of the final decimal→double cast
+  (both engines' exact decimal sums are equal to the last digit —
+  verified 55909065222.827692 on group A — but their decimal→double
+  conversions round the 17th significant digit differently).
+- q2/q7/q8/q10 return 0 rows at SF1: their predicates were adapted to
+  the driver's synthetic TESTDATA dimension values, so on official
+  dbgen data they select nothing. Their timings measure plan overhead
+  only; treat the sum accordingly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TPCH_TABLES = ("region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem")
+
+
+def ensure_sf1(dest: str) -> None:
+    import duckdb
+
+    if all(os.path.exists(os.path.join(dest, f"{t}.parquet"))
+           for t in TPCH_TABLES):
+        return
+    os.makedirs(dest, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("CALL dbgen(sf=1)")
+    for t in TPCH_TABLES + ("partsupp",):
+        con.execute(f"COPY {t} TO '{dest}/{t}.parquet' (FORMAT PARQUET)")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layout", default="compacted",
+                    choices=("raw", "compacted", "bucketed"))
+    ap.add_argument("--dir", default="/tmp/sf1_tpch")
+    ap.add_argument("--passes", type=int, default=3)
+    args = ap.parse_args()
+
+    import duckdb
+
+    from driver_emulator import value_hash
+    from rust_query_engine_greatest_spark.queries import REGISTRY
+    from rust_query_engine_greatest_spark.session import get_spark
+    from rust_query_engine_greatest_spark.sources import bucketing, compact
+
+    ensure_sf1(args.dir)
+    spark = get_spark(app_name="tpch-sf1")
+    prep_s = 0.0
+    if args.layout in ("compacted", "bucketed"):
+        dest, prep_s = compact.compact_tables(spark, args.dir,
+                                              tables=TPCH_TABLES)
+        compact._ACTIVE[os.path.abspath(args.dir)] = dest
+    if args.layout == "bucketed":
+        prep_s += bucketing.activate(spark, args.dir, 32)
+
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{args.dir}/{t}.parquet')")
+
+    names = [f"tpch_q{i}" for i in range(1, 23)]
+    census: dict[str, str] = {}
+    for n in names:
+        q = REGISTRY[n]
+        srows = [tuple(r) for r in q.build(spark, args.dir).collect()]
+        ores = con.execute(q.oracle)
+        ocols = [d[0] for d in ores.description]
+        orows = ores.fetchall()
+        scols = q.build(spark, args.dir).columns
+        ok = (len(srows) == len(orows)
+              and value_hash(scols, srows) == value_hash(ocols, orows))
+        census[n] = "match" if ok else "MISMATCH"
+
+    best: dict[str, float] = {}
+    for _ in range(args.passes):
+        for n in names:
+            t0 = time.time()
+            REGISTRY[n].build(spark, args.dir).collect()
+            best[n] = min(best.get(n, 9e9), time.time() - t0)
+
+    print(json.dumps({
+        "metric": "tpch_sf1_total_best",
+        "value": round(sum(best.values()), 4),
+        "unit": "sec",
+        "sf": 1.0,
+        "layout": args.layout,
+        "prep_s": round(prep_s, 2),
+        "queries": {k: round(v, 4) for k, v in best.items()},
+        "correctness": census,
+        "load": list(os.getloadavg()),
+        "ts": round(time.time(), 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
