@@ -85,11 +85,12 @@ def main() -> None:
     census: dict[str, str] = {}
     for n in names:
         q = REGISTRY[n]
-        srows = [tuple(r) for r in q.build(spark, args.dir).collect()]
+        df = q.build(spark, args.dir)
+        scols = df.columns
+        srows = [tuple(r) for r in df.collect()]
         ores = con.execute(q.oracle)
         ocols = [d[0] for d in ores.description]
         orows = ores.fetchall()
-        scols = q.build(spark, args.dir).columns
         ok = (len(srows) == len(orows)
               and value_hash(scols, srows) == value_hash(ocols, orows))
         census[n] = "match" if ok else "MISMATCH"
