@@ -250,3 +250,32 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "cid", "cos", "rnk")
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_rows: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus rows whose cosine
+    to ANY benchmark/eval embedding reaches `threshold` — the semantic
+    complement of the n-gram `text.decontaminate` (paraphrased eval
+    leakage that shares no 8-gram). The eval set is small by nature
+    (benchmarks are thousands of rows), so it rides into the plan as
+    LITERALS: per-row max-cosine is `greatest()` over one inline fold
+    per eval vector — a pure map-side projection, ZERO joins and ZERO
+    exchanges over the 100 TB corpus (plan-pinned), the bloom-probe
+    pattern applied to vectors. Returns (id, max_cos, contaminated)."""
+    cn = norm(F.col(vec_col))
+    cosines = []
+    for _eid, vec in eval_rows:
+        ev = F.lit(vec)
+        cosines.append(safe_cos(dot(F.col(vec_col), ev), cn, norm(ev)))
+    mx = F.greatest(*cosines) if len(cosines) > 1 else cosines[0]
+    return corpus.select(
+        F.col(id_col),
+        mx.alias("max_cos"),
+        (mx >= F.lit(threshold)).alias("contaminated"),
+    )

@@ -1288,3 +1288,40 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.bloom_incremental_dedup(base, batch, "fp").select(
         "doc_id", "maybe_dup"
     )
+
+
+_SEMDEC_COS = (
+    f"{_duck_dot('a.embedding', 'b.embedding')} / "
+    f"(sqrt({_duck_dot('a.embedding', 'a.embedding')}) * "
+    f"sqrt({_duck_dot('b.embedding', 'b.embedding')}))"
+)
+
+
+@register(
+    "text_semantic_decontaminate",
+    f"""
+    WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+         corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20)
+    SELECT a.vec_id, MAX({_SEMDEC_COS.replace('b.embedding', 'b.embedding')}) AS max_cos,
+           (MAX({_SEMDEC_COS}) >= 0.4) AS contaminated
+    FROM corp a CROSS JOIN ev b
+    GROUP BY a.vec_id
+    """,
+    tags=("pipeline", "text"),
+)
+def text_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic eval-set decontamination: max cosine of each corpus
+    embedding against the benchmark set (vec_id < 20 here), flagged at
+    0.4 (~the top of this synthetic space's same-label band — a
+    non-vacuous split). The eval set rides as plan literals; per-row
+    max = greatest() over inline folds — zero joins/exchanges over the
+    corpus (plan-pinned; the n-gram `text_decontaminate` catches exact
+    overlap, this catches paraphrase-level). Identical sequential
+    double folds both engines -> exact hash on max_cos itself."""
+    e = load_table(spark, sf_dir, "embeddings")
+    eval_rows = [(r["vec_id"], list(r["embedding"]))
+                 for r in e.filter(F.col("vec_id") < 20)
+                 .select("vec_id", "embedding").collect()]
+    corpus = e.filter(F.col("vec_id") >= 20)
+    return similarity.semantic_decontaminate(
+        corpus, eval_rows, "vec_id", threshold=0.4)

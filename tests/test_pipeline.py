@@ -863,3 +863,19 @@ def test_bloom_no_false_negatives_randomized(spark):
     for r in out:
         if r["fp"] in members:
             assert r["maybe_dup"], f"false negative on {r['fp']}"
+
+
+def test_semantic_decontaminate_zero_exchanges_and_nonvacuous(spark, sf_dir):
+    """Scale-shape pin: the eval set is plan literals, so the corpus is
+    screened with no join and no shuffle; and the 0.4 threshold splits
+    the fixture non-vacuously (both flag values occur)."""
+    from rust_query_engine_greatest_spark.plans import (
+        count_shuffle_exchanges,
+        plan_string,
+    )
+
+    df = REGISTRY["text_semantic_decontaminate"].build(spark, sf_dir)
+    assert count_shuffle_exchanges(df) == 0
+    assert "Join" not in plan_string(df)
+    flags = {r["contaminated"] for r in df.collect()}
+    assert flags == {True, False}
