@@ -1325,3 +1325,46 @@ def text_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(F.col("vec_id") >= 20)
     return similarity.semantic_decontaminate(
         corpus, eval_rows, "vec_id", threshold=0.4)
+
+
+@register(
+    "pipeline_corpus_datasheet",
+    f"""
+    SELECT lang, source,
+           COUNT(*)                                            AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT)                   AS total_chars,
+           CAST(SUM(len(string_split_regex(lower(text), ' +')))
+                AS BIGINT)                                     AS total_ws_tokens,
+           CAST(SUM(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')))
+                AS DOUBLE) / SUM(length(text))                 AS alpha_ratio,
+           CAST(SUM(len(regexp_extract_all(text, '{text.PII_EMAIL_RE}')))
+                AS BIGINT)                                     AS n_emails,
+           MIN(length(text))                                   AS min_chars,
+           MAX(length(text))                                   AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("pipeline", "text"),
+)
+def pipeline_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet (Gebru et al. 2021, 'Datasheets for Datasets'):
+    the per-(lang, source) composition report every training-data
+    release ships — doc counts, char/token volumes, corpus-level
+    alphabetic ratio, PII density, length extremes. Float discipline:
+    the ratio is a quotient of INTEGER sums (total alpha chars / total
+    chars), not a mean of per-doc doubles, so aggregation order cannot
+    perturb it. One map-side-combined hash aggregate; every metric
+    composes the already-oracle-checked text primitives."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(t)).alias("total_chars"),
+        F.sum(text.token_count_ws(t)).alias("total_ws_tokens"),
+        (F.sum(F.length(F.regexp_replace(F.lower(t), r"[^a-z ]", "")))
+         .cast("double") / F.sum(F.length(t))).alias("alpha_ratio"),
+        F.sum(F.size(F.regexp_extract_all(t, F.lit(text.PII_EMAIL_RE), 0)))
+        .alias("n_emails"),
+        F.min(F.length(t)).alias("min_chars"),
+        F.max(F.length(t)).alias("max_chars"),
+    )
