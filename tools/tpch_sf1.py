@@ -57,6 +57,10 @@ def main() -> None:
                     choices=("raw", "compacted", "bucketed"))
     ap.add_argument("--dir", default="/tmp/sf1_tpch")
     ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--official", action="store_true",
+                    help="run the reference's own benchmarks/queries/q*.sql "
+                         "texts (partsupp included) through the slt dialect "
+                         "layer instead of the registry's adapted queries")
     args = ap.parse_args()
 
     import duckdb
@@ -80,6 +84,22 @@ def main() -> None:
     for t in TPCH_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{args.dir}/{t}.parquet')")
+
+    if args.official:
+        census, best = run_official(spark, con, args)
+        print(json.dumps({
+            "metric": "tpch_sf1_official_total_best",
+            "value": round(sum(best.values()), 4),
+            "unit": "sec",
+            "sf": 1.0,
+            "layout": args.layout,
+            "prep_s": round(prep_s, 2),
+            "queries": {k: round(v, 4) for k, v in best.items()},
+            "correctness": census,
+            "load": list(os.getloadavg()),
+            "ts": round(time.time(), 1),
+        }))
+        return
 
     names = [f"tpch_q{i}" for i in range(1, 23)]
     census: dict[str, str] = {}
@@ -114,6 +134,108 @@ def main() -> None:
         "load": list(os.getloadavg()),
         "ts": round(time.time(), 1),
     }))
+
+
+# --------------------------------------------------------------------------
+# --official mode: the reference's own benchmark query TEXTS
+# (benchmarks/queries/q*.sql — official TPC-H, partsupp included),
+# translated by the same dialect layer the slt harness uses, executed
+# on Spark views over the SF1 parquet and differentially compared
+# against DuckDB running the identical official text. This removes the
+# adapted-constants caveat entirely: q2/q7/q8/q10 select real rows
+# here. Exact hash first; DECIMAL-vs-DOUBLE aggregate rendering (e.g.
+# avg) falls back to a rel-1e-9 numeric compare reported as
+# "match_approx", never silently.
+
+REF_QUERIES = ("/root/reference/datafusion-greatest/benchmarks/queries")
+ALL_TABLES = TPCH_TABLES + ("partsupp",)
+
+
+def _rows_close(a, b) -> bool:
+    import math
+
+    if len(a) != len(b):
+        return False
+
+    def key(row):
+        return tuple(str(v) for v in row)
+
+    for ra, rb in zip(sorted(a, key=key), sorted(b, key=key)):
+        if len(ra) != len(rb):
+            return False
+        for x, y in zip(ra, rb):
+            if x is None or y is None:
+                if x is not y:
+                    return False
+                continue
+            try:
+                fx, fy = float(x), float(y)
+                if not (math.isclose(fx, fy, rel_tol=1e-9, abs_tol=1e-9)):
+                    return False
+            except (TypeError, ValueError):
+                if str(x) != str(y):
+                    return False
+    return True
+
+
+def run_official(spark, con, args) -> tuple[dict, dict]:
+    from slt_runner import translate_query, translate_statement
+
+    for t in ALL_TABLES:
+        spark.read.parquet(f"{args.dir}/{t}.parquet") \
+            .createOrReplaceTempView(t)
+        try:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{args.dir}/{t}.parquet')")
+        except Exception:  # noqa: BLE001 — view exists from the census
+            pass
+    census: dict[str, str] = {}
+    best: dict[str, float] = {}
+    from driver_emulator import value_hash
+
+    for i in range(1, 23):
+        name = f"q{i}"
+        sql = open(os.path.join(REF_QUERIES, f"{name}.sql")).read()
+        stmts = [s.strip() for s in sql.split(";") if s.strip()]
+
+        def run_spark():
+            out = None
+            for s in stmts:
+                if s.lower().startswith(("create", "drop")):
+                    t = translate_statement(s)
+                    for piece in (t if isinstance(t, list) else [t]):
+                        spark.sql(piece)
+                else:
+                    df = spark.sql(translate_query(s))
+                    out = (df.columns, [tuple(r) for r in df.collect()])
+            return out
+
+        def run_duck():
+            out = None
+            for s in stmts:
+                cur = con.execute(s)
+                if not s.lower().startswith(("create", "drop")):
+                    out = ([d[0] for d in cur.description], cur.fetchall())
+            return out
+
+        try:
+            scols, srows = run_spark()
+            ocols, orows = run_duck()
+            if (len(srows) == len(orows)
+                    and value_hash(scols, srows) == value_hash(ocols, orows)):
+                census[name] = "match"
+            elif _rows_close(srows, orows):
+                census[name] = "match_approx"
+            else:
+                census[name] = f"MISMATCH rows {len(srows)}/{len(orows)}"
+        except Exception as e:  # noqa: BLE001
+            census[name] = f"ERROR {str(e)[:120]}"
+            continue
+        for _ in range(args.passes):
+            t0 = time.time()
+            run_spark()
+            best[name] = min(best.get(name, 9e9), time.time() - t0)
+    return census, best
 
 
 if __name__ == "__main__":
