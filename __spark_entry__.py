@@ -171,8 +171,14 @@ def _ordered_names() -> list[str]:
         rest = [n for n in REGISTRY if n not in placed]
         green = [n for n in REGISTRY if n in _DRIVER_GREEN]
         return prefix + rest + green
+    def _rows_only_by_design(n: str) -> bool:
+        # a latest-round no_oracle row is only "done" while the registry
+        # entry still HAS no oracle; once an oracle lands (r6:
+        # multimodal_features) the entry needs a fresh driver row
+        return rows[n][2] == "no_oracle" and not REGISTRY[n].oracle
+
     redo = [n for n in REGISTRY
-            if n in rows and not rows[n][1] and rows[n][2] != "no_oracle"]
+            if n in rows and not rows[n][1] and not _rows_only_by_design(n)]
     never = [n for n in REGISTRY if n not in rows]
     # Within the never-checked group: subquery decorrelation first,
     # then sources (both named by the r4 verdict's priority order),
@@ -182,7 +188,7 @@ def _ordered_names() -> list[str]:
                else 1 if n.startswith("source_")
                else 3 if n.startswith(("cb_", "h2o_")) else 2)
     done = [n for n in REGISTRY
-            if n in rows and (rows[n][1] or rows[n][2] == "no_oracle")]
+            if n in rows and (rows[n][1] or _rows_only_by_design(n))]
     done.sort(key=lambda n: rows[n][0])  # stalest first (stable)
     return redo + never + done
 

@@ -26,6 +26,21 @@ ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
 # skipped once exceeded so the bench ALWAYS emits its JSON line even
 # when the VM runs 2x slow — the headline tpch numbers are never cut.
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+# Idle gate (r5 verdict #7): every round where the driver ran bench.py
+# while its own prior work was still draining, the RECORDED artifact was
+# the contended number (r5: load_start 4.02, tpch 20.8 s vs 15.9 s idle
+# at the same HEAD) and cross-round comparison read as a phantom
+# regression. Wait (bounded) for the 1-min loadavg to fall below the
+# threshold before starting the clock; record how long we waited.
+IDLE_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "2.0"))
+IDLE_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "240"))
+_GATE_T0 = time.time()
+_GATE_WAITED = 0.0
+while os.getloadavg()[0] > IDLE_LOAD and time.time() - _GATE_T0 < IDLE_WAIT_S:
+    print(f"idle-gate: load {os.getloadavg()[0]:.2f} > {IDLE_LOAD}, waiting",
+          file=sys.stderr)
+    time.sleep(10)
+    _GATE_WAITED = round(time.time() - _GATE_T0, 1)
 _T0 = time.time()
 _LOAD0 = os.getloadavg()
 
@@ -212,6 +227,7 @@ def main() -> None:
         "ncpus": os.cpu_count(),
         "load_start": [round(x, 2) for x in _LOAD0],
         "load_end": [round(x, 2) for x in os.getloadavg()],
+        "idle_gate_waited_s": _GATE_WAITED,
         "wall_s": round(time.time() - _T0, 1),
     }
     if times_mem:

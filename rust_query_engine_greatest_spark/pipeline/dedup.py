@@ -403,6 +403,55 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 
+def _simhash_banded(base: DataFrame, bands: int, max_hamming: int) -> DataFrame:
+    """(id, fp) → one row per (id, band): band_id, band_val, and the
+    precomputed sub-band keys of the OTHER 64−width bits (`subs`), used
+    only when the band's bucket overflows. Sub-band partitioning keeps
+    the pigeonhole guarantee: a pair in an overflowed (band b) bucket
+    agrees on band b exactly, so its ≤ max_hamming differing bits all
+    live in the remaining bits — carving those into max_hamming+1
+    disjoint sub-bands forces ≥1 sub-band equal. All expressions are
+    per-band Python-literal shifts, JVM-codegen'd; no Python UDFs."""
+    width = 64 // bands
+    mask = F.lit((1 << width) - 1).cast("long")
+    rem_bits = 64 - width
+    n_subs = max_hamming + 1
+    sub_w = rem_bits // n_subs
+    # sub-band s covers remaining-bit span [offs[s], offs[s+1]); the last
+    # span absorbs the remainder so the sub-bands PARTITION all bits
+    offs = [s * sub_w for s in range(n_subs)] + [rem_bits]
+    structs = []
+    for b in range(bands):
+        hi_shift, low_bits = (b + 1) * width, b * width
+        low_mask = F.lit((1 << low_bits) - 1).cast("long")
+        if hi_shift >= 64:
+            rem = F.col("fp").bitwiseAND(low_mask)
+        elif low_bits == 0:
+            rem = F.shiftrightunsigned("fp", hi_shift)
+        else:
+            rem = F.shiftleft(
+                F.shiftrightunsigned("fp", hi_shift), low_bits
+            ).bitwiseOR(F.col("fp").bitwiseAND(low_mask))
+        subs = F.array(*[
+            F.struct(
+                F.lit(s).alias("sub_id"),
+                F.shiftrightunsigned(rem, offs[s])
+                .bitwiseAND(F.lit((1 << (offs[s + 1] - offs[s])) - 1).cast("long"))
+                .alias("sub_val"),
+            )
+            for s in range(n_subs)
+        ])
+        structs.append(F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftrightunsigned("fp", b * width).bitwiseAND(mask).alias("band_val"),
+            subs.alias("subs"),
+        ))
+    return (
+        base.select("id", F.explode(F.array(*structs)).alias("bb"))
+        .select("id", "bb.band_id", "bb.band_val", "bb.subs")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -412,22 +461,56 @@ def simhash_pairs(
     max_bucket: int = 1024,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming via 16-bit
-    band bucketing (pigeonhole: distance ≤3 ⇒ ≥1 of 4 bands equal;
-    complete when no bucket exceeds `max_bucket` — see _bucket_pairs)."""
+    band bucketing (pigeonhole: distance ≤3 ⇒ ≥1 of 4 bands equal),
+    with RECURSIVE SUB-BANDING for hot buckets: a band bucket larger
+    than `max_bucket` is not dropped (the r5 scale ceiling — at 10B docs
+    EVERY 16-bit bucket holds ~150k ids and naive capping collapses
+    recall exactly where the op matters) but re-partitioned by
+    max_hamming+1 disjoint sub-bands of the remaining 48 bits, which
+    preserves the pigeonhole guarantee (see _simhash_banded) while
+    shrinking the worst cell ~2^12×. Pairs drop only when a SUB-bucket
+    still overflows — count them with `simhash_overflow(...)`.
+
+    Exchanges: one tiny bounded agg (≤ bands·2^width rows, broadcast
+    back), then one groupBy over healthy rows + one over overflow rows —
+    together the same volume as the single groupBy of the naive form."""
     base = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
     )
-    width = 64 // bands
-    mask = (1 << width) - 1
-    banded = base.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band_id"),
-                     F.shiftright("fp", b * width).bitwiseAND(F.lit(mask)).alias("band_val"))
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select("id", "bb.band_id", "bb.band_val")
-    cand = _bucket_pairs(banded, ["band_id", "band_val"], max_bucket=max_bucket)
+    return simhash_pairs_from_fps(base, max_hamming, bands, max_bucket)
+
+
+def simhash_pairs_from_fps(
+    base: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """simhash_pairs' banding/pairing stage over precomputed (id, fp)
+    rows — split out so hot-bucket recall is testable on synthetic
+    fingerprint fixtures (test_pipeline.py plants a bucket where every
+    member shares one band and asserts sub-banding recovers the pairs)."""
+    banded = _simhash_banded(base, bands, max_hamming)
+    # bucket-size census: keyspace is bounded (bands·2^16 ≈ 262k rows at
+    # ANY corpus size), so it broadcasts — the split into healthy/hot
+    # rows costs no fact shuffle
+    sizes = banded.groupBy("band_id", "band_val").agg(
+        F.count(F.lit(1)).alias("_bucket_n"))
+    tagged = banded.join(F.broadcast(sizes), ["band_id", "band_val"])
+    cand_ok = _bucket_pairs(
+        tagged.filter(F.col("_bucket_n") <= max_bucket)
+        .select("id", "band_id", "band_val"),
+        ["band_id", "band_val"], max_bucket=max_bucket,
+    )
+    sub = (
+        tagged.filter(F.col("_bucket_n") > max_bucket)
+        .select("id", "band_id", "band_val", F.explode("subs").alias("sb"))
+        .select("id", "band_id", "band_val", "sb.sub_id", "sb.sub_val")
+    )
+    cand_sub = _bucket_pairs(
+        sub, ["band_id", "band_val", "sub_id", "sub_val"], max_bucket=max_bucket
+    )
+    cand = cand_ok.unionByName(cand_sub).distinct()
     fa = base.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
     fb = base.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
     return (
@@ -435,6 +518,35 @@ def simhash_pairs(
         .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_overflow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Accounting for simhash_pairs' only lossy path: SUB-buckets (after
+    hot-bucket sub-banding) that still exceed max_bucket. Mirrors
+    bucket_overflow's contract — one row per dropped cell with its
+    member count, so pipelines log exactly what was truncated."""
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
+    )
+    banded = _simhash_banded(base, bands, max_hamming)
+    sizes = banded.groupBy("band_id", "band_val").agg(
+        F.count(F.lit(1)).alias("_bucket_n"))
+    sub = (
+        banded.join(F.broadcast(sizes), ["band_id", "band_val"])
+        .filter(F.col("_bucket_n") > max_bucket)
+        .select("id", "band_id", "band_val", F.explode("subs").alias("sb"))
+        .select("id", "band_id", "band_val", "sb.sub_id", "sb.sub_val")
+    )
+    return bucket_overflow(
+        sub, ["band_id", "band_val", "sub_id", "sub_val"], max_bucket=max_bucket
     )
 
 

@@ -458,27 +458,92 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@register("multimodal_features", None, tags=("pipeline", "multimodal"))
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column feature extraction via Arrow-batched mapInPandas
-    (decode stubbed deterministically — see pipeline/multimodal.py).
-    Python-boundary op → rows-only driver check; batch-shape and
-    determinism asserted in test_pipeline.py. The float32 feature
-    vector is surfaced as integer micro-units CSV-joined — the driver's
-    rows-only check still tuples raw cells, and Python lists are
-    unhashable there (CORRECTNESS_r04 err)."""
-    d = load_table(spark, sf_dir, "documents")
-    media = multimodal.media_from_documents(d)
-    feats = multimodal.extract_features(media)
-    feat_csv = F.array_join(
-        F.transform(
-            F.col("feat").cast("array<double>"),
-            lambda x: F.round(x * 1000000).cast("bigint").cast("string"),
-        ),
-        ",",
-        "N",
+# Exact-oracle mirrors of the REAL pixel-statistics features
+# (pipeline/multimodal.py::_pixel_features) over the deterministic PPM
+# raster (= the document's UTF-8 bytes tiled to 16·16·3): every
+# arithmetic step up to the final sqrt/division is exact in float64
+# (integer byte sums; mean = sum/256 is a power-of-two division;
+# deviations and their squares are 16/32-bit dyadic rationals; the sum
+# of 256 of them fits float64 exactly), so both engines round only at
+# sqrt, /255.0, and the float32 cast — identically under IEEE-754.
+# Shared with multimodal_decode_stats' _chan_mean below. The luminance
+# histogram tail of the feature vector is NOT surfaced here: its
+# 0.299/0.587/0.114 dot product rounds inside a BLAS matmul whose
+# summation order is not contractual — it stays golden-checked against
+# NumPy in test_pipeline.py.
+_HEXD = "'0123456789ABCDEF'"
+
+
+def _byte_at(pos_expr: str) -> str:
+    return (
+        f"((strpos({_HEXD}, substr(buf, {pos_expr}, 1)) - 1) * 16"
+        f" + strpos({_HEXD}, substr(buf, ({pos_expr}) + 1, 1)) - 1)"
     )
-    return feats.select("media_id", "n_bytes", feat_csv.alias("feat_csv"))
+
+
+def _chan_list(c: int) -> str:
+    """256-element list of channel-c bytes carved from the hex buf."""
+    return ("list_transform(generate_series(0, 255), "
+            f"i -> {_byte_at(f'6 * i + {2 * c} + 1')})")
+
+
+def _f32(expr: str) -> str:
+    return f"CAST(CAST({expr} AS FLOAT) AS DOUBLE)"
+
+
+def _chan_mean_expr(lst: str) -> str:
+    return f"list_aggregate({lst}, 'sum') / 256.0"
+
+
+_FEATURES_SQL = f"""
+    WITH b AS (
+      SELECT doc_id AS media_id, encode(coalesce(text, '')) AS raw
+      FROM documents),
+    t AS (
+      SELECT media_id,
+             CASE WHEN octet_length(raw) = 0 THEN repeat('00', 768)
+                  ELSE substr(repeat(hex(raw), 768 // octet_length(raw) + 1), 1, 1536)
+             END AS buf
+      FROM b),
+    ch AS (
+      SELECT media_id, {_chan_list(0)} AS rb, {_chan_list(1)} AS gb,
+             {_chan_list(2)} AS bb
+      FROM t),
+    m AS (
+      SELECT media_id, rb, gb, bb,
+             {_chan_mean_expr('rb')} AS rm, {_chan_mean_expr('gb')} AS gm,
+             {_chan_mean_expr('bb')} AS bm
+      FROM ch)
+    SELECT media_id, 781 AS n_bytes,
+           {_f32('rm / 255.0')} AS r_mean,
+           {_f32('gm / 255.0')} AS g_mean,
+           {_f32('bm / 255.0')} AS b_mean,
+           {_f32("sqrt(list_aggregate(list_transform(rb, x -> (x - rm) * (x - rm)), 'sum') / 256.0) / 255.0")} AS r_std,
+           {_f32("sqrt(list_aggregate(list_transform(gb, x -> (x - gm) * (x - gm)), 'sum') / 256.0) / 255.0")} AS g_std,
+           {_f32("sqrt(list_aggregate(list_transform(bb, x -> (x - bm) * (x - bm)), 'sum') / 256.0) / 255.0")} AS b_std
+    FROM m
+    """
+
+
+@register("multimodal_features", _FEATURES_SQL, tags=("pipeline", "multimodal"))
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode → pixel-statistics features via Arrow-batched
+    mapInPandas over deterministic PPM payloads: per-channel mean and
+    std of the decoded 16×16 raster (feat[0..5] of _pixel_features),
+    hash-verified against the DuckDB hex-carve oracle (registered just
+    below via _register_multimodal_features_oracle). The PIL-gated
+    byte-statistics fallback for opaque formats stays pytest-covered
+    (test_pipeline.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.ppm_media_from_documents(d)
+    feats = multimodal.extract_features(media)
+    f64 = lambda i: F.col("feat")[i].cast("double")  # noqa: E731
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        f64(0).alias("r_mean"), f64(1).alias("g_mean"), f64(2).alias("b_mean"),
+        f64(3).alias("r_std"), f64(4).alias("g_std"), f64(5).alias("b_std"),
+    )
 
 
 # DuckDB mirror of the PPM render→decode→channel-mean path: the PPM
@@ -488,15 +553,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of channel c sits at hex offset 6·i + 2·c). Integer byte sums are
 # exact in float64 in both engines; /256.0 is a power-of-two (exact) and
 # /255.0 a single identical rounding; the float32 round-trip mirrors
-# _pixel_features' astype(np.float32).
-_HEXD = "'0123456789ABCDEF'"
-
-
-def _byte_at(pos_expr: str) -> str:
-    return (
-        f"((strpos({_HEXD}, substr(buf, {pos_expr}, 1)) - 1) * 16"
-        f" + strpos({_HEXD}, substr(buf, ({pos_expr}) + 1, 1)) - 1)"
-    )
+# _pixel_features' astype(np.float32). (_HEXD/_byte_at shared with the
+# multimodal_features oracle above.)
 
 
 def _chan_mean(c: int) -> str:

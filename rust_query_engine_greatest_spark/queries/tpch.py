@@ -51,11 +51,11 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     "tpch_q1",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM({QTY}) AS DOUBLE)                          AS sum_qty,
-           CAST(SUM({PRICE}) AS DOUBLE)                        AS sum_base_price,
-           CAST(SUM({REV}) AS DOUBLE)                          AS sum_disc_price,
+           CAST(SUM({QTY}) AS DECIMAL(22,2))                   AS sum_qty,
+           CAST(SUM({PRICE}) AS DECIMAL(22,2))                 AS sum_base_price,
+           CAST(SUM({REV}) AS DECIMAL(28,4))                   AS sum_disc_price,
            CAST(SUM(CAST({REV} * CAST(1.0 + l_tax AS DECIMAL(4,2))
-                    AS DECIMAL(22,6))) AS DOUBLE)              AS sum_charge,
+                    AS DECIMAL(22,6))) AS DECIMAL(32,6))       AS sum_charge,
            CAST(SUM({QTY}) AS DOUBLE) / COUNT(*)               AS avg_qty,
            CAST(SUM({PRICE}) AS DOUBLE) / COUNT(*)             AS avg_price,
            CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -68,18 +68,25 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 )
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary report (reference: tpch/q1.slt.part). Unmodified
-    shape; date cutoff moved inside TESTDATA's 1995-2001 range."""
+    shape; date cutoff moved inside TESTDATA's 1995-2001 range. The four
+    SUM columns surface as exact decimals (both engines' sums agree to
+    the last digit); rendering them as doubles left a 1-ulp engine-cast
+    divergence at SF1 (r5 BENCH_SF1 q1 MISMATCH)."""
     (l,) = _t(spark, sf_dir, "lineitem")
     rev = _rev()
     charge = (rev * one_plus("l_tax")).cast("decimal(22,6)")
+
+    def xsum(col, prec_scale, alias):
+        return F.sum(col).cast(f"decimal{prec_scale}").alias(alias)
+
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(dec2("l_quantity"), "sum_qty"),
-            dsum(dec2("l_extendedprice"), "sum_base_price"),
-            dsum(rev, "sum_disc_price"),
-            dsum(charge, "sum_charge"),
+            xsum(dec2("l_quantity"), "(22,2)", "sum_qty"),
+            xsum(dec2("l_extendedprice"), "(22,2)", "sum_base_price"),
+            xsum(rev, "(28,4)", "sum_disc_price"),
+            xsum(charge, "(32,6)", "sum_charge"),
             davg(dec2("l_quantity"), "avg_qty"),
             davg(dec2("l_extendedprice"), "avg_price"),
             davg(F.col("l_discount").cast("decimal(4,2)"), "avg_disc"),
@@ -99,7 +106,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON s.s_suppkey = b.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
     JOIN region r ON r.r_regionkey = n.n_regionkey
-    WHERE p.p_type = 'STANDARD' AND p.p_size < 15 AND r.r_name = 'EUROPE'
+    WHERE p.p_type LIKE 'STANDARD%' AND p.p_size < 15 AND r.r_name = 'EUROPE'
       AND s.s_acctbal = (
         SELECT MIN(s2.s_acctbal)
         FROM lineitem b2
@@ -124,7 +131,11 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, lineitem, supplier, nation, region = _t(
         spark, sf_dir, "part", "lineitem", "supplier", "nation", "region"
     )
-    pf = part.filter((F.col("p_type") == "STANDARD") & (F.col("p_size") < 15))
+    # LIKE-prefix, not equality: TESTDATA p_type is the bare word
+    # ('STANDARD'), official dbgen is three words ('STANDARD ANODIZED
+    # TIN') — the prefix predicate selects real rows in BOTH domains,
+    # so the SF1 differential (tools/tpch_sf1.py) is non-vacuous.
+    pf = part.filter(F.col("p_type").like("STANDARD%") & (F.col("p_size") < 15))
     # Semi-filter the fact by the selective part predicate BEFORE the
     # distinct: the bridge's dedup shuffle then carries only the ~4% of
     # lineitem rows whose part qualifies, instead of the whole fact —
@@ -326,8 +337,8 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
     JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    WHERE ((n1.n_nationkey = 1 AND n2.n_nationkey = 2)
+        OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1))
       AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
     GROUP BY supp_nation, cust_nation, l_year
     """,
@@ -335,27 +346,34 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume shipping between two nations; disjunctive nation-pair
-    predicate over a self-joined dim (nation appears twice)."""
+    predicate over a self-joined dim (nation appears twice). The pair is
+    selected by n_nationkey (1, 2), not name: keys exist in both the
+    synthetic TESTDATA domain (NATION_1) and official dbgen (IRAN,
+    IRAQ), so the SF1 differential is non-vacuous. The nation filters
+    are pushed onto the supplier/customer dims BEFORE their fact joins —
+    each join side carries 2/N of the dim instead of all of it."""
     supplier, lineitem, orders, customer, nation = _t(
         spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
     )
     n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    sup = supplier.filter(F.col("s_nationkey").isin(1, 2)).select("s_suppkey", "s_nationkey")
+    cust = customer.filter(F.col("c_nationkey").isin(1, 2)).select("c_custkey", "c_nationkey")
     return (
         lineitem.filter(
             F.col("l_shipdate").between(
                 F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
             )
         )
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("s_nationkey") == 1) & (F.col("c_nationkey") == 2))
+            | ((F.col("s_nationkey") == 2) & (F.col("c_nationkey") == 1))
+        )
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-        .filter(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
-        )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(dsum(_rev(), "revenue"))
     )
@@ -367,7 +385,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH all_nations AS (
       SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
-             {REV} AS volume_dec, n2.n_name AS supp_nation
+             {REV} AS volume_dec, n2.n_nationkey AS supp_nkey
       FROM part p
       JOIN lineitem l ON p.p_partkey = l.l_partkey
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -376,10 +394,10 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
       JOIN region r ON n1.n_regionkey = r.r_regionkey
       JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
-      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+      WHERE r.r_name = 'AMERICA' AND p.p_type LIKE 'ECONOMY%'
         AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
     SELECT o_year,
-           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume_dec
+           CAST(SUM(CASE WHEN supp_nkey = 3 THEN volume_dec
                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
              / CAST(SUM(volume_dec) AS DOUBLE) AS mkt_share
     FROM all_nations GROUP BY o_year
@@ -387,15 +405,17 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join", "aggregate"),
 )
 def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """National market share — eight-table join, conditional aggregation."""
+    """National market share — eight-table join, conditional aggregation.
+    Part selected by LIKE-prefix and the numerator nation by key (3),
+    valid in both the TESTDATA and official-dbgen domains (see q2/q7
+    notes) so the SF1 differential is non-vacuous."""
     part, lineitem, supplier, orders, customer, nation, region = _t(
         spark, sf_dir, "part", "lineitem", "supplier", "orders", "customer", "nation", "region"
     )
     n1 = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
-    n2 = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     vol = _rev()
     base = (
-        lineitem.join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+        lineitem.join(F.broadcast(part.filter(F.col("p_type").like("ECONOMY%"))),
                       F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
@@ -410,15 +430,15 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
               F.col("cn_region") == F.col("r_regionkey"))
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
-        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume_dec"), "supp_nation")
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume_dec"),
+                F.col("s_nationkey").alias("supp_nkey"))
     )
     zero = F.lit(0).cast("decimal(18,4)")
     return (
         base.groupBy("o_year")
         .agg(
             (
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume_dec")).otherwise(zero)).cast("double")
+                F.sum(F.when(F.col("supp_nkey") == 3, F.col("volume_dec")).otherwise(zero)).cast("double")
                 / F.sum("volume_dec").cast("double")
             ).alias("mkt_share")
         )
@@ -476,8 +496,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1995-04-01'
       AND l.l_returnflag = 'R'
     GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
     ORDER BY revenue DESC, c_custkey LIMIT 20
@@ -485,14 +505,19 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join", "topk"),
 )
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Returned item reporting — top-20 customers by lost revenue."""
+    """Returned item reporting — top-20 customers by lost revenue.
+    Window is 1995 Q1: the only quarter where BOTH domains have 'R'
+    lineitems (dbgen only sets returnflag R/A when l_receiptdate ≤
+    1995-06-17, so any later order window is vacuous on official data;
+    TESTDATA orders start 1995-01-01, so any earlier window is vacuous
+    on the driver's tables)."""
     customer, orders, lineitem, nation = _t(
         spark, sf_dir, "customer", "orders", "lineitem", "nation"
     )
     return (
         orders.filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
         )
         .join(lineitem.filter(F.col("l_returnflag") == "R"),
               F.col("o_orderkey") == F.col("l_orderkey"))

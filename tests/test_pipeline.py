@@ -349,6 +349,32 @@ def test_bucket_pairs_hot_bucket_guard(spark):
     assert len(ovf) == 1 and ovf[0].n_ids == 1000 and ovf[0].band_val == 7777
 
 
+def test_simhash_hot_bucket_subbanding_recall(spark):
+    """The r5 scale ceiling: at 10B docs EVERY 16-bit band bucket
+    overflows max_bucket, and capping alone collapses recall to 0.
+    Plant that regime — 300 fingerprints all sharing band 0 (hot bucket,
+    max_bucket=100), with 150 planted near-dup pairs whose 3 differing
+    bits each land in a DIFFERENT other band (so band 0 is the pair's
+    only collision, exactly the dropped case) — and assert recursive
+    sub-banding recovers every planted pair. Sub-band partitioning
+    keeps the pigeonhole guarantee: the 3 diff bits sit at remaining-bit
+    positions 4/17/44 (sub-bands 0/1/3 of 4×12 bits), so sub-band 2 is
+    always equal."""
+    mask46 = (1 << 46) - 1
+    flips = (1 << 20) | (1 << 33) | (1 << 60)  # bands 1, 2, 3
+    rows = []
+    for i in range(150):
+        u = (i * 0x9E3779B97F4A7C15) & mask46  # spread, deterministic
+        fp_a = (u << 16) | 0x1234              # band 0 shared by ALL docs
+        rows.append((2 * i, fp_a))
+        rows.append((2 * i + 1, fp_a ^ flips))
+    base = spark.createDataFrame(rows, "id long, fp long")
+    pairs = dedup.simhash_pairs_from_fps(base, max_hamming=3, max_bucket=100)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(150)}
+    assert planted <= got, f"lost {len(planted - got)} planted hot-bucket pairs"
+
+
 def test_simhash_template_fixture_hamming_gap(spark):
     """Pins the constructive-oracle precondition for dedup_simhash: the
     40 template texts (docstring in queries/pipeline_q.py) have pairwise

@@ -3056,7 +3056,18 @@ class SltRunner:
 
     def __init__(self, spark, db: str = "slt_run", row_cap: int = 8192,
                  verbose: bool = False):
-        self.spark = spark
+        # Isolate the census from whatever the caller's session has
+        # accumulated (temp views/functions, runtime conf mutations from
+        # other pytest modules sharing the session fixture): run on a
+        # sibling session — same SparkContext and SharedState (warehouse,
+        # cache), but a fresh SessionState whose SQLConf is seeded from
+        # the SparkConf set at builder time (session.py). Under a
+        # contaminated shared session ~600 content blocks censused as
+        # non-content and pinned divergences flipped (r5 verdict #1).
+        try:
+            self.spark = spark.newSession()
+        except Exception:  # noqa: BLE001 — mocks / stubs in unit tests
+            self.spark = spark
         self.db = db
         self.row_cap = row_cap
         self.verbose = verbose
@@ -3081,10 +3092,10 @@ class SltRunner:
                 register_sql_names,
             )
 
-            register_sql_names(spark)
+            register_sql_names(self.spark)
         except Exception:  # noqa: BLE001 — harness must run without the package
             pass
-        register_df_semantics(spark)
+        register_df_semantics(self.spark)
 
     def _exec(self, sql: str):
         return self.spark.sql(sql)
