@@ -175,7 +175,8 @@ def _ordered_names() -> list[str]:
         # a latest-round no_oracle row is only "done" while the registry
         # entry still HAS no oracle; once an oracle lands (r6:
         # multimodal_features) the entry needs a fresh driver row
-        return rows[n][2] == "no_oracle" and not REGISTRY[n].oracle
+        return (rows[n][2] == "no_oracle"
+                and not getattr(REGISTRY[n], "oracle", None))
 
     redo = [n for n in REGISTRY
             if n in rows and not rows[n][1] and not _rows_only_by_design(n)]

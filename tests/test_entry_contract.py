@@ -39,7 +39,8 @@ def test_dynamic_ordering_prioritizes_driver_signal():
     names = entry._ordered_names()
     pos = {n: i for i, n in enumerate(names)}
     redo = {n for n in REGISTRY if n in rows and not rows[n][1]
-            and rows[n][2] != "no_oracle"}
+            and not (rows[n][2] == "no_oracle"
+                     and not getattr(REGISTRY[n], "oracle", None))}
     never = {n for n in REGISTRY if n not in rows}
     done = set(REGISTRY) - redo - never
     # every previously-non-green entry precedes every never-checked

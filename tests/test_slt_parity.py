@@ -103,6 +103,18 @@ DataFusion's writer, with unquoted OPTIONS values parsed
 ('format.has_header' false) and _copy_meta consulted on option-less
 reads (group_by 4541/4550, copy.slt regression-free).
 
+Round-6 widening (33 deterministic pins retired, zero new divergences,
+floor 4,127 → 4,165): per-file SESSION ISOLATION (every SltRunner runs
+on spark.newSession(), so shared-fixture conf/UDF/view mutations from
+other pytest modules can no longer contaminate the census — the r5
+full-suite flakiness); SET TIME ZONE executed for real on the isolated
+session (family 10's SET half — 10 pins); and arrow_typeof STATIC
+FOLDS for textually-determined Arrow types (family 18's static half +
+family 1's coalesce widths + family 9's arrow_cast List renders — 23
+pins: rank-family UInt64, to_timestamp_* unit preservation, arrow_cast
+round-trips with the verbose Field form, coalesce coercion, struct
+literals).
+
 Census buckets (tools/slt_runner.py): ``match`` (slt-exact),
 ``match_unordered`` (same multiset; order differs only where the SQL
 leaves it underdetermined — ORDER BY ties, engine default NULL sort:
@@ -118,8 +130,10 @@ Pinned divergence families (every pinned line belongs to one):
     retyped by the harness — 1.5 → 1.5e0 — so only the INTEGER-literal
     half of the family remains: Spark types ``3`` INT where Arrow uses
     Int64, and unsigned/decimal coercions widen differently, visible
-    through arrow_typeof). coalesce 26/54/109/165/172/320 (int and
-    UInt64/decimal coalesce widths); window 3989/3995 (first/last_value
+    through arrow_typeof). The coalesce width pins (26/54/109/165/172/
+    320) are retired — the r6 static coercion fold reproduces
+    DataFusion's int/uint/float/decimal unification rules when every
+    argument's Arrow type is textually determined. window 3989/3995 (first/last_value
     over a VALUES-typed column); options 106/134/147/188 (i64-overflow
     integer literals: DataFusion types them UInt64/Float64 — or
     Decimal128 under its parse_decimals option — where Spark uses
@@ -179,19 +193,23 @@ Pinned divergence families (every pinned line belongs to one):
     over a zone-carrying ns timestamp renders offsets Spark's single
     µs type drops (6099); nested List(List(...)) typeof display
     through the emulated chain (692); the FixedSizeList parquet
-    file's typeof (6605);
-    LargeList/FixedSizeList arrow_cast typeof (arrow_typeof
-    380/385/417).
-10. **Session-zone display** — Arrow timestamps carry a zone:
-    ``SET TIME ZONE`` changes both date_trunc boundaries and the
-    rendered offset in DataFusion; this harness pins the session to
-    UTC (SURVEY §1.2). timestamps 149/1332/1416/1637/1643/1655/1685;
-    arrow_typeof 61 (::timestamp is zone-less in DataFusion, zoned in
-    Spark) and 330/335 (zone-carrying arrow_cast display);
-    set_variable 183/191/199/207/237 (TIMESTAMPTZ renderings downstream
-    of SET TIME ZONE statements — config surface the harness
-    deliberately skips, so the session stays UTC while the corpus
-    expects the set zone).
+    file's typeof (6605). The LargeList/FixedSizeList arrow_cast
+    typeof pins (arrow_typeof 380/385/417) are retired by the r6
+    static fold's verbose Field-form renderer.
+10. **Session-zone display** — Arrow timestamps carry a zone; Spark
+    has the single session zone. The SET TIME ZONE half of this family
+    is RETIRED in r6: the runner executes SET TIME ZONE / SET TIMEZONE
+    / SET datafusion.execution.time_zone on its ISOLATED session
+    (newSession isolation makes this safe; run_file restores the zone),
+    with Arrow's zone-format validation mirrored so DataFusion-invalid
+    zones don't take effect — timestamps 149/1637/1643/1655/1685 and
+    set_variable 183/191/199/207/237 now content-verify. What remains
+    is PER-COLUMN zone state Spark cannot carry: timestamps 1332/1416
+    (date_trunc over Europe/Berlin- and Sao-Paulo-zoned COLUMNS across
+    a DST boundary); arrow_typeof 61 (::timestamp is zone-less in
+    DataFusion, session-zoned in Spark, compared against emulated
+    to_timestamp renderings) and 330/335 (zone-ATTACHING arrow_cast
+    re-render of a naive timestamp).
 11. **Parse/precedence dialect** — the plural-interval-alias and
     XOR/shift precedence pins are retired (both translated), and so is
     the engine-default NULL ordering at a LIMIT boundary: the
@@ -238,21 +256,23 @@ Pinned divergence families (every pinned line belongs to one):
     600/606/721/735/1149/1200/1211/1216/1307/1323/1625/1645.
 18. **Arrow type-width/unit display** — arrow_typeof is emulated via
     Spark's typeof mapped to Arrow names, so types Spark normalizes
-    render at their Spark width: unsigned ints → signed (aggregate
-    2836/3243/3292/3340/3390), Float16 → Float32 (aggregate 6053/6064),
-    Dictionary encodings are transparent (aggregate 4869), Utf8View →
-    Utf8 (string_view 986), and every timestamp is the single
-    session-zoned µs type displayed at the SQL-type name where Arrow
-    has per-unit zone-carrying types (timestamps 679/697/715/1294/
-    1305/1378/1389/2030/2035/2040/2045/2102/2444; parquet 261;
-    Date64 keeps intra-day time in Arrow, DATE truncates it —
-    timestamps 2800); window rank-family return widths (row_number/
-    rank/dense_rank/ntile → UInt64, lag/lead over Int32 widen to
-    Int64 in DataFusion; Spark keeps Int32 — window 3941/3947/3953/
-    3971/3977/3983); struct typeof renders Spark's compact
-    struct<name:type> form, not Arrow's Field list (struct
-    229/234); the unsigned/Float16/LargeUtf8/BinaryView/per-unit-
-    timestamp width matrix of arrow_typeof 105/157/222/250/435.
+    render at their Spark width. The r6 STATIC FOLDS retire the half of
+    this family whose Arrow type is textually determined (slt_runner's
+    _arrow_typeof_static_fold: rank-family UInt64 — window 3941/3947/
+    3953/3971; to_timestamp_micros/millis/seconds unit preservation
+    through date_bin/date_trunc — timestamps 679/697/715/2030/2035/
+    2040; arrow_cast round-trips incl. the verbose List Field form —
+    arrow_typeof 105/380/385/417/435; struct literals — struct
+    229/234). What remains is type state only visible at runtime:
+    unsigned ints → signed (aggregate 2836/3243/3292/3340/3390),
+    Float16 → Float32 (aggregate 6053/6064), Dictionary encodings are
+    transparent (aggregate 4869), Utf8View → Utf8 (string_view 986),
+    COLUMN-typed per-unit/zone timestamps (timestamps 1294/1305/1378/
+    1389/2045/2102/2444; parquet 261; Date64 keeps intra-day time in
+    Arrow, DATE truncates it — timestamps 2800; arrow_typeof 157/222/
+    250 read columns of a table created from arrow_cast values), and
+    lag/lead over Int32 widening to Int64 (window 3977/3983 — the arg
+    type is a subquery column, not textual).
 19. **dbgen text pool** — DuckDB's tpch extension reproduces official
     dbgen keys and numerics exactly (16/21 tpch.slt goldens content-
     verify, q1 sums match to the cent) but not the comment/address
@@ -303,14 +323,14 @@ PINNED = {
     "array.slt": (632, {692, 2389, 2443, 2622, 2676, 6099, 6605}),
     "array_query.slt": (26, set()),
     "arrow_files.slt": (1, set()),
-    "arrow_typeof.slt": (21, {61, 105, 157, 222, 250, 330, 335, 380, 385, 417, 435}),
+    "arrow_typeof.slt": (26, {61, 157, 222, 250, 330, 335}),
     "avro.slt": (10, set()),
     "binary.slt": (7, set()),
     "binary_view.slt": (10, set()),
     "case.slt": (21, {45, 56}),
     "cast.slt": (9, set()),
     "clickbench.slt": (45, {289}),
-    "coalesce.slt": (26, {26, 54, 109, 165, 172, 320}),
+    "coalesce.slt": (32, set()),
     "copy.slt": (43, set()),
     "count_star_rule.slt": (2, set()),
     "create_external_table.slt": (3, set()),
@@ -381,10 +401,10 @@ PINNED = {
     "string/string_literal.slt": (106, set()),
     "string/string_view.slt": (55, {986}),
     "strings.slt": (10, set()),
-    "struct.slt": (26, {229, 234}),
+    "struct.slt": (28, set()),
     "subquery.slt": (34, set()),
     "subquery_sort.slt": (4, set()),
-    "timestamps.slt": (193, {149, 679, 697, 715, 1294, 1305, 1332, 1378, 1389, 1416, 1637, 1643, 1655, 1685, 2030, 2035, 2040, 2045, 2102, 2444, 2800}),
+    "timestamps.slt": (204, {1294, 1305, 1332, 1378, 1389, 1416, 2045, 2102, 2444, 2800}),
     "topk.slt": (7, set()),
     "tpch/tpch.slt": (17, {'q10:110', 'q13:79', 'q15:108', 'q2:184'}),
     "type_coercion.slt": (7, set()),
@@ -392,7 +412,7 @@ PINNED = {
     "unnest.slt": (28, set()),
     "update.slt": (0, set()),
     "wildcard.slt": (4, set()),
-    "window.slt": (127, {2567, 2774, 2820, 2867, 3941, 3947, 3953, 3971, 3977, 3983, 3989, 3995}),
+    "window.slt": (136, {2567, 2774, 2820, 2867, 3977, 3983, 3989, 3995}),
     "create_function.slt": (1, set()),
     "explain.slt": (0, set()),
     "information_schema.slt": (0, set()),
@@ -400,7 +420,7 @@ PINNED = {
     "information_schema_multiple_catalogs.slt": (0, set()),
     "information_schema_table_types.slt": (0, set()),
     "options.slt": (9, {106, 134, 147, 188}),
-    "set_variable.slt": (0, {183, 191, 199, 207, 237}),
+    "set_variable.slt": (5, set()),
 }
 
 
@@ -418,7 +438,7 @@ UNDERDETERMINED = {
 # measured on the round-5 clean-scratch pinning run (tools/repin_slt.py,
 # 96 files); per-file floors subtract every underdetermined block so
 # any legal flip stays above the floor
-TOTAL_CONTENT_FLOOR = 4127
+TOTAL_CONTENT_FLOOR = 4165
 
 
 _totals = {"content": 0}
