@@ -1,0 +1,176 @@
+"""SF1 A/B harness for the round-6 perf items (r5 verdict #2): candidate
+plan variants for the worst SF1 queries (q5, q16, q11) plus conf
+variants (runtime bloom join filter, AQE advisory sizes), each measured
+interleaved best-of-N against the registry baseline on official dbgen
+SF1 parquet. Results print as one JSON line per variant; winners get
+promoted into queries/tpch.py (never both forms).
+
+Usage: python tools/tpch_sf1_ab.py [--dir /tmp/sf1_tpch] [--passes 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tpch_sf1 import ensure_sf1, TPCH_TABLES  # noqa: E402
+
+
+def q5_orders_first(spark, sf_dir):
+    """q5 variant: orders⋈lineitem on orderkey FIRST, customer joins
+    second — the custkey exchange then carries joined fact rows instead
+    of pre-join orders. A/B for the smaller first exchange at scale."""
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    from rust_query_engine_greatest_spark.queries.tpch import _rev
+    from rust_query_engine_greatest_spark.queries.base import dsum
+
+    fo = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        lineitem.join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(_rev(), "revenue"))
+    )
+
+
+def q16_part_first(spark, sf_dir):
+    """q16 variant: the selective broadcast part join (12% survive)
+    BEFORE the anti-join, so the anti probe sees 8x fewer rows."""
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(
+                part.filter((F.col("p_brand") != "Brand#1")
+                            & F.col("p_size").isin(5, 10, 15, 20, 25, 30))
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+CONF_VARIANTS = {
+    # runtime bloom join filter on the fact side (Spark injects it
+    # automatically at >=10GB probe scans — the 100 TB default; at SF1
+    # the thresholds must be lowered to see the cluster behavior)
+    "bloom": {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "64MB",
+    },
+    "advisory16m": {"spark.sql.adaptive.advisoryPartitionSizeInBytes": "16MB"},
+    "advisory128m": {"spark.sql.adaptive.advisoryPartitionSizeInBytes": "128MB"},
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/tmp/sf1_tpch")
+    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--queries", default="tpch_q5,tpch_q16,tpch_q11,tpch_q21,tpch_q18,tpch_q9,tpch_q3,tpch_q12")
+    args = ap.parse_args()
+
+    from rust_query_engine_greatest_spark.queries import REGISTRY
+    from rust_query_engine_greatest_spark.session import get_spark
+    from rust_query_engine_greatest_spark.sources import compact
+
+    ensure_sf1(args.dir)
+    spark = get_spark(app_name="tpch-sf1-ab")
+    dest, _ = compact.compact_tables(spark, args.dir, tables=TPCH_TABLES)
+    compact._ACTIVE[os.path.abspath(args.dir)] = dest
+
+    names = args.queries.split(",")
+    plan_variants = {
+        "tpch_q5": {"orders_first": q5_orders_first},
+        "tpch_q16": {"part_first": q16_part_first},
+    }
+
+    # build the run matrix: (label, builder, confs)
+    runs: list[tuple[str, object, dict]] = []
+    for n in names:
+        runs.append((f"{n}:base", REGISTRY[n].build, {}))
+        for vn, vb in plan_variants.get(n, {}).items():
+            runs.append((f"{n}:{vn}", vb, {}))
+        for cn, confs in CONF_VARIANTS.items():
+            runs.append((f"{n}:conf-{cn}", REGISTRY[n].build, confs))
+
+    # warm every plan once
+    for label, build, confs in runs:
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            build(spark, args.dir).collect()
+        except Exception as e:  # noqa: BLE001
+            print(f"warm {label} failed: {e}", file=sys.stderr)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    best: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for _ in range(args.passes):
+        for label, build, confs in runs:
+            saved = {k: spark.conf.get(k, None) for k in confs}
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            try:
+                t0 = time.perf_counter()
+                rows[label] = len(build(spark, args.dir).collect())
+                dt = time.perf_counter() - t0
+                best[label] = round(min(best.get(label, 9e9), dt), 4)
+            except Exception as e:  # noqa: BLE001
+                print(f"run {label} failed: {e}", file=sys.stderr)
+                best[label] = -1.0
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
+    print(json.dumps({"metric": "sf1_ab_best", "passes": args.passes,
+                      "best": best, "rows": rows,
+                      "load": list(os.getloadavg()),
+                      "ts": round(time.time(), 1)}))
+
+
+if __name__ == "__main__":
+    main()
