@@ -651,11 +651,19 @@ def _arrow_typeof_static_fold(lit: str) -> str | None:
             unit = {"micros": "Microsecond", "millis": "Millisecond",
                     "seconds": "Second"}[um.group(1).lower()]
             return f"Timestamp({unit}, None)"
-    # NOTE: no ::timestamp fold — arrow_typeof(x::timestamp) is
-    # 'Timestamp(Nanosecond, None)' in DataFusion, but the corpus
-    # compares it for EQUALITY against emulated arrow_typeof(
-    # to_timestamp(...)) renderings (timestamps.slt 2108); folding one
-    # side breaks the equality the emulation otherwise preserves.
+        if re.search(r"\bto_timestamp\s*\(", lit, re.IGNORECASE):
+            return "Timestamp(Nanosecond, None)"
+    # the naive-timestamp trio — to_timestamp(...) (bare, any format
+    # args), x::timestamp, CAST(x AS TIMESTAMP) — is ALWAYS the
+    # zone-less ns timestamp in DataFusion. The three MUST fold
+    # together: the corpus equality-compares them against each other
+    # (timestamps.slt 2108-2114), so folding a subset would break the
+    # equalities the unfolded emulation preserves.
+    if (re.search(r"::\s*timestamp$", lit, re.IGNORECASE)
+            or re.match(r"^to_timestamp\s*\(", lit, re.IGNORECASE)
+            or re.fullmatch(r"cast\s*\(.*\s+as\s+timestamp\s*\)", lit,
+                            re.IGNORECASE | re.DOTALL)):
+        return "Timestamp(Nanosecond, None)"
     st = _static_arrow_type(lit)
     if st is not None:
         return _render_arrow_type(st)
