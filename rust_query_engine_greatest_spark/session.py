@@ -52,6 +52,18 @@ def get_spark(
         # as the pre-AQE upper bound — at 100 TB AQE then keeps ~64 MB
         # partitions instead of starving or flooding the cluster.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # Advisory reduce-partition size 16 MB (Spark default 64 MB):
+        # measured at OFFICIAL SF1 (rotated interleaved best-of-3,
+        # 14-query suite, r6): 25.96 s vs 30.91 s (-16%) — 64 MB gives a
+        # 200-500 MB shuffle only 3-8 reducers on 32 cores (parallelism
+        # starvation exactly where the exchanges are biggest: q11 3.7 ->
+        # 1.9, q21 4.4 -> 2.7, q18 3.4 -> 2.1). At sf0.1 the change is
+        # noise (14.07 -> 14.36 s). At 100 TB the trade is 4x more
+        # reduce tasks than the 64 MB guidance — each still >= 16 MB, so
+        # no tiny-task flood, and smaller partitions bound skew and
+        # per-task memory; raise it back per-job if shuffle-file count
+        # ever dominates.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(16 * 1024 * 1024))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

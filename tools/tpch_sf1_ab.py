@@ -174,3 +174,98 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def q7_orders_cust_first(spark, sf_dir):
+    """q7 variant: orders ⋈ nation-filtered customer FIRST (dim-sized
+    output), broadcast into the supplier-filtered lineitem — zero fact
+    exchanges at bench scale, graceful shuffle degradation at 100 TB."""
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+    from rust_query_engine_greatest_spark.queries.tpch import _rev
+    from rust_query_engine_greatest_spark.queries.base import dsum
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"),
+                       F.col("n_name").alias("cust_nation"))
+    sup = supplier.filter(F.col("s_nationkey").isin(1, 2)).select(
+        "s_suppkey", "s_nationkey")
+    cust = customer.filter(F.col("c_nationkey").isin(1, 2)).select(
+        "c_custkey", "c_nationkey")
+    oc = (orders.select("o_orderkey", "o_custkey")
+          .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+          .select("o_orderkey", "c_nationkey"))
+    return (
+        lineitem.filter(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01").cast("timestamp"),
+                F.lit("1997-12-31").cast("timestamp"))
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            ((F.col("s_nationkey") == 1) & (F.col("c_nationkey") == 2))
+            | ((F.col("s_nationkey") == 2) & (F.col("c_nationkey") == 1))
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(_rev(), "revenue"))
+    )
+
+
+def q8_orders_cust_first(spark, sf_dir):
+    """q8 variant: date-filtered orders ⋈ region-filtered customer
+    first; the joined (orderkey, year) side then joins the part-filtered
+    fact."""
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+    from rust_query_engine_greatest_spark.queries.tpch import _rev
+
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n1 = nation.select(F.col("n_nationkey").alias("cn_key"),
+                       F.col("n_regionkey").alias("cn_region"))
+    cust_am = (customer.select("c_custkey", "c_nationkey")
+               .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+               .join(F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+                     F.col("cn_region") == F.col("r_regionkey"))
+               .select("c_custkey"))
+    oc = (orders.filter(
+            F.col("o_orderdate").between(
+                F.lit("1996-01-01").cast("timestamp"),
+                F.lit("1997-12-31").cast("timestamp")))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+          .join(F.broadcast(cust_am), F.col("o_custkey") == F.col("c_custkey"))
+          .select("o_orderkey", F.year("o_orderdate").alias("o_year")))
+    vol = _rev()
+    base = (
+        lineitem.join(F.broadcast(part.filter(F.col("p_type").like("ECONOMY%"))),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_year", vol.alias("volume_dec"),
+                F.col("s_nationkey").alias("supp_nkey"))
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        base.groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nkey") == 3,
+                             F.col("volume_dec")).otherwise(zero)).cast("double")
+                / F.sum("volume_dec").cast("double")
+            ).alias("mkt_share")
+        )
+    )
