@@ -246,3 +246,40 @@ def test_slt_options_parser_unquoted_values():
         "format.datetime_format": "%FT%H:%M:%S.%9f",
         "format.null_value": "NULLVAL"}
     assert po("no options here") == {}
+
+
+def test_tdigest_port_matches_reference_goldens():
+    """The df_tdigest alternative reading (family 17) is bit-exact:
+    the Python port (tools/tdigest_df.py) of DataFusion's t-digest
+    (functions-aggregate-common/src/tdigest.rs) reproduces the
+    reference's RECORDED .slt answers on the corpus fixture —
+    aggregate.slt:594-606 (approx_median over int/bigint/double) and
+    aggregate.slt:1633-1645 (grouped approx_percentile_cont p95)."""
+    import duckdb
+
+    from tdigest_df import tdigest_quantile
+
+    fixture = ("/root/reference/datafusion-greatest/datafusion/core/"
+               "tests/data/aggregate_test_100_order_by_c1_asc.csv")
+    if not os.path.exists(fixture):
+        pytest.skip("reference fixture not present")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_csv_auto('{fixture}')")
+
+    def col(sql):
+        return [float(r[0]) for r in con.execute(sql).fetchall()]
+
+    # evaluate()'s `q as i64` truncates toward zero = Python int() here
+    assert int(tdigest_quantile(col("SELECT c2 FROM t"), 0.5)) == 3
+    assert (int(tdigest_quantile(col("SELECT c6 FROM t"), 0.5))
+            == 1146409980542786560)
+    assert math.isclose(tdigest_quantile(col("SELECT c12 FROM t"), 0.5),
+                        0.555006541052, rel_tol=1e-9)
+    for g, exp in zip("abcde", (73, 68, 122, 124, 115)):
+        vals = col(f"SELECT c3 FROM t WHERE c1='{g}'")
+        assert int(tdigest_quantile(vals, 0.95)) == exp, g
+    # NaN values digest to NaN (nulls are dropped UPSTREAM via the
+    # xnull flag; a genuine NaN poisons the centroid means)
+    assert math.isnan(tdigest_quantile([1.0, float("nan"), 2.0], 0.5))
+    # empty input -> NULL
+    assert tdigest_quantile([], 0.5) is None

@@ -2,9 +2,9 @@
 
 Executes ALL 105 of the reference's own ``.slt`` files —
 ``datafusion-greatest/datafusion/sqllogictest/test_files/*.slt`` — against
-Spark SQL via tools/slt_runner.py and pins the census: **4,169+
-content-verified query blocks** and the exact set of **103 divergent
-blocks** (88 deterministic + 15 run-to-run-underdetermined), each with
+Spark SQL via tools/slt_runner.py and pins the census: **4,189+
+content-verified query blocks** and the exact set of **84 divergent
+blocks** (69 deterministic + 15 run-to-run-underdetermined), each with
 a named, verified cause. Re-pin with tools/repin_slt.py after ANY
 harness change (r4 shipped a widening without re-pinning and left 4
 parity tests red at HEAD — never again). Mirrors the TPC-DS execution differential's
@@ -248,13 +248,21 @@ Pinned divergence families (every pinned line belongs to one):
     records the capability divergence, but the corpus's intended table
     state carries forward (insert 308/379/393/399, insert_to_external
     309 now content-verify).
-17. **Approximate-sketch drift** — approx_median/approx_percentile
-    (DataFusion t-digest interpolates; Spark Greenwald-Khanna picks a
-    discrete neighboring sample — it even fails DataFusion's own ±5%
-    t-digest error-bound probes on the 100-row fixture; NaN inputs
-    differ too) and approx_distinct (HLL vs HLL++ estimates differ by
-    ±1). aggregate_skip_partial 281/291/341/351/475/621/634; aggregate
-    600/606/721/735/1149/1200/1211/1216/1307/1323/1625/1645.
+17. **Approximate-sketch drift** — RETIRED in r6 session 2: the
+    df_tdigest pandas UDAF (tools/tdigest_df.py — an exact port of
+    DataFusion's t-digest merge/estimate, whose result for the
+    corpus's single-batch fixtures is a pure function of the sorted
+    multiset) reproduces every approx_median /
+    approx_percentile_cont[_with_weight] golden bit-for-bit (incl. the
+    ±5% error-bound probes Spark's GK sketch failed, the NaN-poisoned
+    digest, and the decimal→Float64 case), and approx_distinct becomes
+    exact COUNT(DISTINCT) — DataFusion's 16384-register HLL is exact
+    below the linear-counting collision boundary, verified against all
+    recorded goldens (the commented-out aggregate.slt:1143 varchar
+    block is the one known register collision). All 19 pins flipped:
+    aggregate_skip_partial now censuses ZERO divergences. Like every
+    alternative it is verdict-gated, so a multi-batch fixture whose
+    digest is batching-dependent would re-pin rather than mis-verify.
 18. **Arrow type-width/unit display** — arrow_typeof is emulated via
     Spark's typeof mapped to Arrow names, so types Spark normalizes
     render at their Spark width. The r6 STATIC FOLDS retire the half of
@@ -318,8 +326,12 @@ PINNED = {
     # csv header default fix - 31 pins retired, zero new divergence
     # lines, floor 4082 -> 4117
     "agg_func_substitute.slt": (1, set()),
-    "aggregate.slt": (403, {393, 600, 606, 721, 735, 1149, 1200, 1211, 1216, 1307, 1323, 1625, 1645, 2836, 3243, 3292, 3340, 3390, 4112, 4141, 4146, 4153, 4158, 4184, 4869, 6053, 6064}),
-    "aggregate_skip_partial.slt": (38, {281, 291, 341, 351, 475, 621, 634}),
+    # family 17 retired in r6 session 2: the df_tdigest alternative
+    # (exact t-digest port + exact COUNT(DISTINCT) below the HLL
+    # linear-counting boundary) flips all 12 aggregate.slt and all 7
+    # aggregate_skip_partial.slt sketch-drift pins
+    "aggregate.slt": (417, {393, 2836, 3243, 3292, 3340, 3390, 4112, 4141, 4146, 4153, 4158, 4184, 4869, 6053, 6064}),
+    "aggregate_skip_partial.slt": (45, set()),
     "aggregates_topk.slt": (12, set()),
     "array.slt": (632, {692, 2389, 2443, 2622, 2676, 6099, 6605}),
     "array_query.slt": (26, set()),
@@ -413,7 +425,11 @@ PINNED = {
     "unnest.slt": (28, set()),
     "update.slt": (0, set()),
     "wildcard.slt": (4, set()),
-    "window.slt": (136, {2567, 2774, 2820, 2867, 3977, 3983, 3989, 3995}),
+    # floor 135 = the all-underdetermined-mismatch minimum (4336/4343/
+    # 4350/4476 each add 1 content when they happen to match; the r6
+    # repin run caught one matching and recorded 136 — measured 135 in
+    # two standalone runs this session)
+    "window.slt": (135, {2567, 2774, 2820, 2867, 3977, 3983, 3989, 3995}),
     "create_function.slt": (1, set()),
     "explain.slt": (0, set()),
     "information_schema.slt": (0, set()),
@@ -439,7 +455,7 @@ UNDERDETERMINED = {
 # measured on the round-5 clean-scratch pinning run (tools/repin_slt.py,
 # 96 files); per-file floors subtract every underdetermined block so
 # any legal flip stays above the floor
-TOTAL_CONTENT_FLOOR = 4169
+TOTAL_CONTENT_FLOOR = 4189
 
 
 _totals = {"content": 0}

@@ -1,0 +1,197 @@
+"""Per-query floor decomposition for the SF1 residual (round-6 verdict
+item: "close the gap or prove the residual is irreducible Spark fixed
+cost"). For each remaining >2x query, times three things back-to-back
+on the same compacted SF1 layout the bench uses:
+
+  * scan   — the query's fact-scan + map-side projection only (no
+             exchange): the Tungsten scan floor.
+  * skel   — the query's dominant exchange SKELETON: the same fact
+             columns through the same shuffle key(s) and a minimal
+             aggregate, nothing else. This is the cheapest plan Spark
+             can run that still performs the query's required data
+             movement.
+  * full   — the registry query itself.
+
+If full ~= skel >> scan, the residual vs DataFusion is the exchange
+materialization floor (shuffle write+read through the BlockManager),
+not plan shape: no rewrite that keeps the required exchange can close
+it on one node. DataFusion streams the same hash repartition through
+in-memory channels without materializing shuffle files, which is
+where its 0.2-0.9 s per-query times come from (reference
+datafusion/physical-plan/src/repartition/).
+
+Usage: python tools/sf1_floor.py [--dir /tmp/sf1_tpch] [--passes 3]
+Prints one JSON line; paste the table into BENCH_NOTES.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _skeletons(spark, sf_dir):
+    """name -> (scan_df_fn, skeleton_df_fn); both end in a 1-row agg so
+    collect() cost is nil and nothing is cached between variants."""
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+    def t(name):
+        return load_table(spark, sf_dir, name)
+
+    def q9_scan():
+        return (t("lineitem")
+                .select("l_orderkey", "l_extendedprice")
+                .agg(F.max("l_extendedprice")))
+
+    def q9_skel():
+        # dominant movement: full-fact orderkey exchange into orders
+        li = t("lineitem").select("l_orderkey", "l_extendedprice")
+        o = t("orders").select("o_orderkey", "o_orderdate")
+        return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy(F.year("o_orderdate").alias("y"))
+                .agg(F.sum("l_extendedprice").alias("s"))
+                .agg(F.max("s")))
+
+    def q18_scan():
+        return (t("lineitem").select("l_orderkey", "l_quantity")
+                .agg(F.max("l_quantity")))
+
+    def q18_skel():
+        # dominant movement: 6M-row -> 1.5M-group orderkey aggregate
+        return (t("lineitem").groupBy("l_orderkey")
+                .agg(F.sum("l_quantity").alias("s"))
+                .agg(F.max("s")))
+
+    def q21_scan():
+        li = t("lineitem")
+        return (li.filter(F.col("l_receiptdate") > F.col("l_commitdate"))
+                .select("l_orderkey", "l_suppkey")
+                .agg(F.max("l_suppkey")))
+
+    def q21_skel():
+        # dominant movement: one orderkey exchange + the two window
+        # counts over it (q21's confirmed-best form, tpch.py:973)
+        from pyspark.sql import Window
+        li = (t("lineitem")
+              .select("l_orderkey", "l_suppkey",
+                      (F.col("l_receiptdate") > F.col("l_commitdate"))
+                      .alias("late")))
+        w = Window.partitionBy("l_orderkey")
+        return (li.withColumn("n_supp",
+                              F.size(F.collect_set("l_suppkey").over(w)))
+                .withColumn("n_late",
+                            F.sum(F.when(F.col("late"), 1).otherwise(0))
+                            .over(w))
+                .agg(F.max("n_supp"), F.max("n_late")))
+
+    def q17_scan():
+        return (t("lineitem").select("l_partkey", "l_quantity")
+                .agg(F.max("l_quantity")))
+
+    def q17_skel():
+        # dominant movement: partkey aggregate + rejoin at partkey
+        per = (t("lineitem").groupBy("l_partkey")
+               .agg(F.avg("l_quantity").alias("a")))
+        li = t("lineitem").select("l_partkey", "l_quantity")
+        return (li.join(per, "l_partkey")
+                .filter(F.col("l_quantity") < F.col("a"))
+                .agg(F.sum("l_quantity")))
+
+    def q11_scan():
+        return (t("lineitem").select("l_partkey", "l_quantity")
+                .agg(F.max("l_quantity")))
+
+    def q11_skel():
+        # dominant movement: 6M -> 200k-group partkey aggregate (x1;
+        # the scalar branch reuses the exchange, pinned in test_plans)
+        return (t("lineitem").groupBy("l_partkey")
+                .agg(F.sum("l_quantity").alias("s"))
+                .agg(F.max("s")))
+
+    def q8_scan():
+        return (t("lineitem")
+                .select("l_orderkey", "l_partkey", "l_extendedprice")
+                .agg(F.max("l_extendedprice")))
+
+    def q8_skel():
+        # dominant movement: fact orderkey exchange into date-filtered
+        # orders, then the custkey exchange of the joined slice
+        li = t("lineitem").select("l_orderkey", "l_extendedprice")
+        o = (t("orders")
+             .filter(F.col("o_orderdate").between(
+                 F.lit("1996-01-01").cast("timestamp"),
+                 F.lit("1997-12-31").cast("timestamp")))
+             .select("o_orderkey", "o_custkey", "o_orderdate"))
+        c = t("customer").select("c_custkey")
+        return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(c, F.col("o_custkey") == F.col("c_custkey"))
+                .groupBy(F.year("o_orderdate").alias("y"))
+                .agg(F.sum("l_extendedprice").alias("s"))
+                .agg(F.max("s")))
+
+    return {
+        "tpch_q8": (q8_scan, q8_skel),
+        "tpch_q9": (q9_scan, q9_skel),
+        "tpch_q11": (q11_scan, q11_skel),
+        "tpch_q17": (q17_scan, q17_skel),
+        "tpch_q18": (q18_scan, q18_skel),
+        "tpch_q21": (q21_scan, q21_skel),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/tmp/sf1_tpch")
+    ap.add_argument("--passes", type=int, default=3)
+    args = ap.parse_args()
+
+    from tpch_sf1 import TPCH_TABLES, ensure_sf1
+
+    from rust_query_engine_greatest_spark.queries import REGISTRY
+    from rust_query_engine_greatest_spark.session import get_spark
+    from rust_query_engine_greatest_spark.sources import compact
+
+    ensure_sf1(args.dir)
+    spark = get_spark(app_name="sf1-floor")
+    dest, _ = compact.compact_tables(spark, args.dir, tables=TPCH_TABLES)
+    compact._ACTIVE[os.path.abspath(args.dir)] = dest
+
+    t_gate = time.time()
+    while os.getloadavg()[0] > 3.0 and time.time() - t_gate < 240:
+        time.sleep(10)
+
+    out: dict[str, dict[str, float]] = {}
+    skels = _skeletons(spark, args.dir)
+    for name, (scan_fn, skel_fn) in skels.items():
+        best = {"scan": 9e9, "skel": 9e9, "full": 9e9}
+        for _ in range(args.passes):
+            for kind, build in (("scan", scan_fn), ("skel", skel_fn),
+                                ("full", lambda: REGISTRY[name].build(
+                                    spark, args.dir))):
+                t0 = time.time()
+                build().collect()
+                best[kind] = min(best[kind], time.time() - t0)
+        out[name] = {k: round(v, 3) for k, v in best.items()}
+        out[name]["plan_overhead"] = round(
+            best["full"] - best["skel"], 3)
+
+    print(json.dumps({
+        "metric": "sf1_floor_decomposition",
+        "sf": 1.0,
+        "layout": "compacted",
+        "queries": out,
+        "load": list(os.getloadavg()),
+        "ts": round(time.time(), 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

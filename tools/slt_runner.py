@@ -1397,6 +1397,49 @@ def register_df_semantics(spark) -> None:
         spark.sql(ddl)
 
 
+def register_tdigest_udaf(spark) -> None:
+    """Register ``df_tdigest`` — a grouped-agg pandas UDAF computing
+    DataFusion's exact t-digest quantile (tools/tdigest_df.py, ported
+    from datafusion/functions-aggregate-common/src/tdigest.rs) — for
+    the family-17 verdict-gated alternative reading (_alt_tdigest).
+    Args: (x DOUBLE, xnull BOOLEAN, q DOUBLE, msize BIGINT). The xnull
+    flag distinguishes SQL NULL (dropped, approx_percentile_cont.rs:435)
+    from a genuine NaN value (digested) — in a pandas float series both
+    arrive as NaN. Test-harness-only; never on a product path."""
+    try:
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+    except ImportError:  # pragma: no cover — pandas is baked in
+        return
+    import tdigest_df
+    from tdigest_df import tdigest_quantile
+
+    # the UDAF body runs on Python workers that don't have tools/ on
+    # sys.path — ship the module with the job
+    spark.sparkContext.addPyFile(os.path.abspath(tdigest_df.__file__))
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` turns type hints into strings pyspark can't resolve
+    # against a function-local pandas import. Returns a STRING (Python
+    # repr round-trips f64 exactly through Spark's CAST): a double
+    # return would turn a genuine NaN estimate into SQL NULL at the
+    # Arrow boundary (pandas uses NaN as its null sentinel) — and
+    # aggregate.slt:721 pins approx_median(col_f64_nan) = NaN.
+    @pandas_udf("string", PandasUDFType.GROUPED_AGG)
+    def df_tdigest(x, xnull, q, msize):
+        import math as _math
+        vals = [float(v) for v, isn in zip(x, xnull) if not bool(isn)]
+        if not vals:
+            return None
+        est = tdigest_quantile(vals, float(q.iloc[0]), int(msize.iloc[0]))
+        if _math.isnan(est):
+            return "NaN"
+        if _math.isinf(est):
+            return "Infinity" if est > 0 else "-Infinity"
+        return repr(est)
+
+    spark.udf.register("df_tdigest", df_tdigest)
+
+
 _DF_DDL_RE = re.compile(
     r"CREATE OR REPLACE TEMPORARY FUNCTION (df_\w+)\s*"
     r"\(([^)]*)\)\s*RETURNS \w+\s*RETURN\s+(.+)$",
@@ -3320,6 +3363,10 @@ class SltRunner:
         except Exception:  # noqa: BLE001 — harness must run without the package
             pass
         register_df_semantics(self.spark)
+        try:
+            register_tdigest_udaf(self.spark)
+        except Exception:  # noqa: BLE001 — alt reading degrades to pinned
+            pass
 
     def _exec(self, sql: str):
         return self.spark.sql(sql)
@@ -3880,6 +3927,7 @@ class SltRunner:
                                          self._alt_deep_arrays(b.sql),
                                          self._alt_multi_unnest(b.sql),
                                          self._alt_avg_trunc_dec(t),
+                                         self._alt_tdigest(b.sql),
                                          _alt_int_div(t))):
                     st2, act2 = self._collect_formatted(alt)
                     if self.verbose:
@@ -4381,6 +4429,132 @@ class SltRunner:
                 pos = close_p + 1
                 continue
             out = out[:pos + m.start()] + repl + out[close_p + 1:]
+            pos = pos + m.start() + len(repl)
+            changed = True
+        if not changed:
+            return None
+        try:
+            return translate_query(out)
+        except Untranslatable:
+            return None
+
+    def _alt_tdigest(self, t: str) -> str | None:
+        """Family-17 exact reproduction: DataFusion's approx_median /
+        approx_percentile_cont[_with_weight] are a t-digest
+        (functions-aggregate-common/src/tdigest.rs) whose result for
+        the corpus's single-batch fixtures is a PURE FUNCTION of the
+        sorted value multiset — reproduced bit-exactly by the
+        df_tdigest pandas UDAF (tools/tdigest_df.py) plus the
+        reference's evaluate() width cast (``q as iN`` truncates toward
+        zero → CAST AS BIGINT; Float32 → CAST AS FLOAT — the width is
+        the argument's type, invisible in the SQL text and probed from
+        the live session). approx_distinct becomes exact
+        COUNT(DISTINCT): DataFusion's 16384-register HLL is exact below
+        the linear-counting collision boundary and every corpus
+        cardinality is ≤ 100 (verified: all recorded goldens equal the
+        exact counts; the commented-out aggregate.slt:1143 block is the
+        one known collision). Operates on the ORIGINAL block SQL (the
+        standard translation pre-lowers these to Spark's GK/HLL++
+        sketches, which diverge) and re-translates. Verdict-gated like
+        every alternative reading — accepted only when it reproduces
+        the reference's recorded answer, so a batching-dependent block
+        (aggregate_skip_partial's skip-partial readings) stays pinned
+        rather than silently mis-verifying."""
+        if not re.search(r"\bapprox_(median|percentile_cont|distinct)\s*\(",
+                         t, re.IGNORECASE):
+            return None
+        t = t.strip().rstrip(";")
+        from_pos = _top_level_kw(t, "FROM")
+        tail = t[from_pos:] if from_pos >= 0 else ""
+        for kw in ("GROUP", "HAVING", "ORDER", "LIMIT"):
+            p = _top_level_kw(tail, kw)
+            if p >= 0:
+                tail = tail[:p]
+
+        def probe_cast(arg: str) -> str | None:
+            """Outer cast mirroring evaluate()'s return-type conversion,
+            from the argument's live type; None = unsupported type."""
+            from pyspark.sql.types import (ByteType, DecimalType,
+                                           DoubleType, FloatType,
+                                           IntegerType, LongType,
+                                           ShortType)
+            try:
+                dt = self.spark.sql(translate_query(
+                    f"SELECT first({arg}) AS __p {tail}")).schema[0].dataType
+            except Exception:  # noqa: BLE001 — probe context invalid
+                return None
+            if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+                return "BIGINT"
+            if isinstance(dt, FloatType):
+                return "FLOAT"
+            if isinstance(dt, (DoubleType, DecimalType)):
+                return ""
+            return None
+
+        out, changed, pos = t, False, 0
+        while True:
+            m = re.search(
+                r"\bapprox_(median|percentile_cont_with_weight"
+                r"|percentile_cont|distinct)\s*\(", out[pos:], re.IGNORECASE)
+            if not m:
+                break
+            kind = m.group(1).lower()
+            open_p = pos + m.end() - 1
+            try:
+                close_p = _find_close(out, open_p)
+            except Untranslatable:
+                return None
+            args = _split_top_level(out[open_p + 1:close_p])
+            end = close_p + 1
+            if kind == "distinct":
+                if len(args) != 1:
+                    return None
+                repl = f"count(DISTINCT {args[0]})"  # FILTER kept native
+            else:
+                if kind == "median":
+                    if len(args) != 1:
+                        return None
+                    x, q, msize = args[0], "0.5", "100"
+                elif kind == "percentile_cont":
+                    if len(args) not in (2, 3):
+                        return None
+                    x, q = args[0], args[1]
+                    msize = args[2] if len(args) == 3 else "100"
+                else:  # with_weight: only the weight-1 (unweighted) form
+                    if len(args) != 3 or args[1].strip() != "1":
+                        return None
+                    x, q, msize = args[0], args[2], "100"
+                fm = re.match(r"\s*FILTER\s*\(\s*WHERE\b", out[end:],
+                              re.IGNORECASE)
+                if fm:
+                    # fold the FILTER into the null flag (excluded rows
+                    # drop exactly like NULLs do) — Spark's planner does
+                    # not take a FILTER clause on a pandas UDAF
+                    f_open = end + out[end:].index("(")
+                    try:
+                        f_close = _find_close(out, f_open)
+                    except Untranslatable:
+                        return None
+                    pred = re.sub(r"^\s*WHERE\b", "",
+                                  out[f_open + 1:f_close],
+                                  flags=re.IGNORECASE).strip()
+                    x_expr = (f"CASE WHEN ({pred}) THEN "
+                              f"CAST(({x}) AS DOUBLE) END")
+                    null_expr = (f"(({x}) IS NULL OR NOT "
+                                 f"coalesce(({pred}), false))")
+                    end = f_close + 1
+                else:
+                    x_expr = f"CAST(({x}) AS DOUBLE)"
+                    null_expr = f"(({x}) IS NULL)"
+                cast = probe_cast(x)
+                if cast is None:
+                    return None
+                repl = (f"CAST(df_tdigest({x_expr}, {null_expr}, "
+                        f"CAST({q} AS DOUBLE), CAST({msize} AS BIGINT)) "
+                        f"AS DOUBLE)")
+                if cast:
+                    repl = f"CAST({repl} AS {cast})"
+            out = out[:pos + m.start()] + repl + out[end:]
             pos = pos + m.start() + len(repl)
             changed = True
         if not changed:
