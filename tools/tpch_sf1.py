@@ -161,12 +161,29 @@ ALL_TABLES = TPCH_TABLES + ("partsupp",)
 
 def _rows_close(a, b) -> bool:
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     if len(a) != len(b):
         return False
 
     def key(row):
         return tuple(str(v) for v in row)
+
+    def decimal_scale_eq(x, y) -> bool:
+        """Spark keeps DECIMAL through avg (scale s+4, HALF_UP — the
+        same typing DataFusion uses, family-1 notes); DuckDB's avg is
+        f64. They agree EXACTLY at the decimal's own scale: quantizing
+        the double with the same rounding must reproduce the decimal
+        (q1 avg_* columns, q8/q14 shares)."""
+        if isinstance(y, Decimal) and isinstance(x, float):
+            x, y = y, x
+        if not (isinstance(x, Decimal) and isinstance(y, float)):
+            return False
+        quantum = Decimal(1).scaleb(x.as_tuple().exponent)
+        try:
+            return Decimal(y).quantize(quantum, rounding=ROUND_HALF_UP) == x
+        except ArithmeticError:
+            return False
 
     for ra, rb in zip(sorted(a, key=key), sorted(b, key=key)):
         if len(ra) != len(rb):
@@ -175,6 +192,8 @@ def _rows_close(a, b) -> bool:
             if x is None or y is None:
                 if x is not y:
                     return False
+                continue
+            if decimal_scale_eq(x, y):
                 continue
             try:
                 fx, fy = float(x), float(y)
@@ -189,9 +208,18 @@ def _rows_close(a, b) -> bool:
 def run_official(spark, con, args) -> tuple[dict, dict]:
     from slt_runner import translate_query, translate_statement
 
+    from rust_query_engine_greatest_spark.sources import compact
+
+    # honor --layout compacted: the Spark views read the clustered
+    # copies (partsupp is not in TPCH_TABLES — raw); the DuckDB oracle
+    # reads the originals (same rows either way)
+    src = compact._ACTIVE.get(os.path.abspath(args.dir), args.dir)
     for t in ALL_TABLES:
-        spark.read.parquet(f"{args.dir}/{t}.parquet") \
-            .createOrReplaceTempView(t)
+        path = f"{src}/{t}.parquet" if t in TPCH_TABLES \
+            else f"{args.dir}/{t}.parquet"
+        if not os.path.exists(path):
+            path = f"{args.dir}/{t}.parquet"
+        spark.read.parquet(path).createOrReplaceTempView(t)
         try:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                         f"read_parquet('{args.dir}/{t}.parquet')")
@@ -201,11 +229,7 @@ def run_official(spark, con, args) -> tuple[dict, dict]:
     best: dict[str, float] = {}
     from driver_emulator import value_hash
 
-    for i in range(1, 23):
-        name = f"q{i}"
-        sql = open(os.path.join(REF_QUERIES, f"{name}.sql")).read()
-        stmts = [s.strip() for s in sql.split(";") if s.strip()]
-
+    def make_run_spark(stmts):
         def run_spark():
             out = None
             for s in stmts:
@@ -217,6 +241,14 @@ def run_official(spark, con, args) -> tuple[dict, dict]:
                     df = spark.sql(translate_query(s))
                     out = (df.columns, [tuple(r) for r in df.collect()])
             return out
+        return run_spark
+
+    runners: dict[str, object] = {}
+    for i in range(1, 23):
+        name = f"q{i}"
+        sql = open(os.path.join(REF_QUERIES, f"{name}.sql")).read()
+        stmts = [s.strip() for s in sql.split(";") if s.strip()]
+        run_spark = make_run_spark(stmts)
 
         def run_duck():
             out = None
@@ -239,7 +271,16 @@ def run_official(spark, con, args) -> tuple[dict, dict]:
         except Exception as e:  # noqa: BLE001
             census[name] = f"ERROR {str(e)[:120]}"
             continue
-        for _ in range(args.passes):
+        runners[name] = run_spark
+
+    # the 32-thread DuckDB census heats the box; settle before timing
+    # (same idle discipline as the registry path and bench.py)
+    t_gate = time.time()
+    while os.getloadavg()[0] > 3.0 and time.time() - t_gate < 240:
+        time.sleep(10)
+
+    for _ in range(args.passes):
+        for name, run_spark in runners.items():
             t0 = time.time()
             run_spark()
             best[name] = min(best.get(name, 9e9), time.time() - t0)
