@@ -283,3 +283,39 @@ def test_tdigest_port_matches_reference_goldens():
     assert math.isnan(tdigest_quantile([1.0, float("nan"), 2.0], 0.5))
     # empty input -> NULL
     assert tdigest_quantile([], 0.5) is None
+
+
+def test_tracked_typeof_fold():
+    """Family 18's cross-statement half: declared column types tracked
+    from executed CREATEs fold later arrow_typeof reads (unsigned
+    widths, arrow_cast CTAS bodies, statement-local CTE casts and
+    integer-literal subqueries), through type-preserving aggregates,
+    sum widening and avg→Float64. Pure rewrite logic — the live gate
+    runs in test_slt_parity."""
+    from slt_runner import SltRunner
+
+    class Bare(SltRunner):
+        def __init__(self):
+            self._decl_types = {}
+
+    r = Bare()
+    r._track_decl_types("create table t (c int unsigned) as values (1)")
+    assert r._decl_types == {("t", "c"): "UInt32"}
+    out = r._alt_tracked_typeof(
+        "Select bit_xor(DISTINCT c), arrow_typeof(bit_xor(DISTINCT c)) from t")
+    assert "'UInt32'" in out and "arrow_typeof" not in out
+    out = r._alt_tracked_typeof(
+        "select sum(distinct c), arrow_typeof(sum(distinct c)) from t")
+    assert "'UInt64'" in out
+    r._track_decl_types("CREATE TABLE vd AS SELECT arrow_cast(x, "
+                        "'Dictionary(Int64, Int32)') AS x_dict FROM v")
+    assert r._decl_types[("vd", "x_dict")] == "Dictionary(Int64, Int32)"
+    out = r._alt_tracked_typeof(
+        "select arrow_typeof(lag(a) over ()) from (select 1 a)")
+    assert "'Int64'" in out
+    out = r._alt_tracked_typeof(
+        "WITH d AS (SELECT arrow_cast(1, 'Float16') AS f) "
+        "SELECT arrow_typeof(MIN(f)) FROM d")
+    assert "'Float16'" in out
+    r._track_decl_types("drop table t")
+    assert ("t", "c") not in r._decl_types

@@ -2,9 +2,9 @@
 
 Executes ALL 105 of the reference's own ``.slt`` files —
 ``datafusion-greatest/datafusion/sqllogictest/test_files/*.slt`` — against
-Spark SQL via tools/slt_runner.py and pins the census: **4,189+
-content-verified query blocks** and the exact set of **84 divergent
-blocks** (69 deterministic + 15 run-to-run-underdetermined), each with
+Spark SQL via tools/slt_runner.py and pins the census: **4,204+
+content-verified query blocks** and the exact set of **69 divergent
+blocks** (54 deterministic + 15 run-to-run-underdetermined), each with
 a named, verified cause. Re-pin with tools/repin_slt.py after ANY
 harness change (r4 shipped a widening without re-pinning and left 4
 parity tests red at HEAD — never again). Mirrors the TPC-DS execution differential's
@@ -134,8 +134,9 @@ Pinned divergence families (every pinned line belongs to one):
     through arrow_typeof). The coalesce width pins (26/54/109/165/172/
     320) are retired — the r6 static coercion fold reproduces
     DataFusion's int/uint/float/decimal unification rules when every
-    argument's Arrow type is textually determined. window 3989/3995 (first/last_value
-    over a VALUES-typed column); options 106/134/147/188 (i64-overflow
+    argument's Arrow type is textually determined. window 3989/3995
+    (first/last_value over a VALUES-typed column) retired in r6 s2 by
+    the _alt_tracked_typeof literal-subquery rule. options 106/134/147/188 (i64-overflow
     integer literals: DataFusion types them UInt64/Float64 — or
     Decimal128 under its parse_decimals option — where Spark uses
     DECIMAL(19+,0), and the paired arrow_typeof displays). decimal 121 (avg's truncated decimal
@@ -272,16 +273,23 @@ Pinned divergence families (every pinned line belongs to one):
     through date_bin/date_trunc — timestamps 679/697/715/2030/2035/
     2040; arrow_cast round-trips incl. the verbose List Field form —
     arrow_typeof 105/380/385/417/435; struct literals — struct
-    229/234). What remains is type state only visible at runtime:
-    unsigned ints → signed (aggregate 2836/3243/3292/3340/3390),
-    Float16 → Float32 (aggregate 6053/6064), Dictionary encodings are
-    transparent (aggregate 4869), Utf8View → Utf8 (string_view 986),
-    COLUMN-typed per-unit/zone timestamps (timestamps 1294/1305/1378/
-    1389/2045/2102/2444; parquet 261; Date64 keeps intra-day time in
-    Arrow, DATE truncates it — timestamps 2800; arrow_typeof 157/222/
-    250 read columns of a table created from arrow_cast values), and
-    lag/lead over Int32 widening to Int64 (window 3977/3983 — the arg
-    type is a subquery column, not textual).
+    229/234). The CROSS-STATEMENT half is retired in r6 s2 by the
+    _track_decl_types registry + _alt_tracked_typeof alternative: the
+    runner records textually-declared column types from executed
+    CREATEs (`c int unsigned` defs, `arrow_cast(x, 'T') AS col` CTAS
+    bodies) and folds later arrow_typeof reads of those columns —
+    through the type-preserving aggregate set, sum's Arrow widening
+    and avg→Float64, plus statement-local `arrow_cast .. AS` CTEs and
+    `(select 1 a)` integer-literal subqueries (DataFusion types bare
+    int literals Int64). Retired: unsigned aggregates (aggregate
+    2836/3243/3292/3340/3390), Float16 min/max (aggregate 6053/6064),
+    Dictionary (aggregate 4869), arrow_cast-created tables
+    (arrow_typeof 157/222/250), lag/lead Int64 (window 3977/3983).
+    What remains is genuinely runtime-only or value-level: Utf8View →
+    Utf8 (string_view 986), COLUMN-typed per-unit/zone timestamp VALUE
+    renderings (timestamps 1294/1305/1378/1389/2045/2102/2444; parquet
+    261; Date64 keeps intra-day time in Arrow, DATE truncates it —
+    timestamps 2800).
 19. **dbgen text pool** — DuckDB's tpch extension reproduces official
     dbgen keys and numerics exactly (16/21 tpch.slt goldens content-
     verify, q1 sums match to the cent) but not the comment/address
@@ -330,13 +338,13 @@ PINNED = {
     # (exact t-digest port + exact COUNT(DISTINCT) below the HLL
     # linear-counting boundary) flips all 12 aggregate.slt and all 7
     # aggregate_skip_partial.slt sketch-drift pins
-    "aggregate.slt": (417, {393, 2836, 3243, 3292, 3340, 3390, 4112, 4141, 4146, 4153, 4158, 4184, 4869, 6053, 6064}),
+    "aggregate.slt": (425, {393, 4112, 4141, 4146, 4153, 4158, 4184}),
     "aggregate_skip_partial.slt": (45, set()),
     "aggregates_topk.slt": (12, set()),
     "array.slt": (632, {692, 2389, 2443, 2622, 2676, 6099, 6605}),
     "array_query.slt": (26, set()),
     "arrow_files.slt": (1, set()),
-    "arrow_typeof.slt": (27, {157, 222, 250, 330, 335}),
+    "arrow_typeof.slt": (30, {330, 335}),
     "avro.slt": (10, set()),
     "binary.slt": (7, set()),
     "binary_view.slt": (10, set()),
@@ -429,7 +437,7 @@ PINNED = {
     # 4350/4476 each add 1 content when they happen to match; the r6
     # repin run caught one matching and recorded 136 — measured 135 in
     # two standalone runs this session)
-    "window.slt": (135, {2567, 2774, 2820, 2867, 3977, 3983, 3989, 3995}),
+    "window.slt": (139, {2567, 2774, 2820, 2867}),
     "create_function.slt": (1, set()),
     "explain.slt": (0, set()),
     "information_schema.slt": (0, set()),
@@ -455,7 +463,7 @@ UNDERDETERMINED = {
 # measured on the round-5 clean-scratch pinning run (tools/repin_slt.py,
 # 96 files); per-file floors subtract every underdetermined block so
 # any legal flip stays above the floor
-TOTAL_CONTENT_FLOOR = 4189
+TOTAL_CONTENT_FLOOR = 4204
 
 
 _totals = {"content": 0}

@@ -3345,6 +3345,13 @@ class SltRunner:
         # parts}; lets a later path-literal read (FROM 'dir') reapply the
         # written column names to a headerless csv dataset
         self._copy_meta: dict[str, dict] = {}
+        # (table, column) -> declared Arrow type string, tracked from
+        # executed CREATE TABLE/VIEW statements whose column types are
+        # TEXTUALLY declared (int unsigned widths, arrow_cast(...) AS
+        # col in CTAS bodies) — family 18's cross-statement half; the
+        # _alt_tracked_typeof alternative folds later arrow_typeof
+        # reads of those columns to the declared type (verdict-gated)
+        self._decl_types: dict[tuple[str, str], str] = {}
         # path-literal → registered temp view name (per run_file)
         self._path_views: dict[str, str] = {}
         # the engine's DataFusion-dialect SQL names (iszero, date_bin,
@@ -3747,6 +3754,7 @@ class SltRunner:
                         self.spark.catalog.dropTempView(v)
                         self._temp_views.discard(v)
                 c.stmt_ok += 1
+                self._track_decl_types(b.sql)
                 return
             try:
                 t = translate_statement(b.sql)
@@ -3768,6 +3776,7 @@ class SltRunner:
                         s = self._schema_cast_insert(s)
                     self._exec(s)
                 c.stmt_ok += 1
+                self._track_decl_types(b.sql)
             except Exception as exc:  # noqa: BLE001 — census, not control flow
                 self._mark_created_unavailable(b.sql)
                 if "TABLE_OR_VIEW_NOT_FOUND" in str(exc):
@@ -3928,6 +3937,7 @@ class SltRunner:
                                          self._alt_multi_unnest(b.sql),
                                          self._alt_avg_trunc_dec(t),
                                          self._alt_tdigest(b.sql),
+                                         self._alt_tracked_typeof(b.sql),
                                          _alt_int_div(t))):
                     st2, act2 = self._collect_formatted(alt)
                     if self.verbose:
@@ -4555,6 +4565,146 @@ class SltRunner:
                 if cast:
                     repl = f"CAST({repl} AS {cast})"
             out = out[:pos + m.start()] + repl + out[end:]
+            pos = pos + m.start() + len(repl)
+            changed = True
+        if not changed:
+            return None
+        try:
+            return translate_query(out)
+        except Untranslatable:
+            return None
+
+    _UNSIGNED_WIDTHS = {"tinyint": "UInt8", "smallint": "UInt16",
+                        "int": "UInt32", "integer": "UInt32",
+                        "bigint": "UInt64"}
+
+    def _track_decl_types(self, sql: str) -> None:
+        """Record textually-declared Arrow column types from an
+        executed CREATE TABLE/VIEW (family 18's cross-statement half):
+        `c int unsigned` column defs and `arrow_cast(x, 'T') AS col`
+        CTAS/view bodies. DROP TABLE/VIEW clears the table's entries."""
+        dm = re.match(r"\s*drop\s+(?:table|view)\s+(?:if\s+exists\s+)?"
+                      r"([A-Za-z_]\w*)", sql, re.IGNORECASE)
+        if dm:
+            tbl = dm.group(1).lower()
+            for k in [k for k in self._decl_types if k[0] == tbl]:
+                del self._decl_types[k]
+            return
+        m = re.match(r"\s*create\s+(?:or\s+replace\s+)?(?:table|view)\s+"
+                     r"(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)", sql,
+                     re.IGNORECASE)
+        if not m:
+            return
+        tbl = m.group(1).lower()
+        for k in [k for k in self._decl_types if k[0] == tbl]:
+            del self._decl_types[k]
+        head = sql[m.end():]
+        if head.lstrip().startswith("("):
+            open_p = sql.index("(", m.end())
+            try:
+                close_p = _find_close(sql, open_p)
+            except Untranslatable:
+                return
+            for coldef in _split_top_level(sql[open_p + 1:close_p]):
+                cm = re.match(r"\s*([A-Za-z_]\w*)\s+"
+                              r"(tinyint|smallint|integer|int|bigint)\s+"
+                              r"unsigned\b", coldef, re.IGNORECASE)
+                if cm:
+                    self._decl_types[(tbl, cm.group(1).lower())] = \
+                        self._UNSIGNED_WIDTHS[cm.group(2).lower()]
+        for cm in re.finditer(r"\barrow_cast\s*\(", sql, re.IGNORECASE):
+            open_p = cm.end() - 1
+            try:
+                close_p = _find_close(sql, open_p)
+            except Untranslatable:
+                return
+            args = _split_top_level(sql[open_p + 1:close_p])
+            am = re.match(r"\s*AS\s+([A-Za-z_]\w*)", sql[close_p + 1:],
+                          re.IGNORECASE)
+            if am and len(args) == 2:
+                ty = args[1].strip().strip("'\"")
+                self._decl_types[(tbl, am.group(1).lower())] = ty
+
+    # aggregates/window fns that return their argument's type unchanged
+    _TYPE_PRESERVING = {"min", "max", "bit_and", "bit_or", "bit_xor",
+                        "first_value", "last_value", "lag", "lead"}
+
+    def _alt_tracked_typeof(self, t: str) -> str | None:
+        """Family 18's runtime-type-state half, resolved without runtime:
+        arrow_typeof over a column whose Arrow type was TEXTUALLY
+        declared in an earlier CREATE (tracked by _track_decl_types) or
+        in the statement itself (`arrow_cast(x, 'T') AS col` in a CTE,
+        `(select 1 a)` integer-literal subqueries — DataFusion types
+        bare int literals Int64) folds to the declared type, through
+        the type-preserving aggregate/window set, sum's Arrow widening
+        (UIntN→UInt64, IntN→Int64) and avg→Float64. Verdict-gated:
+        accepted only when it reproduces the reference's answer."""
+        if not re.search(r"\barrow_typeof\s*\(", t, re.IGNORECASE):
+            return None
+        t = t.strip().rstrip(";")
+        local: dict[str, str] = {}
+        for cm in re.finditer(r"\barrow_cast\s*\(", t, re.IGNORECASE):
+            open_p = cm.end() - 1
+            try:
+                close_p = _find_close(t, open_p)
+            except Untranslatable:
+                return None
+            args = _split_top_level(t[open_p + 1:close_p])
+            am = re.match(r"\s*AS\s+([A-Za-z_]\w*)", t[close_p + 1:],
+                          re.IGNORECASE)
+            if am and len(args) == 2:
+                local[am.group(1).lower()] = args[1].strip().strip("'\"")
+        for sm in re.finditer(r"\(\s*select\s+-?\d+\s+(?:as\s+)?"
+                              r"([A-Za-z_]\w*)\s*\)", t, re.IGNORECASE):
+            local[sm.group(1).lower()] = "Int64"
+        fm = re.search(r"\bfrom\s+([A-Za-z_]\w*)", t, re.IGNORECASE)
+        tbl = fm.group(1).lower() if fm else ""
+
+        def resolve(expr: str) -> str | None:
+            expr = expr.strip()
+            cm = re.match(r"^(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)$", expr)
+            if cm:
+                col = cm.group(1).lower()
+                return local.get(col) or self._decl_types.get((tbl, col))
+            am = re.match(r"^([A-Za-z_]\w*)\s*\(\s*(distinct\s+)?"
+                          r"(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*\)"
+                          r"(?:\s*over\s*\(\s*\))?$", expr, re.IGNORECASE)
+            if not am:
+                return None
+            fn, col = am.group(1).lower(), am.group(3).lower()
+            base = local.get(col) or self._decl_types.get((tbl, col))
+            if base is None:
+                return None
+            if fn in self._TYPE_PRESERVING:
+                return base
+            if fn == "sum":
+                if base.startswith("UInt"):
+                    return "UInt64"
+                if base.startswith("Int"):
+                    return "Int64"
+                if base.startswith("Float"):
+                    return "Float64"
+                return None
+            if fn == "avg":
+                return "Float64"
+            return None
+
+        out, changed, pos = t, False, 0
+        while True:
+            m = re.search(r"\barrow_typeof\s*\(", out[pos:], re.IGNORECASE)
+            if not m:
+                break
+            open_p = pos + m.end() - 1
+            try:
+                close_p = _find_close(out, open_p)
+            except Untranslatable:
+                return None
+            folded = resolve(out[open_p + 1:close_p])
+            if folded is None:
+                pos = close_p + 1
+                continue
+            repl = "'" + folded.replace("'", "''") + "'"
+            out = out[:pos + m.start()] + repl + out[close_p + 1:]
             pos = pos + m.start() + len(repl)
             changed = True
         if not changed:
