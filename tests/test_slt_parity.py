@@ -2,9 +2,9 @@
 
 Executes ALL 105 of the reference's own ``.slt`` files —
 ``datafusion-greatest/datafusion/sqllogictest/test_files/*.slt`` — against
-Spark SQL via tools/slt_runner.py and pins the census: **4,204+
-content-verified query blocks** and the exact set of **69 divergent
-blocks** (54 deterministic + 15 run-to-run-underdetermined), each with
+Spark SQL via tools/slt_runner.py and pins the census: **4,214+
+content-verified query blocks** and the exact set of **59 divergent
+blocks** (44 deterministic + 15 run-to-run-underdetermined), each with
 a named, verified cause. Re-pin with tools/repin_slt.py after ANY
 harness change (r4 shipped a widening without re-pinning and left 4
 parity tests red at HEAD — never again). Mirrors the TPC-DS execution differential's
@@ -205,13 +205,19 @@ Pinned divergence families (every pinned line belongs to one):
     (newSession isolation makes this safe; run_file restores the zone),
     with Arrow's zone-format validation mirrored so DataFusion-invalid
     zones don't take effect — timestamps 149/1637/1643/1655/1685 and
-    set_variable 183/191/199/207/237 now content-verify. What remains
-    is PER-COLUMN zone state Spark cannot carry: timestamps 1332/1416
-    (date_trunc over Europe/Berlin- and Sao-Paulo-zoned COLUMNS across
-    a DST boundary); arrow_typeof 61 (::timestamp is zone-less in
-    DataFusion, session-zoned in Spark, compared against emulated
-    to_timestamp renderings) and 330/335 (zone-ATTACHING arrow_cast
-    re-render of a naive timestamp).
+    set_variable 183/191/199/207/237 now content-verify. The
+    PER-COLUMN zone half is RETIRED in r6 s2: _track_decl_types carries
+    the zone declared in arrow_cast CREATE VIEW bodies, the
+    _alt_zoned_trunc alternative reproduces date_trunc-in-the-attached-
+    zone across the DST boundary (truncate the LOCAL wall clock, keep
+    the input instant's offset when still valid at the truncated local
+    time — the ambiguous fall-back hour — else resolve by zone rule:
+    the datafusion#8899 semantics; timestamps 1332/1416), ::timestamptz
+    folds to Some("+00") under the default config (timestamps 2444,
+    gated so a SET zone re-pins), and fixed-offset arrow_cast renders
+    preserve the wall clock with the offset suffix attached
+    (_alt_zoned_cast_render; arrow_typeof 330/335). timestamps.slt and
+    arrow_typeof.slt now census ZERO divergences.
 11. **Parse/precedence dialect** — the plural-interval-alias and
     XOR/shift precedence pins are retired (both translated), and so is
     the engine-default NULL ordering at a LIMIT boundary: the
@@ -285,11 +291,11 @@ Pinned divergence families (every pinned line belongs to one):
     2836/3243/3292/3340/3390), Float16 min/max (aggregate 6053/6064),
     Dictionary (aggregate 4869), arrow_cast-created tables
     (arrow_typeof 157/222/250), lag/lead Int64 (window 3977/3983).
-    What remains is genuinely runtime-only or value-level: Utf8View →
-    Utf8 (string_view 986), COLUMN-typed per-unit/zone timestamp VALUE
-    renderings (timestamps 1294/1305/1378/1389/2045/2102/2444; parquet
-    261; Date64 keeps intra-day time in Arrow, DATE truncates it —
-    timestamps 2800).
+    What remains is genuinely runtime-only: Utf8View → Utf8
+    (string_view 986) and the parquet FILE-borne column type (parquet
+    261). The timestamps value renderings retired with family 10's
+    per-column-zone half, and Date64's intra-day-preserving numeric
+    cast is reproduced by _alt_date64_keep_time (timestamps 2800).
 19. **dbgen text pool** — DuckDB's tpch extension reproduces official
     dbgen keys and numerics exactly (16/21 tpch.slt goldens content-
     verify, q1 sums match to the cent) but not the comment/address
@@ -344,7 +350,7 @@ PINNED = {
     "array.slt": (632, {692, 2389, 2443, 2622, 2676, 6099, 6605}),
     "array_query.slt": (26, set()),
     "arrow_files.slt": (1, set()),
-    "arrow_typeof.slt": (30, {330, 335}),
+    "arrow_typeof.slt": (32, set()),
     "avro.slt": (10, set()),
     "binary.slt": (7, set()),
     "binary_view.slt": (10, set()),
@@ -425,7 +431,7 @@ PINNED = {
     "struct.slt": (28, set()),
     "subquery.slt": (34, set()),
     "subquery_sort.slt": (4, set()),
-    "timestamps.slt": (207, {1294, 1305, 1332, 1378, 1389, 1416, 2444, 2800}),
+    "timestamps.slt": (215, set()),
     "topk.slt": (7, set()),
     "tpch/tpch.slt": (17, {'q10:110', 'q13:79', 'q15:108', 'q2:184'}),
     "type_coercion.slt": (7, set()),
@@ -463,7 +469,7 @@ UNDERDETERMINED = {
 # measured on the round-5 clean-scratch pinning run (tools/repin_slt.py,
 # 96 files); per-file floors subtract every underdetermined block so
 # any legal flip stays above the floor
-TOTAL_CONTENT_FLOOR = 4204
+TOTAL_CONTENT_FLOOR = 4214
 
 
 _totals = {"content": 0}
