@@ -3941,6 +3941,8 @@ class SltRunner:
                                          self._alt_zoned_trunc(b.sql),
                                          self._alt_date64_keep_time(b.sql),
                                          self._alt_zoned_cast_render(b.sql),
+                                         self._alt_case_null_then(b.sql),
+                                         self._alt_not_in_null_outer(b.sql),
                                          _alt_int_div(t))):
                     st2, act2 = self._collect_formatted(alt)
                     if self.verbose:
@@ -4866,6 +4868,58 @@ class SltRunner:
             return None
         try:
             return translate_query(out)
+        except Untranslatable:
+            return None
+
+    @staticmethod
+    def _alt_case_null_then(t: str) -> str | None:
+        """DataFusion v42 takes the THEN branch when a searched-CASE
+        condition evaluates to NULL, where ANSI/Spark/DuckDB fall
+        through to ELSE (case.slt 45/56, family 5). Emulated by
+        rewriting each condition to ``(cond) IS NOT FALSE``; gated, so
+        a block where the deviation doesn't bite keeps the standard
+        translation."""
+        if not re.search(r"\bCASE\s+WHEN\b", t, re.IGNORECASE):
+            return None
+        out = re.sub(r"\bWHEN\b(.*?)\bTHEN\b",
+                     r"WHEN (\1) IS NOT FALSE THEN", t.strip().rstrip(";"),
+                     flags=re.IGNORECASE | re.DOTALL)
+        try:
+            return translate_query(out)
+        except Untranslatable:
+            return None
+
+    _NOT_IN_SUB = re.compile(
+        r"((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)\s+NOT\s+IN\s*\(\s*(?=SELECT\b)",
+        re.IGNORECASE)
+
+    def _alt_not_in_null_outer(self, t: str) -> str | None:
+        """DataFusion v42 returns the NULL-keyed OUTER row from ``x NOT
+        IN (subquery)`` where ANSI/Spark/DuckDB's null-aware anti-join
+        filters it (joins.slt 3605, family 5). Emulated by OR-ing the
+        outer null case back in; gated."""
+        m = self._NOT_IN_SUB.search(t)
+        if not m:
+            return None
+        t = t.strip().rstrip(";")
+        out = []
+        pos = 0
+        for m in self._NOT_IN_SUB.finditer(t):
+            if m.start() < pos:  # inside a previously wrapped subquery
+                continue
+            open_p = t.index("(", m.end() - 1)
+            try:
+                close_p = _find_close(t, open_p)
+            except Untranslatable:
+                return None
+            col = m.group(1)
+            out.append(t[pos:m.start()])
+            out.append(f"({col} IS NULL OR {col} NOT IN "
+                       f"{t[open_p:close_p + 1]})")
+            pos = close_p + 1
+        out.append(t[pos:])
+        try:
+            return translate_query("".join(out))
         except Untranslatable:
             return None
 
