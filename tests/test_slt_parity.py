@@ -2,9 +2,9 @@
 
 Executes ALL 105 of the reference's own ``.slt`` files —
 ``datafusion-greatest/datafusion/sqllogictest/test_files/*.slt`` — against
-Spark SQL via tools/slt_runner.py and pins the census: **4,217+
-content-verified query blocks** and the exact set of **56 divergent
-blocks** (41 deterministic + 15 run-to-run-underdetermined), each with
+Spark SQL via tools/slt_runner.py and pins the census: **4,222+
+content-verified query blocks** and the exact set of **51 divergent
+blocks** (36 deterministic + 15 run-to-run-underdetermined), each with
 a named, verified cause. Re-pin with tools/repin_slt.py after ANY
 harness change (r4 shipped a widening without re-pinning and left 4
 parity tests red at HEAD — never again). Mirrors the TPC-DS execution differential's
@@ -153,11 +153,17 @@ Pinned divergence families (every pinned line belongs to one):
     divergences.
 4.  **Nanosecond / per-unit timestamp precision** — Spark has a single
     µs-precision timestamp (repo ns→µs policy, SURVEY §1.2); Arrow has
-    s/ms/µs/ns units with type-level truncation. joins 833 (ns-distinct
-    values collide at µs in a self-join); aggregate 4112/4141/4146/
-    4153/4158/4184 (ms/s lanes don't truncate at type level here);
-    expr 222 (a fractional-day interval's ns digits render in
-    DataFusion, truncate at µs in Spark).
+    s/ms/µs/ns units with type-level truncation. The ms/s-lane half is
+    retired in r6 s2: _alt_unit_trunc wraps reads of columns whose
+    tracked unit is coarser than µs in date_trunc at that unit — a
+    value-level reproduction of Arrow's type-level truncation, with
+    SELECT * expanded through the live column list (aggregate
+    4112/4141/4146/4153/4158). What remains: joins 833 (ns-distinct
+    values collide at µs in a self-join); aggregate 4184 (DataFusion's
+    `0 days 0 hours 0 mins 0.011 secs` interval display INSIDE an
+    array_agg array, with NULL as an empty slot); expr 222 (a
+    fractional-day interval's ns digits render in DataFusion, truncate
+    at µs in Spark).
 5.  **Reference deviations from ANSI, verified against DuckDB** —
     the joins/case halves are RETIRED in r6 s2 by gated emulations of
     the deviations themselves: ``x NOT IN (subquery with NULL)``
@@ -347,7 +353,7 @@ PINNED = {
     # (exact t-digest port + exact COUNT(DISTINCT) below the HLL
     # linear-counting boundary) flips all 12 aggregate.slt and all 7
     # aggregate_skip_partial.slt sketch-drift pins
-    "aggregate.slt": (425, {393, 4112, 4141, 4146, 4153, 4158, 4184}),
+    "aggregate.slt": (430, {393, 4184}),
     "aggregate_skip_partial.slt": (45, set()),
     "aggregates_topk.slt": (12, set()),
     "array.slt": (632, {692, 2389, 2443, 2622, 2676, 6099, 6605}),
@@ -472,7 +478,7 @@ UNDERDETERMINED = {
 # measured on the round-5 clean-scratch pinning run (tools/repin_slt.py,
 # 96 files); per-file floors subtract every underdetermined block so
 # any legal flip stays above the floor
-TOTAL_CONTENT_FLOOR = 4217
+TOTAL_CONTENT_FLOOR = 4222
 
 
 _totals = {"content": 0}

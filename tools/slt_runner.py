@@ -3943,6 +3943,7 @@ class SltRunner:
                                          self._alt_zoned_cast_render(b.sql),
                                          self._alt_case_null_then(b.sql),
                                          self._alt_not_in_null_outer(b.sql),
+                                         self._alt_unit_trunc(b.sql),
                                          _alt_int_div(t))):
                     st2, act2 = self._collect_formatted(alt)
                     if self.verbose:
@@ -4920,6 +4921,62 @@ class SltRunner:
         out.append(t[pos:])
         try:
             return translate_query("".join(out))
+        except Untranslatable:
+            return None
+
+    _UNIT_TRUNC = {"Millisecond": "MILLISECOND", "Second": "SECOND"}
+    _TS_UNIT = re.compile(r'^Timestamp\((\w+),')
+
+    def _alt_unit_trunc(self, t: str) -> str | None:
+        """Arrow per-unit timestamps TRUNCATE their values at the type
+        level (a Timestamp(Millisecond) column stores .011, not
+        .011375885995); Spark's single µs type keeps the full
+        precision (family 4 — aggregate.slt 4112-4184's min/max/
+        array_agg over per-unit columns). With the column's unit
+        tracked from its arrow_cast CREATE, reads are wrapped in
+        date_trunc at that unit — a VALUE-level reproduction of the
+        type-level truncation. `SELECT *` expands through the live
+        session's column list. Verdict-gated."""
+        fm = re.search(r"\bfrom\s+([A-Za-z_]\w*)", t, re.IGNORECASE)
+        if not fm:
+            return None
+        tbl = fm.group(1).lower()
+        coarse: dict[str, str] = {}
+        for (tb, col), ty in self._decl_types.items():
+            if tb != tbl:
+                continue
+            um = self._TS_UNIT.match(ty)
+            if um and um.group(1) in self._UNIT_TRUNC:
+                coarse[col] = self._UNIT_TRUNC[um.group(1)]
+        if not coarse:
+            return None
+        t = t.strip().rstrip(";")
+
+        def wrap(col: str) -> str:
+            return f"date_trunc('{coarse[col]}', {col}) as {col}"
+
+        out = t
+        sm = re.match(r"^(\s*select\s+)\*(\s+from\b.*)$", out,
+                      re.IGNORECASE | re.DOTALL)
+        if sm:
+            try:
+                cols = self.spark.table(tbl).columns
+            except Exception:  # noqa: BLE001 — no live table to expand
+                return None
+            items = [wrap(c.lower()) if c.lower() in coarse else c
+                     for c in cols]
+            out = sm.group(1) + ", ".join(items) + sm.group(2)
+        else:
+            # sentinel two-pass so inserted wrappers aren't re-matched
+            for col in coarse:
+                out = re.sub(rf"\b{col}\b",
+                             f"date_trunc('{coarse[col]}', \x00{col}\x00)",
+                             out, flags=re.IGNORECASE)
+            out = out.replace("\x00", "")
+            if out == t:
+                return None
+        try:
+            return translate_query(out)
         except Untranslatable:
             return None
 
