@@ -2,9 +2,9 @@
 
 Executes ALL 105 of the reference's own ``.slt`` files —
 ``datafusion-greatest/datafusion/sqllogictest/test_files/*.slt`` — against
-Spark SQL via tools/slt_runner.py and pins the census: **4,222+
-content-verified query blocks** and the exact set of **51 divergent
-blocks** (36 deterministic + 15 run-to-run-underdetermined), each with
+Spark SQL via tools/slt_runner.py and pins the census: **4,227+
+content-verified query blocks** and the exact set of **46 divergent
+blocks** (31 deterministic + 15 run-to-run-underdetermined), each with
 a named, verified cause. Re-pin with tools/repin_slt.py after ANY
 harness change (r4 shipped a widening without re-pinning and left 4
 parity tests red at HEAD — never again). Mirrors the TPC-DS execution differential's
@@ -136,7 +136,11 @@ Pinned divergence families (every pinned line belongs to one):
     DataFusion's int/uint/float/decimal unification rules when every
     argument's Arrow type is textually determined. window 3989/3995
     (first/last_value over a VALUES-typed column) retired in r6 s2 by
-    the _alt_tracked_typeof literal-subquery rule. options 106/134/147/188 (i64-overflow
+    the _alt_tracked_typeof literal-subquery rule, and so are options
+    106/134/147/188: _df_literal_type reproduces the magnitude- and
+    parse_float_as_decimal-dependent literal typing (i64 → Int64, u64
+    → UInt64, beyond → Float64 or Decimal128(digits, s) under the
+    tracked flag) — options.slt at zero divergences. Previously also here: (i64-overflow
     integer literals: DataFusion types them UInt64/Float64 — or
     Decimal128 under its parse_decimals option — where Spark uses
     DECIMAL(19+,0), and the paired arrow_typeof displays). decimal 121 (avg's truncated decimal
@@ -172,8 +176,9 @@ Pinned divergence families (every pinned line belongs to one):
     and searched-CASE conditions rewritten to ``(cond) IS NOT FALSE``
     so a NULL condition takes the THEN branch like DataFusion v42
     (_alt_case_null_then, case 45/56 — case.slt at zero divergences).
-    Remaining: aggregate 393 (single-row ``corr`` returns 0 in
-    DataFusion; Spark and DuckDB return NULL — undefined variance).
+    aggregate 393 (single-row ``corr`` returns 0 in DataFusion where
+    Spark and DuckDB return NULL) is retired by the gated
+    coalesce-to-zero (_alt_corr_zero) — the family is fully emulated.
 6.  **Collect-aggregate NULL/empty semantics** — retired: the
     struct-wrapped collect_list rewrite keeps NULL inputs and returns
     NULL on empty input exactly as DataFusion's array_agg does
@@ -353,7 +358,7 @@ PINNED = {
     # (exact t-digest port + exact COUNT(DISTINCT) below the HLL
     # linear-counting boundary) flips all 12 aggregate.slt and all 7
     # aggregate_skip_partial.slt sketch-drift pins
-    "aggregate.slt": (430, {393, 4184}),
+    "aggregate.slt": (431, {4184}),
     "aggregate_skip_partial.slt": (45, set()),
     "aggregates_topk.slt": (12, set()),
     "array.slt": (632, {692, 2389, 2443, 2622, 2676, 6099, 6605}),
@@ -459,7 +464,7 @@ PINNED = {
     "information_schema_columns.slt": (0, set()),
     "information_schema_multiple_catalogs.slt": (0, set()),
     "information_schema_table_types.slt": (0, set()),
-    "options.slt": (9, {106, 134, 147, 188}),
+    "options.slt": (13, set()),
     "set_variable.slt": (5, set()),
 }
 
@@ -478,7 +483,7 @@ UNDERDETERMINED = {
 # measured on the round-5 clean-scratch pinning run (tools/repin_slt.py,
 # 96 files); per-file floors subtract every underdetermined block so
 # any legal flip stays above the floor
-TOTAL_CONTENT_FLOOR = 4222
+TOTAL_CONTENT_FLOOR = 4227
 
 
 _totals = {"content": 0}

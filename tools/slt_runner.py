@@ -3345,6 +3345,9 @@ class SltRunner:
         # parts}; lets a later path-literal read (FROM 'dir') reapply the
         # written column names to a headerless csv dataset
         self._copy_meta: dict[str, dict] = {}
+        # datafusion.sql_parser.parse_float_as_decimal state (options.slt
+        # flips it around its literal-typing blocks)
+        self._parse_float_as_decimal = False
         # (table, column) -> declared Arrow type string, tracked from
         # executed CREATE TABLE/VIEW statements whose column types are
         # TEXTUALLY declared (int unsigned widths, arrow_cast(...) AS
@@ -3727,6 +3730,14 @@ class SltRunner:
             if tzm:
                 self._set_time_zone(tzm.group(1), c)
                 return
+            pm = re.match(r"\s*set\s+datafusion\.sql_parser\."
+                          r"parse_float_as_decimal\s*=\s*(true|false)", low)
+            if pm:
+                # parser-flag STATE for _alt_literal_typing; the SET
+                # itself stays censused as config surface
+                self._parse_float_as_decimal = pm.group(1) == "true"
+                c.skip_config += 1
+                return
             if re.match(r"\s*copy\b", low):
                 try:
                     if _referenced_tables(b.sql) & self.unavailable:
@@ -3944,6 +3955,8 @@ class SltRunner:
                                          self._alt_case_null_then(b.sql),
                                          self._alt_not_in_null_outer(b.sql),
                                          self._alt_unit_trunc(b.sql),
+                                         self._alt_literal_typing(b.sql),
+                                         self._alt_corr_zero(b.sql),
                                          _alt_int_div(t))):
                     st2, act2 = self._collect_formatted(alt)
                     if self.verbose:
@@ -4975,6 +4988,93 @@ class SltRunner:
             out = out.replace("\x00", "")
             if out == t:
                 return None
+        try:
+            return translate_query(out)
+        except Untranslatable:
+            return None
+
+    def _df_literal_type(self, lit: str) -> str | None:
+        """DataFusion's numeric-literal typing BY MAGNITUDE and parser
+        flag (options.slt 106/134/147/188): i64-range ints are Int64,
+        u64-range UInt64; beyond, Float64 — or Decimal128(digits, s)
+        when sql_parser.parse_float_as_decimal is set (which also
+        covers bare decimal-point literals)."""
+        s = lit.strip()
+        if re.fullmatch(r"-?\d+", s):
+            v = int(s)
+            if -(2 ** 63) <= v <= 2 ** 63 - 1:
+                return "Int64"
+            if 0 <= v <= 2 ** 64 - 1:
+                return "UInt64"  # u64 precedes the decimal fallback
+            if self._parse_float_as_decimal:
+                digits = len(s.lstrip("-").lstrip("0") or "0")
+                return f"Decimal128({min(digits, 38)}, 0)"
+            return "Float64"
+        if re.fullmatch(r"-?\d*\.\d*", s) and s.strip("-").strip(".") != "":
+            if not self._parse_float_as_decimal:
+                return "Float64"
+            intpart, _, frac = s.lstrip("-").partition(".")
+            p = max(len(intpart.lstrip("0")) + len(frac), 1)
+            return f"Decimal128({min(p, 38)}, {len(frac)})"
+        return None
+
+    def _alt_literal_typing(self, t: str) -> str | None:
+        """Fold arrow_typeof(<numeric literal>) per _df_literal_type —
+        the magnitude/flag-dependent half the config-blind static fold
+        gets wrong. Verdict-gated."""
+        if not re.search(r"\barrow_typeof\s*\(", t, re.IGNORECASE):
+            return None
+        t = t.strip().rstrip(";")
+        out, changed, pos = t, False, 0
+        while True:
+            m = re.search(r"\barrow_typeof\s*\(", out[pos:], re.IGNORECASE)
+            if not m:
+                break
+            open_p = pos + m.end() - 1
+            try:
+                close_p = _find_close(out, open_p)
+            except Untranslatable:
+                return None
+            folded = self._df_literal_type(out[open_p + 1:close_p])
+            if folded is None:
+                pos = close_p + 1
+                continue
+            repl = f"'{folded}'"
+            out = out[:pos + m.start()] + repl + out[close_p + 1:]
+            pos = pos + m.start() + len(repl)
+            changed = True
+        if not changed:
+            return None
+        try:
+            return translate_query(out)
+        except Untranslatable:
+            return None
+
+    @staticmethod
+    def _alt_corr_zero(t: str) -> str | None:
+        """DataFusion's corr() returns 0 where the variance is
+        undefined (single-row input — aggregate.slt 393); Spark and
+        DuckDB return NULL. Gated coalesce-to-zero."""
+        if not re.search(r"\bcorr\s*\(", t, re.IGNORECASE):
+            return None
+        t = t.strip().rstrip(";")
+        out, changed, pos = t, False, 0
+        while True:
+            m = re.search(r"\bcorr\s*\(", out[pos:], re.IGNORECASE)
+            if not m:
+                break
+            open_p = pos + m.end() - 1
+            try:
+                close_p = _find_close(out, open_p)
+            except Untranslatable:
+                return None
+            repl = (f"coalesce(corr{out[open_p:close_p + 1]}, "
+                    f"cast(0 as double))")
+            out = out[:pos + m.start()] + repl + out[close_p + 1:]
+            pos = pos + m.start() + len(repl)
+            changed = True
+        if not changed:
+            return None
         try:
             return translate_query(out)
         except Untranslatable:
