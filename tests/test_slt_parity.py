@@ -116,6 +116,24 @@ naive-timestamp trio folded TOGETHER (to_timestamp/::timestamp/CAST —
 the corpus equality-compares them), arrow_cast round-trips with the
 verbose Field form, coalesce coercion, struct literals).
 
+Round-6 session-2 widening (57 deterministic pins retired, zero new
+divergences, floor 4,169 → 4,227; aggregate_skip_partial, timestamps,
+arrow_typeof, case and options now census ZERO divergences): the
+df_tdigest exact t-digest port (family 17 fully retired — see family
+notes); a DECLARED-TYPE REGISTRY (_track_decl_types) carrying
+textually-declared column types across statements (unsigned widths,
+arrow_cast CTAS/view bodies) that powers arrow_typeof folds through
+type-preserving aggregates and sum/avg widening, per-unit value
+truncation (family 4's ms/s half), and the attached-zone date_trunc
+DST semantics of datafusion#8899 (family 10's per-column half);
+fixed-offset zone renders; Date64's intra-day-preserving numeric cast;
+gated emulations of the reference's own ANSI deviations (NULL CASE
+condition takes THEN, NOT IN keeps the NULL-keyed outer row,
+single-row corr = 0); and magnitude/parse_float_as_decimal-aware
+literal typing with the parser flag tracked as session state. Every
+reading is verdict-gated: accepted only where it reproduces the
+reference's recorded answer.
+
 Census buckets (tools/slt_runner.py): ``match`` (slt-exact),
 ``match_unordered`` (same multiset; order differs only where the SQL
 leaves it underdetermined — ORDER BY ties, engine default NULL sort:
