@@ -319,3 +319,46 @@ def test_tracked_typeof_fold():
     assert "'Float16'" in out
     r._track_decl_types("drop table t")
     assert ("t", "c") not in r._decl_types
+
+
+def test_deviation_and_typing_alts():
+    """Pure rewrite logic of the r6-s2 gated alternatives (live gates
+    run in test_slt_parity): searched-CASE NULL-condition, NOT-IN
+    null-outer, per-unit truncation, literal typing by magnitude and
+    parser flag, corr zero-variance."""
+    from slt_runner import SltRunner
+
+    class Bare(SltRunner):
+        def __init__(self):
+            self._decl_types = {}
+            self._parse_float_as_decimal = False
+
+    r = Bare()
+    out = r._alt_case_null_then("SELECT CASE WHEN a > 2 THEN b END FROM f")
+    assert "IS NOT FALSE THEN b" in out
+    out = r._alt_not_in_null_outer(
+        "SELECT t1_id FROM l WHERE t1_id NOT IN (SELECT t2_id FROM r)")
+    assert "t1_id IS NULL OR t1_id NOT IN" in out
+    r._track_decl_types(
+        "create table t as select arrow_cast(c1, "
+        "'Timestamp(Millisecond, None)') as millis, arrow_cast(c1, "
+        "'Timestamp(Second, None)') as secs from src")
+    out = r._alt_unit_trunc("SELECT min(millis), max(secs) FROM t")
+    assert "date_trunc('MILLISECOND', millis)" in out
+    assert "date_trunc('SECOND', secs)" in out
+    # literal typing: i64 / u64 / beyond, with and without the flag
+    assert r._df_literal_type("3") == "Int64"
+    assert r._df_literal_type("9223372036854775808") == "UInt64"
+    assert r._df_literal_type("18446744073709551616") == "Float64"
+    assert r._df_literal_type("-9223372036854775809") == "Float64"
+    assert r._df_literal_type(".0") == "Float64"
+    r._parse_float_as_decimal = True
+    assert r._df_literal_type("18446744073709551616") == "Decimal128(20, 0)"
+    assert r._df_literal_type("-9223372036854775809") == "Decimal128(19, 0)"
+    assert r._df_literal_type("9223372036854775808") == "UInt64"
+    assert r._df_literal_type(".0") == "Decimal128(1, 1)"
+    assert r._df_literal_type("00000.00") == "Decimal128(2, 2)"
+    assert (r._df_literal_type("00009999999999999999999999999999999999.9999")
+            == "Decimal128(38, 4)")
+    out = r._alt_corr_zero("select corr(a, b) from t")
+    assert "coalesce(corr(a, b), cast(0 as double))" in out
