@@ -183,7 +183,11 @@ Pinned divergence families (every pinned line belongs to one):
     4112/4141/4146/4153/4158). What remains: joins 833 (ns-distinct
     values collide at µs in a self-join); aggregate 4184 (DataFusion's
     `0 days 0 hours 0 mins 0.011 secs` interval display INSIDE an
-    array_agg array, with NULL as an empty slot); expr 222 (a
+    array_agg array with NULL as an empty slot — the display and
+    NULL-keeping were reproduced in an r6 experiment, but the array's
+    INSERTION order is not recoverable from the stored table, the same
+    root cause as the family-12 underdetermined collects, so the pin
+    stays rather than sort-to-fit the gate); expr 222 (a
     fractional-day interval's ns digits render in DataFusion, truncate
     at µs in Spark).
 5.  **Reference deviations from ANSI, verified against DuckDB** —
