@@ -2,9 +2,9 @@
 
 Executes ALL 105 of the reference's own ``.slt`` files —
 ``datafusion-greatest/datafusion/sqllogictest/test_files/*.slt`` — against
-Spark SQL via tools/slt_runner.py and pins the census: **4,230+
-content-verified query blocks** and the exact set of **43 divergent
-blocks** (28 deterministic + 15 run-to-run-underdetermined), each with
+Spark SQL via tools/slt_runner.py and pins the census: **4,232+
+content-verified query blocks** and the exact set of **41 divergent
+blocks** (26 deterministic + 15 run-to-run-underdetermined), each with
 a named, verified cause. Re-pin with tools/repin_slt.py after ANY
 harness change (r4 shipped a widening without re-pinning and left 4
 parity tests red at HEAD — never again). Mirrors the TPC-DS execution differential's
@@ -278,10 +278,11 @@ Pinned divergence families (every pinned line belongs to one):
 14. **Invalid-UTF8 binary rendering** — the ClickBench sample's
     BrowserCountry bytes are not valid UTF-8; the engines' lossy
     displays differ. clickbench 289.
-15. **Nested-map display order** — maps nested inside other values
-    round-trip through Python dicts, which do not preserve DataFusion's
-    entry order (top-level maps are collected as ordered entry lists).
-    map 495/501.
+15. **Nested-map display order** — RETIRED in r6 s2: all-literal
+    nested MAP displays are textually determined, so
+    _alt_map_literal_render folds them from the SQL text itself
+    (map.slt at zero divergences). A nested map built from COLUMN data
+    would still pin — none exists in the corpus.
 16. **Capability side effect** — retired: Spark supports writes that
     DataFusion rejects (NOT NULL columns, single-file external
     tables), so an expected-error block's insert used to land and
@@ -430,7 +431,7 @@ PINNED = {
     "joins.slt": (107, {833}),
     "json.slt": (2, set()),
     "limit.slt": (33, set()),
-    "map.slt": (71, {495, 501}),
+    "map.slt": (73, set()),
     "math.slt": (27, {66}),
     "metadata.slt": (0, set()),
     "misc.slt": (4, set()),
@@ -509,7 +510,7 @@ UNDERDETERMINED = {
 # measured on the round-5 clean-scratch pinning run (tools/repin_slt.py,
 # 96 files); per-file floors subtract every underdetermined block so
 # any legal flip stays above the floor
-TOTAL_CONTENT_FLOOR = 4230
+TOTAL_CONTENT_FLOOR = 4232
 
 
 _totals = {"content": 0}

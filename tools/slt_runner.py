@@ -4053,6 +4053,7 @@ class SltRunner:
                                          self._alt_unit_trunc(b.sql),
                                          self._alt_literal_typing(b.sql),
                                          self._alt_corr_zero(b.sql),
+                                         self._alt_map_literal_render(b.sql),
                                          _alt_int_div(t))):
                     st2, act2 = self._collect_formatted(alt)
                     if self.verbose:
@@ -5167,6 +5168,93 @@ class SltRunner:
             repl = (f"coalesce(corr{out[open_p:close_p + 1]}, "
                     f"cast(0 as double))")
             out = out[:pos + m.start()] + repl + out[close_p + 1:]
+            pos = pos + m.start() + len(repl)
+            changed = True
+        if not changed:
+            return None
+        try:
+            return translate_query(out)
+        except Untranslatable:
+            return None
+
+    @staticmethod
+    def _alt_map_literal_render(t: str) -> str | None:
+        """NESTED map literals (map.slt 495/501): a map value inside
+        another map round-trips through a Python dict at collection,
+        losing DataFusion's entry order (top-level maps are collected
+        as ordered entry lists — family 15). For an all-literal
+        ``MAP {k: v, …}`` the display is textually determined — render
+        DataFusion's ``{k: v, …}`` form (strings unquoted, nested maps
+        recursed) from the SQL text itself and fold the expression to
+        that string. Only fires when a MAP literal CONTAINS another MAP
+        literal; verdict-gated."""
+        if not re.search(r"\bMAP\s*\{[^}]*\bMAP\s*\{", t, re.IGNORECASE):
+            return None
+        t = t.strip().rstrip(";")
+
+        def split_entries(s: str) -> list[str]:
+            parts, depth, in_str, cur = [], 0, False, []
+            for c in s:
+                if in_str:
+                    cur.append(c)
+                    in_str = c != "'"
+                elif c == "'":
+                    in_str, _ = True, cur.append(c)
+                elif c in "([{":
+                    depth += 1
+                    cur.append(c)
+                elif c in ")]}":
+                    depth -= 1
+                    cur.append(c)
+                elif c == "," and depth == 0:
+                    parts.append("".join(cur))
+                    cur = []
+                else:
+                    cur.append(c)
+            parts.append("".join(cur))
+            return parts
+
+        def render_value(v: str) -> str | None:
+            v = v.strip()
+            mm = re.match(r"^MAP\s*\{", v, re.IGNORECASE)
+            if mm:
+                if not v.endswith("}"):
+                    return None
+                return render_map(v[mm.end():-1])
+            if re.fullmatch(r"'[^']*'", v):
+                return v[1:-1]
+            if re.fullmatch(r"-?\d+(\.\d+)?", v):
+                return v
+            return None
+
+        def render_map(body: str) -> str | None:
+            out = []
+            for entry in split_entries(body):
+                k, sep, v = entry.partition(":")
+                if not sep:
+                    return None
+                rk, rv = render_value(k), render_value(v)
+                if rk is None or rv is None:
+                    return None
+                out.append(f"{rk}: {rv}")
+            return "{" + ", ".join(out) + "}"
+
+        out, changed, pos = t, False, 0
+        while True:
+            m = re.search(r"\bMAP\s*\{", out[pos:], re.IGNORECASE)
+            if not m:
+                break
+            open_b = pos + m.end() - 1
+            try:
+                close_b = _find_close_brace(out, open_b)
+            except Exception:  # noqa: BLE001
+                return None
+            rendered = render_map(out[open_b + 1:close_b])
+            if rendered is None:
+                pos = close_b + 1
+                continue
+            repl = "'" + rendered.replace("'", "''") + "'"
+            out = out[:pos + m.start()] + repl + out[close_b + 1:]
             pos = pos + m.start() + len(repl)
             changed = True
         if not changed:
