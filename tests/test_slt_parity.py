@@ -2,9 +2,9 @@
 
 Executes ALL 105 of the reference's own ``.slt`` files —
 ``datafusion-greatest/datafusion/sqllogictest/test_files/*.slt`` — against
-Spark SQL via tools/slt_runner.py and pins the census: **4,232+
-content-verified query blocks** and the exact set of **41 divergent
-blocks** (26 deterministic + 15 run-to-run-underdetermined), each with
+Spark SQL via tools/slt_runner.py and pins the census: **4,233+
+content-verified query blocks** and the exact set of **40 divergent
+blocks** (25 deterministic + 15 run-to-run-underdetermined), each with
 a named, verified cause. Re-pin with tools/repin_slt.py after ANY
 harness change (r4 shipped a widening without re-pinning and left 4
 parity tests red at HEAD — never again). Mirrors the TPC-DS execution differential's
@@ -328,9 +328,9 @@ Pinned divergence families (every pinned line belongs to one):
     2836/3243/3292/3340/3390), Float16 min/max (aggregate 6053/6064),
     Dictionary (aggregate 4869), arrow_cast-created tables
     (arrow_typeof 157/222/250), lag/lead Int64 (window 3977/3983).
-    What remains is genuinely runtime-only: Utf8View → Utf8
-    (string_view 986) and the parquet FILE-borne column type (parquet
-    261). The timestamps value renderings retired with family 10's
+    What remains is genuinely runtime-only: the parquet FILE-borne
+    column type (parquet 261). string_view 986 retired with positional
+    VALUES-tuple arrow_cast tracking (columnN names). The timestamps value renderings retired with family 10's
     per-column-zone half, and Date64's intra-day-preserving numeric
     cast is reproduced by _alt_date64_keep_time (timestamps 2800).
 19. **dbgen text pool** — DuckDB's tpch extension reproduces official
@@ -467,7 +467,7 @@ PINNED = {
     "string/large_string.slt": (45, set()),
     "string/string.slt": (44, set()),
     "string/string_literal.slt": (106, set()),
-    "string/string_view.slt": (55, {986}),
+    "string/string_view.slt": (56, set()),
     "strings.slt": (10, set()),
     "struct.slt": (28, set()),
     "subquery.slt": (34, set()),
@@ -510,7 +510,7 @@ UNDERDETERMINED = {
 # measured on the round-5 clean-scratch pinning run (tools/repin_slt.py,
 # 96 files); per-file floors subtract every underdetermined block so
 # any legal flip stays above the floor
-TOTAL_CONTENT_FLOOR = 4232
+TOTAL_CONTENT_FLOOR = 4233
 
 
 _totals = {"content": 0}

@@ -4740,6 +4740,30 @@ class SltRunner:
             if am and len(args) == 2:
                 ty = args[1].strip().strip("'\"")
                 self._decl_types[(tbl, am.group(1).lower())] = ty
+        # positional arrow_cast in a VALUES first tuple (string_view's
+        # `create table t as values ('x', arrow_cast(...), ...)`) —
+        # columns are column1..columnN
+        vm = re.search(r"\bas\s+values\s*\(", sql, re.IGNORECASE)
+        if vm:
+            open_p = vm.end() - 1
+            try:
+                close_p = _find_close(sql, open_p)
+            except Untranslatable:
+                return
+            for i, expr in enumerate(
+                    _split_top_level(sql[open_p + 1:close_p]), 1):
+                expr = expr.strip()
+                am = re.match(r"^arrow_cast\s*\(", expr, re.IGNORECASE)
+                if not am:
+                    continue
+                try:
+                    cp = _find_close(expr, am.end() - 1)
+                except Untranslatable:
+                    continue
+                args = _split_top_level(expr[am.end():cp])
+                if len(args) == 2 and cp == len(expr) - 1:
+                    self._decl_types[(tbl, f"column{i}")] = \
+                        args[1].strip().strip("'\"")
 
     # aggregates/window fns that return their argument's type unchanged
     _TYPE_PRESERVING = {"min", "max", "bit_and", "bit_or", "bit_xor",
