@@ -51,11 +51,11 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     "tpch_q1",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM({QTY}) AS DECIMAL(22,2))                   AS sum_qty,
-           CAST(SUM({PRICE}) AS DECIMAL(22,2))                 AS sum_base_price,
-           CAST(SUM({REV}) AS DECIMAL(28,4))                   AS sum_disc_price,
+           CAST(SUM({QTY}) AS DOUBLE)                          AS sum_qty,
+           CAST(SUM({PRICE}) AS DOUBLE)                        AS sum_base_price,
+           CAST(SUM({REV}) AS DOUBLE)                          AS sum_disc_price,
            CAST(SUM(CAST({REV} * CAST(1.0 + l_tax AS DECIMAL(4,2))
-                    AS DECIMAL(22,6))) AS DECIMAL(32,6))       AS sum_charge,
+                    AS DECIMAL(22,6))) AS DOUBLE)              AS sum_charge,
            CAST(SUM({QTY}) AS DOUBLE) / COUNT(*)               AS avg_qty,
            CAST(SUM({PRICE}) AS DOUBLE) / COUNT(*)             AS avg_price,
            CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -68,10 +68,55 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 )
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary report (reference: tpch/q1.slt.part). Unmodified
-    shape; date cutoff moved inside TESTDATA's 1995-2001 range. The four
-    SUM columns surface as exact decimals (both engines' sums agree to
-    the last digit); rendering them as doubles left a 1-ulp engine-cast
-    divergence at SF1 (r5 BENCH_SF1 q1 MISMATCH)."""
+    shape; date cutoff moved inside TESTDATA's 1995-2001 range. The
+    driver-checked output surfaces the exact-decimal sums as DOUBLE:
+    the driver's value-hash coerces oracle decimals to float but hashes
+    Spark decimals raw (CORRECTNESS_r06 tpch_q1 red with bit-identical
+    values both sides), so DecimalType is a driver-hash hazard and is
+    banned from registry output (test_entry_contract). The decimal-exact
+    SF1 comparison lives in tpch_q1_decimal below (tools/tpch_sf1.py)."""
+    (l,) = _t(spark, sf_dir, "lineitem")
+    rev = _rev()
+    charge = (rev * one_plus("l_tax")).cast("decimal(22,6)")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(dec2("l_quantity"), "sum_qty"),
+            dsum(dec2("l_extendedprice"), "sum_base_price"),
+            dsum(rev, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(dec2("l_quantity"), "avg_qty"),
+            davg(dec2("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount").cast("decimal(4,2)"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# Decimal-exact q1 (NOT registered — DecimalType is a driver-hash
+# hazard): at SF1 the two engines' final decimal→double casts round a
+# 17th significant digit differently (BENCH_NOTES r5), so the SF1
+# harness compares the sums as exact decimals via this pair instead.
+TPCH_Q1_DECIMAL_ORACLE = f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({QTY}) AS DECIMAL(22,2))                   AS sum_qty,
+           CAST(SUM({PRICE}) AS DECIMAL(22,2))                 AS sum_base_price,
+           CAST(SUM({REV}) AS DECIMAL(28,4))                   AS sum_disc_price,
+           CAST(SUM(CAST({REV} * CAST(1.0 + l_tax AS DECIMAL(4,2))
+                    AS DECIMAL(22,6))) AS DECIMAL(32,6))       AS sum_charge,
+           CAST(SUM({QTY}) AS DOUBLE) / COUNT(*)               AS avg_qty,
+           CAST(SUM({PRICE}) AS DOUBLE) / COUNT(*)             AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*)                                            AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def tpch_q1_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal q1 variant for the SF1 differential harness."""
     (l,) = _t(spark, sf_dir, "lineitem")
     rev = _rev()
     charge = (rev * one_plus("l_tax")).cast("decimal(22,6)")

@@ -77,3 +77,46 @@ def test_latest_round_wins(monkeypatch):
     assert names[1] == "d_new"            # never-checked next
     assert set(names[2:]) == {"a_fixed", "c_no_oracle"}  # greens last
     assert names[2] == "c_no_oracle"      # stalest green first
+
+
+# ---- driver-hash-hazard schema guard --------------------------------------
+# The real driver hashes Spark rows raw: list/dict/bytearray cells are
+# unhashable (CORRECTNESS_r04, 8 err rows) and Decimal cells normalize
+# asymmetrically vs the DuckDB oracle fetch (CORRECTNESS_r06 tpch_q1:
+# hash-red with bit-identical values). Every driver-checked output
+# schema must therefore avoid these types entirely.
+_HASH_HAZARD_TYPES = ("ArrayType", "MapType", "BinaryType", "StructType",
+                      "DecimalType")
+
+
+def test_no_hash_hazard_types_in_driver_checked_schemas(spark, sf_dir):
+    bad = []
+    for name, q in sorted(REGISTRY.items()):
+        try:
+            schema = q.build(spark, sf_dir).schema
+        except Exception as e:  # noqa: BLE001 — build failures surface elsewhere
+            bad.append(f"{name}: build error {e}")
+            continue
+        for f in schema.fields:
+            tn = type(f.dataType).__name__
+            if tn in _HASH_HAZARD_TYPES:
+                bad.append(f"{name}.{f.name}: {tn}")
+    assert not bad, "driver-hash-hazard output columns:\n" + "\n".join(bad)
+
+
+def test_emulator_norm_is_driver_asymmetric_on_decimal():
+    """The emulator must reproduce the driver's Decimal asymmetry
+    (oracle decimals→float, Spark decimals raw) so emulator-green
+    implies driver-green — the r6 tpch_q1 regression was invisible to
+    an emulator that coerced both sides."""
+    import decimal
+
+    sys.path.insert(0, "/root/repo/tools")
+    from driver_emulator import norm_cell, value_hash
+
+    d = decimal.Decimal("3.50")
+    assert norm_cell(d, side="oracle") == norm_cell(3.5, side="oracle")
+    assert norm_cell(d, side="spark") != norm_cell(3.5, side="spark")
+    # and the composite hash diverges for a decimal-output spark result
+    assert (value_hash(["x"], [(d,)], side="spark")
+            != value_hash(["x"], [(d,)], side="oracle"))

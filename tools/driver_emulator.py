@@ -35,14 +35,23 @@ ONLY = next(
 SF_DIR = ARGS[0] if ARGS else "/root/testdata/sf0.01"
 
 
-def norm_cell(v):
+def norm_cell(v, side="spark"):
     import datetime
     import decimal
 
     if v is None:
         return "NULL"
     if isinstance(v, decimal.Decimal):
-        v = float(v)
+        # The REAL driver is asymmetric here (CORRECTNESS_r06 tpch_q1:
+        # red with bit-identical values): oracle decimals are coerced to
+        # float on its fetch path, Spark decimals are hashed raw.
+        # Reproduce that so emulator-green implies driver-green —
+        # DecimalType Spark output is additionally rejected up front by
+        # check_driver_hashable.
+        if side == "oracle":
+            v = float(v)
+        else:
+            return str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -65,7 +74,8 @@ def norm_cell(v):
 # HUGEINT (int128) whose rendering skews vs Spark BIGINT — the
 # udx_grouped_agg_cents r4 hash-fail. Reject these BEFORE comparing so
 # emulator-green always implies driver-hashable.
-_BAD_SPARK_TYPES = ("ArrayType", "MapType", "BinaryType", "StructType")
+_BAD_SPARK_TYPES = ("ArrayType", "MapType", "BinaryType", "StructType",
+                    "DecimalType")
 
 
 def check_driver_hashable(name, sdf, con, oracle):
@@ -86,9 +96,9 @@ def check_driver_hashable(name, sdf, con, oracle):
     return probs
 
 
-def value_hash(cols, rows):
+def value_hash(cols, rows, side="spark"):
     order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
-    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    lines = sorted("|".join(norm_cell(r[i], side) for i in order) for r in rows)
     h = hashlib.sha256()
     for ln in lines:
         h.update(ln.encode())
@@ -149,8 +159,8 @@ def main():
             n_fail += 1
             continue
         ok_cols = sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols)
-        sh = value_hash(scols, srows)
-        dh = value_hash(dcols, drows)
+        sh = value_hash(scols, srows, side="spark")
+        dh = value_hash(dcols, drows, side="oracle")
         ok = ok_cols and len(srows) == len(drows) and sh == dh
         status = "PASS" if ok else "FAIL"
         if ok:
