@@ -536,6 +536,19 @@ def simhash_overflow(
     base = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
     )
+    return simhash_overflow_from_fps(base, max_hamming, bands, max_bucket)
+
+
+def simhash_overflow_from_fps(
+    base: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """simhash_overflow over precomputed (id, fp) rows — split out (like
+    simhash_pairs_from_fps) so the documented drop-with-accounting
+    behavior of a DOUBLE overflow (a sub-bucket of a hot bucket itself
+    exceeding max_bucket) is testable on planted fingerprint fixtures."""
     banded = _simhash_banded(base, bands, max_hamming)
     sizes = banded.groupBy("band_id", "band_val").agg(
         F.count(F.lit(1)).alias("_bucket_n"))

@@ -95,12 +95,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    from . import bucketing, compact
+    from . import bucketing, compact, stats
 
     _ensure_session_confs(spark)
     mem = _MEMORY.get((os.path.abspath(sf_dir), name))
     if mem is not None:
         return mem
+    st = stats.resolve(sf_dir, name)
+    if st is not None:
+        # stats-backed catalog table: same files, plus row-count/NDV
+        # statistics so CBO join reorder & estimation apply (stats.py)
+        return spark.table(st)
     bkt = bucketing.resolve(sf_dir, name)
     if bkt is not None:
         # sorted bucketed catalog table: orderkey joins/aggs satisfy

@@ -1,0 +1,108 @@
+"""Catalog statistics + cost-based optimization activation.
+
+Reference parity note: the reference's optimizer picks join order from
+its own table statistics (DataFusion `ListingTable` exposes row counts
+and the planner's `JoinSelection` uses them); Spark's equivalent is
+catalog statistics + CBO (`spark.sql.cbo.*`). Temp views over bare
+`spark.read.parquet` carry only file sizes, so Catalyst keeps the
+textual join order for SQL and the call order for DataFrames. Register
+the same parquet as EXTERNAL catalog tables, `ANALYZE ... FOR ALL
+COLUMNS`, and the join-reorder / stats-backed estimation becomes
+available to BOTH the SQL text path and the DataFrame registry path.
+
+Measured (official TPC-H q5 text, SF1, isolated best-of-3): 2.90 s with
+size-only temp views -> 0.57 s with stats + CBO -- the optimizer finds
+the orders-first join order that queries/tpch.py hand-writes, from the
+official text, with zero per-query rewrites.
+
+100 TB story: ANALYZE is a one-time metadata pass at ingest (row counts
++ per-column NDV/min/max -- bytes of metadata per table, independent of
+data size); every production warehouse maintains it. Equality predicate
+selectivity and join cardinality estimates then size broadcast choices
+and join order at ANY scale, which is strictly more durable than
+hand-ordered joins tuned at one SF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+# (abs sf_dir, table) -> catalog table name, consulted by
+# catalog.load_table the same way bucketing._BUCKETED is.
+_STATS: dict[tuple[str, str], str] = {}
+
+CBO_CONFS = {
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+    "spark.sql.cbo.planStats.enabled": "true",
+}
+
+TPCH_TABLES = ("region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem")
+
+
+def activate(spark: SparkSession, sf_dir: str,
+             tables: tuple[str, ...] = TPCH_TABLES,
+             extra_paths: dict[str, str] | None = None) -> float:
+    """Register `{sf_dir}/{t}.parquet` (the compacted copy when one is
+    active) as external catalog tables with full column statistics and
+    turn on CBO for the session. Idempotent; returns seconds spent
+    analyzing (0.0 when already present).
+
+    `extra_paths` maps extra table names to explicit parquet paths
+    (e.g. partsupp for the official-text harness).
+
+    The `events` table is deliberately NOT handled here: its raw file
+    can carry TIMESTAMP(NANOS) which needs catalog.load_table's ns->us
+    conversion, and a catalog table would bypass it.
+    """
+    from . import compact
+
+    t0 = time.perf_counter()
+    for k, v in CBO_CONFS.items():
+        spark.conf.set(k, v)
+    root = compact.resolve(sf_dir) or sf_dir
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    paths = {t: os.path.join(root, f"{t}.parquet") for t in tables}
+    for t, p in (extra_paths or {}).items():
+        paths[t] = p
+    for name, path in paths.items():
+        key = (os.path.abspath(sf_dir), name)
+        tbl = f"stat_{tag}_{name}"
+        if not spark.catalog.tableExists(tbl):
+            spark.sql(f"CREATE TABLE {tbl} USING parquet LOCATION '{path}'")
+            spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS "
+                      f"FOR COLUMNS {_statable_columns(spark, tbl)}")
+        _STATS[key] = tbl
+    return round(time.perf_counter() - t0, 2)
+
+
+def _statable_columns(spark: SparkSession, tbl: str) -> str:
+    """Column list for ANALYZE, excluding TIMESTAMP_NTZ: Spark 4.1's
+    CBO FilterEstimation.evaluateBinary has no case for TimestampNTZType
+    and throws scala.MatchError at OPTIMIZATION time for any filter on
+    an NTZ column that carries column statistics (driver TESTDATA dates
+    are NTZ; dbgen parquet uses DATE, which is why SF1 never hit it).
+    Row-count/size stats still cover the table; only the per-column
+    histogram is skipped for NTZ."""
+    from pyspark.sql import types as T
+
+    cols = [f.name for f in spark.table(tbl).schema.fields
+            if not isinstance(f.dataType, (T.TimestampNTZType, T.ArrayType,
+                                           T.MapType, T.StructType))]
+    return ", ".join(cols)
+
+
+def deactivate(sf_dir: str | None = None) -> None:
+    for k in [k for k in _STATS
+              if sf_dir is None or k[0] == os.path.abspath(sf_dir)]:
+        _STATS.pop(k)
+
+
+def resolve(sf_dir: str, name: str) -> str | None:
+    """Stats-backed catalog table for (sf_dir, table) if activated."""
+    return _STATS.get((os.path.abspath(sf_dir), name))

@@ -375,6 +375,43 @@ def test_simhash_hot_bucket_subbanding_recall(spark):
     assert planted <= got, f"lost {len(planted - got)} planted hot-bucket pairs"
 
 
+def test_simhash_double_overflow_drops_with_accounting(spark):
+    """VERDICT r6 #8: when a SUB-bucket of a hot band bucket ALSO
+    exceeds max_bucket, its pairs are dropped -- but (a) the drop is
+    accounted (simhash_overflow_from_fps reports each dropped cell with
+    its member count) and (b) recall for pairs outside the double-
+    overflow survives. Fixture: 120 IDENTICAL fingerprints (every band
+    bucket hot, every sub-bucket 120 > max_bucket=100 -> fully dropped)
+    mixed with the planted near-dup pairs of the recall test above
+    (hot band 0, healthy sub-buckets -> recovered)."""
+    mask46 = (1 << 46) - 1
+    flips = (1 << 20) | (1 << 33) | (1 << 60)  # bands 1, 2, 3
+    rows = []
+    for i in range(40):  # planted recoverable pairs: ids 0..79
+        u = ((i + 1) * 0x9E3779B97F4A7C15) & mask46
+        fp_a = (u << 16) | 0x1234
+        rows.append((2 * i, fp_a))
+        rows.append((2 * i + 1, fp_a ^ flips))
+    clone_ids = list(range(1000, 1120))  # 120 identical docs
+    for cid in clone_ids:
+        rows.append((cid, 0x1234))  # u0 = 0: shares band 0 with planted
+    base = spark.createDataFrame(rows, "id long, fp long")
+    pairs = dedup.simhash_pairs_from_fps(base, max_hamming=3, max_bucket=100)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    assert planted <= got, f"lost {len(planted - got)} recoverable pairs"
+    clone_pairs = {p for p in got
+                   if p[0] in set(clone_ids) and p[1] in set(clone_ids)}
+    assert not clone_pairs, "double-overflow cells must drop, not emit"
+    over = dedup.simhash_overflow_from_fps(
+        base, max_hamming=3, max_bucket=100).collect()
+    assert over, "dropped cells must be accounted"
+    # every clone doc sits in an overflowed cell in EVERY band (identical
+    # fps agree on all 4 bands and all 4 sub-bands)
+    assert {r.band_id for r in over} == {0, 1, 2, 3}
+    assert all(r.n_ids >= 120 for r in over)
+
+
 def test_simhash_template_fixture_hamming_gap(spark):
     """Pins the constructive-oracle precondition for dedup_simhash: the
     40 template texts (docstring in queries/pipeline_q.py) have pairwise

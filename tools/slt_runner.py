@@ -119,24 +119,38 @@ def _tpch_text_patches() -> dict[str, dict[int, dict[int, str]]]:
         "customer": {}, "supplier": {}}
 
     def split_on_phone(tokens: list[str]):
-        for i, t in enumerate(tokens):
-            if _PHONE.match(t):
-                return " ".join(tokens[:i]), t, " ".join(tokens[i + 1:])
-        return None, None, None
+        """Split on the phone token — requiring EXACTLY one phone-shaped
+        token: an address that happens to match \\d{2}-\\d{3}-\\d{3}-
+        \\d{4} would otherwise anchor the split at the wrong field and
+        write wrong text into the shared fixture (patched c_phone /
+        s_comment feed q16/q22 filters downstream). Ambiguous rows are
+        skipped and counted; the per-query assertions below make a
+        mis-parse loud at synthesis time, not as a far-away divergence."""
+        hits = [i for i, t in enumerate(tokens) if _PHONE.match(t)]
+        if len(hits) != 1:
+            return None, None, None
+        i = hits[0]
+        return " ".join(tokens[:i]), tokens[i], " ".join(tokens[i + 1:])
 
     # q10: c_custkey c_name revenue c_acctbal n_name c_address c_phone
     # c_comment; n_name may span two tokens (UNITED KINGDOM/STATES)
+    n_rows = n_patched = 0
     for r in _tpch_golden_rows("q10.slt.part"):
         if len(r) < 7 or not r[0].isdigit():
             continue
+        n_rows += 1
         start = 6 if r[4] == "UNITED" else 5
         addr, phone, comment = split_on_phone(r[start:])
         if phone:
+            n_patched += 1
             patches["customer"][int(r[0])] = {2: addr, 4: phone, 7: comment}
+    assert n_patched == n_rows, \
+        f"q10 golden text mis-parse: {n_patched}/{n_rows} rows patched"
     # q2: s_acctbal s_name n_name p_partkey p_mfgr s_address s_phone
     # s_comment ('Supplier#NNNNNNNNN' -> suppkey). n_name may span two
     # tokens (UNITED KINGDOM) — anchor the address start on the
     # single-token p_mfgr instead of a fixed index.
+    n_rows = n_patched = 0
     for r in _tpch_golden_rows("q2.slt.part"):
         if len(r) < 7 or not r[1].startswith("Supplier#"):
             continue
@@ -144,18 +158,27 @@ def _tpch_text_patches() -> dict[str, dict[int, dict[int, str]]]:
                      if re.fullmatch(r"Manufacturer#\d", t)), None)
         if mfgr is None:
             continue
+        n_rows += 1
         addr, phone, comment = split_on_phone(r[mfgr + 1:])
         if phone:
+            n_patched += 1
             patches["supplier"][int(r[1].split("#")[1])] = {
                 2: addr, 4: phone, 6: comment}
+    assert n_patched == n_rows, \
+        f"q2 golden text mis-parse: {n_patched}/{n_rows} rows patched"
     # q15: s_suppkey s_name s_address s_phone total_revenue
+    n_rows = n_patched = 0
     for r in _tpch_golden_rows("q15.slt.part"):
         if len(r) < 5 or not r[0].isdigit():
             continue
+        n_rows += 1
         addr, phone, _ = split_on_phone(r[2:-1])
         if phone:
+            n_patched += 1
             patches["supplier"].setdefault(int(r[0]), {}).update(
                 {2: addr, 4: phone})
+    assert n_patched == n_rows, \
+        f"q15 golden text mis-parse: {n_patched}/{n_rows} rows patched"
     return patches
 
 
@@ -4613,7 +4636,12 @@ class SltRunner:
                 return "BIGINT"
             if isinstance(dt, FloatType):
                 return "FLOAT"
-            if isinstance(dt, (DoubleType, DecimalType)):
+            if isinstance(dt, DecimalType):
+                # evaluate() casts the Float64 estimate back to the
+                # input's decimal type; mirror it or the alternative
+                # renders double format and the gate discards it
+                return f"DECIMAL({dt.precision},{dt.scale})"
+            if isinstance(dt, DoubleType):
                 return ""
             return None
 
@@ -5006,21 +5034,65 @@ class SltRunner:
         except Untranslatable:
             return None
 
-    @staticmethod
-    def _alt_case_null_then(t: str) -> str | None:
+    _CASE_TOKEN = re.compile(
+        r"'(?:[^']|'')*'|\(|\)|\b(?:CASE|WHEN|THEN|END)\b", re.IGNORECASE)
+
+    @classmethod
+    def _alt_case_null_then(cls, t: str) -> str | None:
         """DataFusion v42 takes the THEN branch when a searched-CASE
         condition evaluates to NULL, where ANSI/Spark/DuckDB fall
         through to ELSE (case.slt 45/56, family 5). Emulated by
         rewriting each condition to ``(cond) IS NOT FALSE``; gated, so
         a block where the deviation doesn't bite keeps the standard
-        translation."""
+        translation.
+
+        Applies only to searched CASE: a simple ``CASE expr WHEN``
+        compares by equality (``(expr) IS NOT FALSE`` would be wrong
+        semantics), so any simple CASE in the statement rejects the
+        rewrite. Conditions are extracted with paren/CASE-depth
+        balanced scanning (a nested CASE inside a condition broke the
+        old non-greedy ``WHEN(.*?)THEN``), string literals skipped."""
         if not re.search(r"\bCASE\s+WHEN\b", t, re.IGNORECASE):
             return None
-        out = re.sub(r"\bWHEN\b(.*?)\bTHEN\b",
-                     r"WHEN (\1) IS NOT FALSE THEN", t.strip().rstrip(";"),
-                     flags=re.IGNORECASE | re.DOTALL)
+        src = t.strip().rstrip(";")
+        # token scan: positions of WHEN tokens outside string literals,
+        # plus simple-CASE detection (non-space between CASE and WHEN)
+        whens: list[int] = []
+        for m in cls._CASE_TOKEN.finditer(src):
+            tok = m.group(0).upper()
+            if tok == "CASE":
+                rest = src[m.end():]
+                if rest.lstrip()[:4].upper() != "WHEN":
+                    return None  # simple CASE — equality semantics
+            elif tok == "WHEN":
+                whens.append(m.end())
+        if not whens:
+            return None
+        # rewrite innermost/last first so earlier offsets stay valid
+        for start in reversed(whens):
+            depth_p = depth_c = 0
+            end = None
+            for m in cls._CASE_TOKEN.finditer(src, start):
+                tok = m.group(0).upper()
+                if tok == "(":
+                    depth_p += 1
+                elif tok == ")":
+                    depth_p -= 1
+                elif tok == "CASE":
+                    depth_c += 1
+                elif tok == "END":
+                    if depth_c == 0:
+                        break  # malformed: END before THEN
+                    depth_c -= 1
+                elif tok == "THEN" and depth_p == 0 and depth_c == 0:
+                    end = m.start()
+                    break
+            if end is None:
+                return None
+            cond = src[start:end]
+            src = f"{src[:start]} ({cond.strip()}) IS NOT FALSE {src[end:]}"
         try:
-            return translate_query(out)
+            return translate_query(src)
         except Untranslatable:
             return None
 
@@ -5101,12 +5173,22 @@ class SltRunner:
                      for c in cols]
             out = sm.group(1) + ", ".join(items) + sm.group(2)
         else:
-            # sentinel two-pass so inserted wrappers aren't re-matched
+            # sentinel two-pass so inserted wrappers aren't re-matched.
+            # Substitute only OUTSIDE string literals, and skip the
+            # rewrite when the column name appears quoted anywhere — a
+            # literal containing the name (or an alias position) would
+            # otherwise get wrapped and the alternative silently lost
+            # to the gate for that block.
             for col in coarse:
-                out = re.sub(rf"\b{col}\b",
-                             f"date_trunc('{coarse[col]}', \x00{col}\x00)",
-                             out, flags=re.IGNORECASE)
-            out = out.replace("\x00", "")
+                if re.search(rf"'[^']*\b{col}\b[^']*'", out, re.IGNORECASE):
+                    return None
+            parts = re.split(r"('(?:[^']|'')*')", out)
+            for col in coarse:
+                pat = re.compile(rf"\b{col}\b", re.IGNORECASE)
+                repl = f"date_trunc('{coarse[col]}', \x00{col}\x00)"
+                parts = [p if i % 2 else pat.sub(repl, p)
+                         for i, p in enumerate(parts)]
+            out = "".join(parts).replace("\x00", "")
             if out == t:
                 return None
         try:

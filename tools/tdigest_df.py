@@ -23,8 +23,22 @@ are accepted ONLY when they reproduce the reference's answer).
 from __future__ import annotations
 
 import math
+import struct
 
 DEFAULT_MAX_SIZE = 100
+
+
+def _total_cmp_key(v: float) -> int:
+    """Rust ``f64::total_cmp`` as a sortable integer key: the IEEE-754
+    total order (-NaN < -inf < ... < -0.0 < +0.0 < ... < +inf < +NaN).
+    Flip all bits for negatives, flip only the sign bit for positives —
+    the standard totalOrder bit trick (the old ``(isnan, v)`` key put
+    every NaN last and merged ±0.0, diverging from the reference on
+    inputs containing -NaN or mixed signed zeros)."""
+    bits = struct.unpack("<Q", struct.pack("<d", v))[0]
+    if bits & 0x8000000000000000:
+        return 0xFFFFFFFFFFFFFFFF - bits  # negatives: reverse bit order
+    return bits | 0x8000000000000000      # positives: above all negatives
 
 
 def _k_to_q(k: int, d: int) -> float:
@@ -72,7 +86,7 @@ def _compress_sorted(vals: list[float], max_size: int):
     curr_weight = curr_weight + weights_to_merge
     curr_mean = new_sum / curr_weight
     compressed.append([curr_mean, curr_weight])
-    compressed.sort(key=lambda c: (math.isnan(c[0]), c[0]))  # total_cmp
+    compressed.sort(key=lambda c: _total_cmp_key(c[0]))  # total_cmp
     return compressed, count, vmin, vmax
 
 
@@ -132,8 +146,7 @@ def tdigest_quantile(values, q: float,
     """DataFusion's approx_percentile_cont over ``values`` (non-null
     floats, NaN allowed) at quantile ``q``: None on empty input,
     otherwise estimate_quantile over the single-batch digest."""
-    vals = sorted((float(v) for v in values),
-                  key=lambda v: (math.isnan(v), v))  # total_cmp, +NaN last
+    vals = sorted((float(v) for v in values), key=_total_cmp_key)
     if not vals:
         return None
     centroids, count, vmin, vmax = _compress_sorted(vals, max_size)
