@@ -573,6 +573,8 @@ _COLDEF_TYPE = {
     "BIGINT UNSIGNED": "DECIMAL(20,0)",
     "FLOAT": "FLOAT", "REAL": "FLOAT", "DOUBLE": "DOUBLE",
     "VARCHAR": "STRING", "TEXT": "STRING", "STRING": "STRING", "CHAR": "STRING",
+    # Postgres spellings (pg_compat corpus, postgres-role lane)
+    "CHARACTER VARYING": "STRING", "DOUBLE PRECISION": "DOUBLE",
     "BOOLEAN": "BOOLEAN", "BOOL": "BOOLEAN",
     "DATE": "DATE", "TIMESTAMP": "TIMESTAMP_NTZ",
     "TIMESTAMP WITH TIME ZONE": "TIMESTAMP",
@@ -3441,7 +3443,7 @@ class SltRunner:
     """Executes one .slt file inside an isolated Spark database."""
 
     def __init__(self, spark, db: str = "slt_run", row_cap: int = 8192,
-                 verbose: bool = False):
+                 verbose: bool = False, role: str = "datafusion"):
         # Isolate the census from whatever the caller's session has
         # accumulated (temp views/functions, runtime conf mutations from
         # other pytest modules sharing the session fixture): run on a
@@ -3457,6 +3459,14 @@ class SltRunner:
         self.db = db
         self.row_cap = row_cap
         self.verbose = verbose
+        # Which engine this run impersonates for onlyif/skipif gates.
+        # "datafusion" (default) is the primary census; "postgres"
+        # replays the pg_compat files down their live-Postgres lane
+        # (PG-spelling DDL + COPY FROM csv) as an ADVISORY lane — the
+        # reference runs its corpus against both engines
+        # (sqllogictest/src/engines/), and this turns the repo's
+        # skip_config bucket for those blocks into signal.
+        self.role = role
         self.unavailable: set[str] = set()
         self._temp_views: set[str] = set()
         self._scratch = f"/tmp/slt_scratch/{db}"
@@ -3778,11 +3788,11 @@ class SltRunner:
                 else:
                     resolved.append(b)
             for b in resolved:
-                # engine gates: this harness plays the DataFusion role
-                if b.only and b.only != "datafusion":
+                # engine gates: this harness plays self.role's part
+                if b.only and b.only != self.role:
                     c.skip_config += 1
                     continue
-                if b.skipif and b.skipif == "datafusion":
+                if b.skipif and b.skipif == self.role:
                     c.skip_config += 1
                     continue
                 self._run_block(b, c)
@@ -4107,6 +4117,9 @@ class SltRunner:
 
     _COPY_RE = re.compile(r"\s*COPY\s+(.+?)\s+TO\s+'([^']+)'(.*)$",
                           re.IGNORECASE | re.DOTALL)
+    _COPY_FROM_RE = re.compile(
+        r'\s*COPY\s+("?[A-Za-z_][\w."]*)\s+FROM\s+\'([^\']+)\'(.*)$',
+        re.IGNORECASE | re.DOTALL)
 
     def _run_copy(self, sql: str) -> str:
         """COPY <table|(query)> TO 'path' [STORED AS fmt] [PARTITIONED BY
@@ -4115,7 +4128,28 @@ class SltRunner:
         land under /tmp/slt_scratch/<db> (the reference tree is
         read-only); Spark writes a directory where DataFusion writes a
         single file — the read side lists recursively, so round-trips
-        agree."""
+        agree.
+
+        COPY <table> FROM 'path' [DELIMITER 'c'] [CSV] [HEADER]
+        (pg_compat postgres-role lane): csv ingest into the existing
+        table with the table's declared schema; returns the row count."""
+        fm2 = self._COPY_FROM_RE.match(sql.strip().rstrip(";"))
+        if fm2:
+            tbl, loc, tail = (fm2.group(1).strip().strip('"'),
+                              fm2.group(2), fm2.group(3))
+            path = _resolve_external_location(loc, self._scratch)
+            if path is None:
+                raise Untranslatable(f"COPY FROM source missing: {loc}")
+            dm = re.search(r"\bDELIMITER\s+'?(.)'?", tail, re.IGNORECASE)
+            header = bool(re.search(r"\bHEADER\b", tail, re.IGNORECASE))
+            df = (self.spark.read
+                  .schema(self.spark.table(tbl).schema)
+                  .option("header", str(header).lower())
+                  .option("sep", dm.group(1) if dm else ",")
+                  .csv(path))
+            n = df.count()
+            df.write.insertInto(tbl)
+            return str(n)
         m = self._COPY_RE.match(sql.strip().rstrip(";"))
         if not m:
             raise Untranslatable("unrecognized COPY")
