@@ -2,9 +2,9 @@
 
 Executes ALL 105 of the reference's own ``.slt`` files —
 ``datafusion-greatest/datafusion/sqllogictest/test_files/*.slt`` — against
-Spark SQL via tools/slt_runner.py and pins the census: **4,233+
-content-verified query blocks** and the exact set of **40 divergent
-blocks** (25 deterministic + 15 run-to-run-underdetermined), each with
+Spark SQL via tools/slt_runner.py and pins the census: **4,239+
+content-verified query blocks** and the exact set of **28 divergent
+blocks** (13 deterministic + 15 run-to-run-underdetermined), each with
 a named, verified cause. Re-pin with tools/repin_slt.py after ANY
 harness change (r4 shipped a widening without re-pinning and left 4
 parity tests red at HEAD — never again). Mirrors the TPC-DS execution differential's
@@ -140,6 +140,26 @@ leaves it underdetermined — ORDER BY ties, engine default NULL sort:
 DataFusion NULLS LAST for ASC, Spark NULLS FIRST, both standard-legal),
 ``match_rowcount`` (LIMIT without top-level total order — only the
 count is cross-engine comparable), ``mismatch`` (pinned divergences).
+
+Round-7 widening (12 deterministic pins retired, zero new divergences,
+floor 4,233 -> 4,239; math, expr and window now census ZERO
+deterministic divergences): f32-ARITHMETIC round emulation (DataFusion
+scales by 10^d in f32 before rounding half-away — math 66's 0.00005f
+boundary); ns-precision fractional-interval literal renders computed
+exactly at translation time (expr 222); FixedSizeList NULL-entry cast
+materialization — DataFusion's FixedSizeList->List coercion reads the
+fixed stride regardless of validity, so append/prepend/concat see N
+nulls while cardinality/dims keep NULL (array 2389/2443/2622/2676);
+ROWS-frame scan-order tiebreakers with measured direction semantics
+(same-direction within ties for keyed DESC frames, full file order
+injected for ORDER-less frames — window 2567/2774/2820/2867, verified
+against window_1.csv ground truth); Int64 literal typing through
+arrow_typeof (array 692) and parquet-footer FixedSizeList
+declared-type tracking + composite Field renders in the tracked-typeof
+fold (array 6605). A pg_compat POSTGRES-ROLE advisory lane replays the
+six pg_compat files down their live-Postgres setup path (PG DDL +
+COPY FROM) against the same goldens — no new gate, no divergence the
+DataFusion lane hasn't pinned.
 
 Pinned divergence families (every pinned line belongs to one):
 
@@ -374,21 +394,22 @@ pytestmark = pytest.mark.skipif(
 # measured content minus the file's underdetermined-block count (an
 # underdetermined block that flips to mismatch lowers content by 1).
 PINNED = {
-    # regenerated by tools/repin_slt.py (round 5 session 3, clean
-    # exclusive runs) after the session-probed alternative-reading
-    # batch, the NULL-ordering translation, the expected-error INSERT
-    # snapshot-restore, the N-way zip unnest alternative, and the COPY
-    # csv header default fix - 31 pins retired, zero new divergence
-    # lines, floor 4082 -> 4117
+    # regenerated by tools/repin_slt.py (round 7, clean scratch) after
+    # the round-7 alternative batch: f32-arithmetic round emulation,
+    # ns-precision fractional-interval literal render, FixedSizeList
+    # null-entry cast materialization for append/prepend/concat,
+    # ROWS-frame scan-order tiebreakers (incl. ORDER-less frames),
+    # Int64 literal typing through arrow_typeof, parquet-footer
+    # FixedSizeList declared-type tracking, and the composite-type
+    # Field render in the tracked-typeof fold — 12 deterministic pins
+    # retired (math 66, expr 222, window 2567/2774/2820/2867, array
+    # 692/2389/2443/2622/2676/6605), zero new divergences, floor
+    # 4233 -> 4239
     "agg_func_substitute.slt": (1, set()),
-    # family 17 retired in r6 session 2: the df_tdigest alternative
-    # (exact t-digest port + exact COUNT(DISTINCT) below the HLL
-    # linear-counting boundary) flips all 12 aggregate.slt and all 7
-    # aggregate_skip_partial.slt sketch-drift pins
     "aggregate.slt": (431, {4184}),
     "aggregate_skip_partial.slt": (45, set()),
     "aggregates_topk.slt": (12, set()),
-    "array.slt": (632, {692, 2389, 2443, 2622, 2676, 6099, 6605}),
+    "array.slt": (636, {6099}),
     "array_query.slt": (26, set()),
     "arrow_files.slt": (1, set()),
     "arrow_typeof.slt": (32, set()),
@@ -402,6 +423,7 @@ PINNED = {
     "copy.slt": (43, set()),
     "count_star_rule.slt": (2, set()),
     "create_external_table.slt": (3, set()),
+    "create_function.slt": (1, set()),
     "cse.slt": (0, set()),
     "csv_files.slt": (6, set()),
     "cte.slt": (16, set()),
@@ -414,13 +436,18 @@ PINNED = {
     "dynamic_file.slt": (19, set()),
     "encoding.slt": (4, set()),
     "errors.slt": (0, set()),
-    "expr.slt": (338, {222}),
+    "explain.slt": (0, set()),
+    "expr.slt": (339, set()),
     "filter_without_sort_exec.slt": (0, set()),
     "functions.slt": (92, set()),
     "group.slt": (21, set()),
-    "group_by.slt": (357, set()),
+    "group_by.slt": (355, set()),
     "grouping.slt": (2, set()),
     "identifiers.slt": (11, set()),
+    "information_schema.slt": (0, set()),
+    "information_schema_columns.slt": (0, set()),
+    "information_schema_multiple_catalogs.slt": (0, set()),
+    "information_schema_table_types.slt": (0, set()),
     "insert.slt": (25, set()),
     "insert_to_external.slt": (20, set()),
     "intersection.slt": (2, set()),
@@ -432,7 +459,7 @@ PINNED = {
     "json.slt": (2, set()),
     "limit.slt": (33, set()),
     "map.slt": (73, set()),
-    "math.slt": (27, {66}),
+    "math.slt": (28, set()),
     "metadata.slt": (0, set()),
     "misc.slt": (4, set()),
     "monotonic_projection_test.slt": (0, set()),
@@ -440,6 +467,7 @@ PINNED = {
     "nvl.slt": (8, set()),
     "nvl2.slt": (8, set()),
     "optimizer_group_by_constant.slt": (0, set()),
+    "options.slt": (13, set()),
     "order.slt": (34, set()),
     "parquet.slt": (7, {261}),
     "parquet_filter_pushdown.slt": (0, set()),
@@ -462,6 +490,7 @@ PINNED = {
     "scalar.slt": (214, set()),
     "schema_evolution.slt": (1, set()),
     "select.slt": (97, {572}),
+    "set_variable.slt": (5, set()),
     "sort_merge_join.slt": (46, set()),
     "string/dictionary_utf8.slt": (44, set()),
     "string/large_string.slt": (45, set()),
@@ -474,25 +503,13 @@ PINNED = {
     "subquery_sort.slt": (4, set()),
     "timestamps.slt": (215, set()),
     "topk.slt": (7, set()),
-    "tpch/tpch.slt": (20, {"q13:79"}),
+    "tpch/tpch.slt": (20, {'q13:79'}),
     "type_coercion.slt": (7, set()),
     "union.slt": (25, set()),
     "unnest.slt": (28, set()),
     "update.slt": (0, set()),
     "wildcard.slt": (4, set()),
-    # floor 135 = the all-underdetermined-mismatch minimum (4336/4343/
-    # 4350/4476 each add 1 content when they happen to match; the r6
-    # repin run caught one matching and recorded 136 — measured 135 in
-    # two standalone runs this session)
-    "window.slt": (139, {2567, 2774, 2820, 2867}),
-    "create_function.slt": (1, set()),
-    "explain.slt": (0, set()),
-    "information_schema.slt": (0, set()),
-    "information_schema_columns.slt": (0, set()),
-    "information_schema_multiple_catalogs.slt": (0, set()),
-    "information_schema_table_types.slt": (0, set()),
-    "options.slt": (13, set()),
-    "set_variable.slt": (5, set()),
+    "window.slt": (141, set()),
 }
 
 
@@ -510,7 +527,7 @@ UNDERDETERMINED = {
 # measured on the round-5 clean-scratch pinning run (tools/repin_slt.py,
 # 96 files); per-file floors subtract every underdetermined block so
 # any legal flip stays above the floor
-TOTAL_CONTENT_FLOOR = 4233
+TOTAL_CONTENT_FLOOR = 4239
 
 
 _totals = {"content": 0}
