@@ -2,9 +2,9 @@
 
 Executes ALL 105 of the reference's own ``.slt`` files —
 ``datafusion-greatest/datafusion/sqllogictest/test_files/*.slt`` — against
-Spark SQL via tools/slt_runner.py and pins the census: **4,239+
-content-verified query blocks** and the exact set of **28 divergent
-blocks** (13 deterministic + 15 run-to-run-underdetermined), each with
+Spark SQL via tools/slt_runner.py and pins the census: **4,242+
+content-verified query blocks** and the exact set of **27 divergent
+blocks** (12 deterministic + 15 run-to-run-underdetermined), each with
 a named, verified cause. Re-pin with tools/repin_slt.py after ANY
 harness change (r4 shipped a widening without re-pinning and left 4
 parity tests red at HEAD — never again). Mirrors the TPC-DS execution differential's
@@ -156,7 +156,10 @@ injected for ORDER-less frames — window 2567/2774/2820/2867, verified
 against window_1.csv ground truth); Int64 literal typing through
 arrow_typeof (array 692) and parquet-footer FixedSizeList
 declared-type tracking + composite Field renders in the tracked-typeof
-fold (array 6605). A pg_compat POSTGRES-ROLE advisory lane replays the
+fold (array 6605); zoned generate_series computed exactly at
+translation time — fixed-offset endpoints compared as instants,
+ns strides, first-argument-zone renders (array 6099, the 13th
+retirement, floor 4,239 -> 4,242). A pg_compat POSTGRES-ROLE advisory lane replays the
 six pg_compat files down their live-Postgres setup path (PG DDL +
 COPY FROM) against the same goldens — no new gate, no divergence the
 DataFusion lane hasn't pinned.
@@ -409,7 +412,7 @@ PINNED = {
     "aggregate.slt": (431, {4184}),
     "aggregate_skip_partial.slt": (45, set()),
     "aggregates_topk.slt": (12, set()),
-    "array.slt": (636, {6099}),
+    "array.slt": (639, set()),
     "array_query.slt": (26, set()),
     "arrow_files.slt": (1, set()),
     "arrow_typeof.slt": (32, set()),
@@ -527,7 +530,7 @@ UNDERDETERMINED = {
 # measured on the round-5 clean-scratch pinning run (tools/repin_slt.py,
 # 96 files); per-file floors subtract every underdetermined block so
 # any legal flip stays above the floor
-TOTAL_CONTENT_FLOOR = 4239
+TOTAL_CONTENT_FLOOR = 4242
 
 
 _totals = {"content": 0}

@@ -4090,6 +4090,7 @@ class SltRunner:
                                          self._alt_map_literal_render(b.sql),
                                          self._alt_fixedlist_nullfill(b.sql),
                                          self._alt_typeof_int64(b.sql),
+                                         self._alt_generate_series_zoned(b.sql),
                                          self._alt_round_f32(b.sql),
                                          self._alt_interval_ns_literal(b.sql),
                                          self._alt_window_tiebreak(b.sql),
@@ -5404,6 +5405,97 @@ class SltRunner:
         elif secs or not parts:
             parts.append(f"{sign}{secs} secs")
         return "SELECT '" + " ".join(parts) + "'"
+
+    _GS_ZONED = re.compile(
+        r"generate_series\s*\(\s*"
+        r"arrow_cast\s*\(\s*'([^']+)'\s*,\s*'Timestamp\([A-Za-z]+,\s*"
+        r"Some\(\"([+-]\d{2}:\d{2})\"\)\)'\s*\)\s*,\s*"
+        r"arrow_cast\s*\(\s*'([^']+)'\s*,\s*'Timestamp\([A-Za-z]+,\s*"
+        r"Some\(\"([+-]\d{2}:\d{2})\"\)\)'\s*\)\s*,\s*"
+        r"(INTERVAL\s+'[^']+'(?:\s+\w+)?)\s*\)",
+        re.IGNORECASE)
+
+    def _alt_generate_series_zoned(self, t: str) -> str | None:
+        """generate_series over FIXED-OFFSET zoned timestamps compares
+        INSTANTS (array.slt 6099: an end written in +05:00 terminates
+        the -05:00 series ten wall-hours early) and renders each entry
+        in the FIRST argument's zone with its offset suffix. Both
+        endpoints, the stride and the render are literal here, so the
+        whole array is computed exactly at translation time
+        (ns-precision strides included); verdict-gated."""
+        m = self._GS_ZONED.search(t)
+        if m is None:
+            return None
+        import datetime as _dt
+
+        def parse_naive(s: str) -> _dt.datetime:
+            return _dt.datetime.fromisoformat(s)
+
+        def off_ns(z: str) -> int:
+            sign = -1 if z[0] == "-" else 1
+            hh, mm = int(z[1:3]), int(z[4:6])
+            return sign * (hh * 3600 + mm * 60) * 1_000_000_000
+
+        def stride_ns(txt: str) -> int | None:
+            im = re.match(r"INTERVAL\s+'([^']+)'(?:\s+(\w+))?", txt,
+                          re.IGNORECASE)
+            if not im:
+                return None
+            body, unit = im.group(1), (im.group(2) or "").upper()
+            scale = {"NANOSECOND": 1, "MICROSECOND": 10**3,
+                     "MILLISECOND": 10**6, "SECOND": 10**9,
+                     "MINUTE": 60 * 10**9, "HOUR": 3600 * 10**9,
+                     "DAY": 86400 * 10**9}
+            if unit:
+                try:
+                    return int(body) * scale[unit]
+                except (ValueError, KeyError):
+                    return None
+            total, toks = 0, body.split()
+            if len(toks) % 2:
+                return None
+            for v, u in zip(toks[::2], toks[1::2]):
+                u = u.upper().rstrip("S")
+                if u not in scale:
+                    return None
+                try:
+                    total += int(v) * scale[u]
+                except ValueError:
+                    return None
+            return total
+
+        try:
+            t1, t2 = parse_naive(m.group(1)), parse_naive(m.group(3))
+        except ValueError:
+            return None
+        z1, z2 = m.group(2), m.group(4)
+        step = stride_ns(m.group(5))
+        if not step or step <= 0:
+            return None
+        epoch = _dt.datetime(1970, 1, 1)
+        start = int((t1 - epoch).total_seconds() * 10**6) * 1000 - off_ns(z1)
+        end = int((t2 - epoch).total_seconds() * 10**6) * 1000 - off_ns(z2)
+        items, cur = [], start
+        while cur <= end and len(items) <= 10_000:
+            local = cur + off_ns(z1)
+            secs, frac = divmod(local, 10**9)
+            dt = epoch + _dt.timedelta(seconds=secs)
+            txt = dt.strftime("%Y-%m-%dT%H:%M:%S")
+            if frac:
+                if frac % 10**6 == 0:
+                    txt += f".{frac // 10**6:03d}"
+                elif frac % 10**3 == 0:
+                    txt += f".{frac // 10**3:06d}"
+                else:
+                    txt += f".{frac:09d}"
+            items.append(txt + z1)
+            cur += step
+        lit = "[" + ", ".join(items) + "]"
+        out = t[:m.start()] + "'" + lit + "'" + t[m.end():]
+        try:
+            return translate_query(out.strip().rstrip(";"))
+        except Untranslatable:
+            return None
 
     def _alt_window_tiebreak(self, t: str) -> str | None:
         """ROWS/frame windows ordered by a TIED key are underdetermined
