@@ -4091,6 +4091,8 @@ class SltRunner:
                                          self._alt_fixedlist_nullfill(b.sql),
                                          self._alt_typeof_int64(b.sql),
                                          self._alt_generate_series_zoned(b.sql),
+                                         self._alt_nan_sign_literal(b.sql),
+                                         self._alt_parquet_tz_block(b.sql),
                                          self._alt_round_f32(b.sql),
                                          self._alt_interval_ns_literal(b.sql),
                                          self._alt_window_tiebreak(b.sql),
@@ -4792,6 +4794,8 @@ class SltRunner:
             schema = pq.read_schema(fpath)
         except Exception:  # noqa: BLE001 — footer unreadable: skip
             return
+        units = {"s": "Second", "ms": "Millisecond",
+                 "us": "Microsecond", "ns": "Nanosecond"}
         for field in schema:
             ty = field.type
             tyname = str(ty)
@@ -4801,6 +4805,11 @@ class SltRunner:
                 self._decl_types[(name.lower(), field.name.lower())] = (
                     f"FixedSizeList({m.group(2)}, "
                     f"{self._PA_ARROW_TEXT[m.group(1)]})")
+                continue
+            m = re.match(r"timestamp\[(\w+), tz=([^\]]+)\]", tyname)
+            if m and m.group(1) in units:
+                self._decl_types[(name.lower(), field.name.lower())] = (
+                    f'Timestamp({units[m.group(1)]}, Some("{m.group(2)}"))')
 
     def _alt_typeof_int64(self, t: str) -> str | None:
         """DataFusion types bare integer literals Int64 (family 1), so
@@ -5494,6 +5503,115 @@ class SltRunner:
         out = t[:m.start()] + "'" + lit + "'" + t[m.end():]
         try:
             return translate_query(out.strip().rstrip(";"))
+        except Untranslatable:
+            return None
+
+    _NAN_SIGN_CMP = re.compile(
+        r"\(\s*isnan\(\s*'(-?NaN)'\s*::\s*(?:double|float)\s*\)\s+AND\s+"
+        r"'(-?NaN)'\s*::\s*(?:double|float)\s*(<|>)\s*0\s*\)",
+        re.IGNORECASE)
+
+    def _alt_parquet_tz_block(self, t: str) -> str | None:
+        """arrow_typeof + MIN/MAX over a ZONE-ATTACHED parquet timestamp
+        (parquet.slt 261): the footer-tracked type folds statically
+        (including through a LAG/LEAD/FIRST_VALUE/LAST_VALUE ... AS
+        alias — type-preserving), and the aggregate renders as
+        DataFusion would: zone-local wall clock + 'Z' for UTC. One
+        combined alternative because the block needs both rewrites at
+        once; verdict-gated."""
+        if not re.search(r"\barrow_typeof\s*\(", t, re.IGNORECASE):
+            return None
+        zoned: dict[str, tuple[str, str]] = {}
+        for tbl in re.findall(r"\bfrom\s+([A-Za-z_]\w*)", t, re.IGNORECASE):
+            for (tb, col), ty in self._decl_types.items():
+                if tb != tbl.lower():
+                    continue
+                zm = re.match(r'Timestamp\(\w+, Some\("([^"]+)"\)\)$', ty)
+                if zm:
+                    zoned[col] = (ty, zm.group(1))
+        if not zoned:
+            return None
+        out = t.strip().rstrip(";")
+        # window aliases of zoned columns keep the type
+        for m in re.finditer(r"\b(?:lag|lead|first_value|last_value)\s*\(\s*"
+                             r"([A-Za-z_]\w*)[^()]*\)\s*over\s*\(",
+                             out, re.IGNORECASE):
+            col = m.group(1).lower()
+            if col not in zoned:
+                continue
+            try:
+                close_p = _find_close(out, m.end() - 1)
+            except Untranslatable:
+                continue
+            am = re.match(r"\s*AS\s+([A-Za-z_]\w*)", out[close_p + 1:],
+                          re.IGNORECASE)
+            if am:
+                zoned[am.group(1).lower()] = zoned[col]
+        changed = False
+        # fold arrow_typeof(x) for zone-tracked x
+        pos = 0
+        while True:
+            m = re.search(r"\barrow_typeof\s*\(", out[pos:], re.IGNORECASE)
+            if not m:
+                break
+            open_p = pos + m.end() - 1
+            try:
+                close_p = _find_close(out, open_p)
+            except Untranslatable:
+                return None
+            arg = out[open_p + 1:close_p].strip().lower()
+            if arg in zoned:
+                repl = "'" + zoned[arg][0] + "'"
+                out = out[:pos + m.start()] + repl + out[close_p + 1:]
+                pos = pos + m.start() + len(repl)
+                changed = True
+            else:
+                pos = close_p + 1
+        # render MIN/MAX of zone-tracked cols the DataFusion way
+        def render_agg(m: re.Match) -> str:
+            fn, col = m.group(1), m.group(2)
+            if col.lower() not in zoned:
+                return m.group(0)
+            zone = zoned[col.lower()][1]
+            suffix = "Z" if zone in ("UTC", "+00:00") else zone
+            inner = f"CAST({fn}({col}) AS TIMESTAMP_NTZ)"
+            return (f"concat(date_format({inner}, 'yyyy-MM-dd'), 'T', "
+                    f"date_format({inner}, 'HH:mm:ss'), '{suffix}')")
+
+        out2 = re.sub(r"\b(MIN|MAX)\s*\(\s*([A-Za-z_]\w*)\s*\)",
+                      render_agg, out, flags=re.IGNORECASE)
+        changed = changed or out2 != out
+        if not changed:
+            return None
+        try:
+            return translate_query(out2)
+        except Untranslatable:
+            return None
+
+    def _alt_nan_sign_literal(self, t: str) -> str | None:
+        """DataFusion keeps the SIGN of a NaN literal and compares by
+        IEEE total order (select.slt 572: '-NaN'::double < 0 is true,
+        'NaN'::double > 0 is true), where Spark parses '-NaN' to the
+        unsigned NaN and treats NaN as greater than everything. The
+        operands are literals, so each (isnan(x) AND x <|> 0) group
+        folds to its total-order truth at translation time;
+        verdict-gated."""
+        if not self._NAN_SIGN_CMP.search(t):
+            return None
+
+        def fold(m: re.Match) -> str:
+            lit, lit2, op = m.group(1), m.group(2), m.group(3)
+            if lit != lit2:
+                return m.group(0)
+            neg = lit.startswith("-")
+            val = (op == "<" and neg) or (op == ">" and not neg)
+            return "true" if val else "false"
+
+        out = self._NAN_SIGN_CMP.sub(fold, t.strip().rstrip(";"))
+        if out == t.strip().rstrip(";"):
+            return None
+        try:
+            return translate_query(out)
         except Untranslatable:
             return None
 
