@@ -157,12 +157,14 @@ def main() -> None:
 
     from rust_query_engine_greatest_spark.queries import REGISTRY
     from rust_query_engine_greatest_spark.session import get_spark
-    from rust_query_engine_greatest_spark.sources import compact
+    from rust_query_engine_greatest_spark.sources import compact, stats
 
     ensure_sf1(args.dir)
     spark = get_spark(app_name="sf1-floor")
     dest, _ = compact.compact_tables(spark, args.dir, tables=TPCH_TABLES)
     compact._ACTIVE[os.path.abspath(args.dir)] = dest
+    # same configuration as the bench of record (r7: stats+CBO default)
+    stats.activate(spark, args.dir)
 
     t_gate = time.time()
     while os.getloadavg()[0] > 3.0 and time.time() - t_gate < 240:
