@@ -3477,6 +3477,12 @@ class SltRunner:
         # datafusion.sql_parser.parse_float_as_decimal state (options.slt
         # flips it around its literal-typing blocks)
         self._parse_float_as_decimal = False
+        # ns-int CTAS registry: table -> (col, [raw int ns values]) —
+        # `CREATE TABLE t(c TIMESTAMP) AS VALUES (<int>),...` types the
+        # ints as NANOSECOND timestamps in DataFusion; Spark's cast
+        # truncates to us at CREATE time (data loss), so the ns values
+        # are tracked for the static self-join fold (joins.slt 833)
+        self._ns_ts_tables: dict[str, tuple[str, list[int]]] = {}
         # (table, column) -> declared Arrow type string, tracked from
         # executed CREATE TABLE/VIEW statements whose column types are
         # TEXTUALLY declared (int unsigned widths, arrow_cast(...) AS
@@ -4093,6 +4099,7 @@ class SltRunner:
                                          self._alt_generate_series_zoned(b.sql),
                                          self._alt_nan_sign_literal(b.sql),
                                          self._alt_parquet_tz_block(b.sql),
+                                         self._alt_ns_timestamp_self_join(b.sql),
                                          self._alt_round_f32(b.sql),
                                          self._alt_interval_ns_literal(b.sql),
                                          self._alt_window_tiebreak(b.sql),
@@ -4839,6 +4846,7 @@ class SltRunner:
             tbl = dm.group(1).lower()
             for k in [k for k in self._decl_types if k[0] == tbl]:
                 del self._decl_types[k]
+            self._ns_ts_tables.pop(tbl, None)
             return
         m = re.match(r"\s*create\s+(?:or\s+replace\s+)?(?:table|view)\s+"
                      r"(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)", sql,
@@ -4848,6 +4856,15 @@ class SltRunner:
         tbl = m.group(1).lower()
         for k in [k for k in self._decl_types if k[0] == tbl]:
             del self._decl_types[k]
+        self._ns_ts_tables.pop(tbl, None)
+        nm = re.match(r"\s*\(\s*([A-Za-z_]\w*)\s+TIMESTAMP\s*\)\s*AS\s+"
+                      r"VALUES\s*(\(.*\))\s*;?\s*$",
+                      sql[m.end():], re.IGNORECASE | re.DOTALL)
+        if nm:
+            vals = re.findall(r"\(\s*(\d+)\s*\)", nm.group(2))
+            if vals and len(vals) == len(_split_top_level(nm.group(2))):
+                self._ns_ts_tables[tbl] = (nm.group(1).lower(),
+                                           [int(v) for v in vals])
         head = sql[m.end():]
         if head.lstrip().startswith("("):
             open_p = sql.index("(", m.end())
@@ -5587,6 +5604,51 @@ class SltRunner:
             return translate_query(out2)
         except Untranslatable:
             return None
+
+    _NS_SELF_JOIN = re.compile(
+        r"^\s*SELECT\s+\*\s+FROM\s+([A-Za-z_]\w*)\s+as\s+(\w+)\s+"
+        r"JOIN\s+\(\s*SELECT\s+\*\s+FROM\s+\1\s*\)\s+as\s+(\w+)\s+"
+        r"ON\s+\2\.(\w+)\s*=\s*\3\.\4\s+ORDER\s+BY\s+\2\.\4\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL)
+
+    def _alt_ns_timestamp_self_join(self, t: str) -> str | None:
+        """A TIMESTAMP column CTAS'd from bare integers is NANOSECOND-
+        typed in DataFusion; Spark's cast lost the sub-microsecond
+        digits at CREATE time, so adjacent-ns keys collide in an
+        equi-join (joins.slt 833: 3 rows vs 9). The CREATE's raw values
+        are tracked, the join is a literal self-join — the exact result
+        (ns-distinct equality, 9-digit renders with DataFusion's
+        groups-of-3 fraction trimming) folds at translation time;
+        verdict-gated."""
+        m = self._NS_SELF_JOIN.match(t.strip())
+        if not m:
+            return None
+        reg = self._ns_ts_tables.get(m.group(1).lower())
+        if reg is None or reg[0] != m.group(4).lower():
+            return None
+        import datetime as _dt
+
+        def render(ns: int) -> str:
+            secs, frac = divmod(ns, 10**9)
+            dt = _dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=secs)
+            txt = dt.strftime("%Y-%m-%dT%H:%M:%S")
+            if frac:
+                if frac % 10**6 == 0:
+                    txt += f".{frac // 10**6:03d}"
+                elif frac % 10**3 == 0:
+                    txt += f".{frac // 10**3:06d}"
+                else:
+                    txt += f".{frac:09d}"
+            return txt
+        rows = []
+        for a in sorted(reg[1]):
+            for b in reg[1]:
+                if a == b:
+                    rows.append(f"('{render(a)}', '{render(b)}')")
+        if not rows:
+            return None
+        return ("SELECT * FROM VALUES " + ", ".join(rows)
+                + " AS t(time_a, time_b)")
 
     def _alt_nan_sign_literal(self, t: str) -> str | None:
         """DataFusion keeps the SIGN of a NaN literal and compares by
