@@ -45,6 +45,68 @@ _T0 = time.time()
 _LOAD0 = os.getloadavg()
 
 
+def _cpu_snapshot() -> tuple[float, float]:
+    """(machine busy cpu-sec, this process tree cpu-sec) since boot.
+
+    VERDICT r7 #5: the r7 artifact's tail ran contended and the JSON
+    couldn't show it — the idle gate checks only at start, and loadavg
+    mid-run is dominated by our own executors. Per-SECTION deltas of
+    these two counters separate the box's work from ours:
+    ext_cpu_s = Δbusy − Δown ≈ 0 means the section ran on an otherwise
+    idle machine (idle-attributable), regardless of what loadavg says.
+    Linux /proc; returns (0, 0) anywhere it can't read."""
+    try:
+        hz = float(os.sysconf("SC_CLK_TCK"))
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        busy = (sum(int(x) for x in parts)
+                - int(parts[3]) - int(parts[4])) / hz  # − idle − iowait
+        ppid_of: dict[int, int] = {}
+        cpu_of: dict[int, float] = {}
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    rest = f.read().rsplit(")", 1)[1].split()
+                ppid_of[int(pid)] = int(rest[1])
+                cpu_of[int(pid)] = (int(rest[11]) + int(rest[12])) / hz
+            except (OSError, IndexError, ValueError):
+                continue
+        me = os.getpid()
+        own = 0.0
+        for pid, cpu in cpu_of.items():
+            p, hops = pid, 0
+            while p > 1 and hops < 64:
+                if p == me:
+                    own += cpu
+                    break
+                p, hops = ppid_of.get(p, 1), hops + 1
+        return busy, own
+    except Exception:
+        return 0.0, 0.0
+
+
+_SECTIONS: dict[str, dict] = {}
+_SEC_MARK = (time.time(), *_cpu_snapshot())
+
+
+def _section_end(name: str) -> None:
+    """Close the current bench section: record its wall-clock, the
+    machine-wide busy CPU it didn't account for (ext_cpu_s — the
+    contended-section flag), and the loadavg at the boundary."""
+    global _SEC_MARK
+    now, busy, own = time.time(), *_cpu_snapshot()
+    t0, busy0, own0 = _SEC_MARK
+    _SECTIONS[name] = {
+        "wall_s": round(now - t0, 1),
+        "own_cpu_s": round(own - own0, 1),
+        "ext_cpu_s": round(max(0.0, (busy - busy0) - (own - own0)), 1),
+        "load": [round(x, 2) for x in os.getloadavg()],
+    }
+    _SEC_MARK = (now, busy, own)
+
+
 def bench_names() -> list[str]:
     names = [n for n in sorted(REGISTRY) if n.startswith("tpch_")]
     extra = [n for n in sorted(REGISTRY) if REGISTRY[n].tags and "bench" in REGISTRY[n].tags]
@@ -123,6 +185,7 @@ def main() -> None:
     # pipeline section runs NEXT (one timed pass, before the optional
     # mem variant) with the remainder reserved for it; the mem pass is
     # the one that gets skipped under pressure.
+    _section_end("setup_warm")
     times: dict[str, float] = {}
     for it in range(ITERS):
         if it > 0 and time.time() - _T0 > BUDGET_S * 0.55:
@@ -139,6 +202,7 @@ def main() -> None:
                 print(f"bench {name} failed: {e}", file=sys.stderr)
                 times[key] = -1.0
     total = round(sum(t for t in times.values() if t > 0), 4)
+    _section_end("tpch")
     # Training-pipeline ops (dedup/ANN/text) — reported under their own
     # keys so the headline tpch metric stays comparable across rounds;
     # warm + ONE timed pass (they are an order heavier than the tpch
@@ -203,6 +267,7 @@ def main() -> None:
             except Exception as e:
                 print(f"bench-pipeline {name} failed: {e}", file=sys.stderr)
                 times_pipe[name] = -1.0
+    _section_end("pipeline")
     # In-memory variant — the reference's `tpch_mem` mode (bench.sh:73,
     # BASELINE.md second table): same queries over cached columnar
     # tables, isolating compute from IO. Runs LAST: it is the section
@@ -233,6 +298,7 @@ def main() -> None:
             _catalog.uncache_tables(SF_DIR)
         except Exception as e:
             print(f"mem pass skipped: {e}", file=sys.stderr)
+    _section_end("mem")
     out = {
         "metric": "tpch_total_best",
         "value": total,
@@ -250,6 +316,10 @@ def main() -> None:
         "load_start": [round(x, 2) for x in _LOAD0],
         "load_end": [round(x, 2) for x in os.getloadavg()],
         "idle_gate_waited_s": _GATE_WAITED,
+        # per-section attribution (VERDICT r7 #5): ext_cpu_s ≈ 0 means
+        # the section ran idle-attributable even though loadavg carries
+        # our own executors; a contended section shows ext_cpu_s ≫ 0.
+        "sections": _SECTIONS,
         "wall_s": round(time.time() - _T0, 1),
     }
     if times_mem:

@@ -465,7 +465,14 @@ def _bucket_pairs_hamming(
     shrinks the exploded/deduped volume to the survivors only — at
     sf0.1 the template-clustered documents table emits 1.26M raw
     candidates but only ~0.4M with Hamming ≤ 3 (measured; the join-back
-    form shuffled all 1.26M twice and distinct'd them once more)."""
+    form shuffled all 1.26M twice and distinct'd them once more).
+
+    Memory bound: a bucket at exactly max_bucket members materializes
+    C(max_bucket, 2) ≈ max_bucket²/2 pair-structs inside ONE aggregated
+    row before the explode (~524k structs ≈ tens of MB at the default
+    1024) — the per-row executor-memory cost grows QUADRATICALLY in
+    max_bucket, so raise it deliberately. Pinned at the default by
+    test_pipeline.py::test_simhash_max_bucket_pair_array_bound."""
     pair_structs = F.filter(
         F.flatten(
             F.transform(

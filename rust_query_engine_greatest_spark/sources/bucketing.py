@@ -96,6 +96,13 @@ def activate(spark: SparkSession, sf_dir: str, n_buckets: int,
         if not spark.catalog.tableExists(tbl):
             write_bucketed(catalog.load_table(spark, sf_dir, name), tbl,
                            [key], n_buckets, [key])
+            # ANALYZE the bucketed table itself so a stats+CBO session
+            # keeps estimate-driven join order when load_table routes
+            # here instead of to the stat_ twin (bucketed route wins).
+            from .stats import _statable_columns
+
+            spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS "
+                      f"FOR COLUMNS {_statable_columns(spark, tbl)}")
         _BUCKETED[(os.path.abspath(sf_dir), name)] = tbl
     return round(time.perf_counter() - t0, 2)
 

@@ -101,16 +101,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     mem = _MEMORY.get((os.path.abspath(sf_dir), name))
     if mem is not None:
         return mem
-    st = stats.resolve(sf_dir, name)
-    if st is not None:
-        # stats-backed catalog table: same files, plus row-count/NDV
-        # statistics so CBO join reorder & estimation apply (stats.py)
-        return spark.table(st)
+    # Bucketed route FIRST: a bucketed layout is an explicit physical
+    # request (exchange-free orderkey joins) that a stats-routed read of
+    # the same table would silently bypass; bucketing.activate ANALYZEs
+    # the bucketed table itself, so CBO estimates still apply to it.
     bkt = bucketing.resolve(sf_dir, name)
     if bkt is not None:
         # sorted bucketed catalog table: orderkey joins/aggs satisfy
         # their ClusteredDistribution straight off the scan
         return spark.table(bkt)
+    st = stats.resolve(sf_dir, name)
+    if st is not None:
+        # stats-backed catalog table: same files, plus row-count/NDV
+        # statistics so CBO join reorder & estimation apply (stats.py)
+        return spark.table(st)
     root = compact.resolve(sf_dir)
     if root is not None:
         # compacted copies are written post-conversion (ts already µs)

@@ -66,12 +66,16 @@ def activate(spark: SparkSession, sf_dir: str,
     for k, v in CBO_CONFS.items():
         spark.conf.set(k, v)
     root = compact.resolve(sf_dir) or sf_dir
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     paths = {t: os.path.join(root, f"{t}.parquet") for t in tables}
     for t, p in (extra_paths or {}).items():
         paths[t] = p
     for name, path in paths.items():
         key = (os.path.abspath(sf_dir), name)
+        # Tag folds the RESOLVED path, not just sf_dir: compaction
+        # activated after a first stats pass changes the path, and the
+        # stale stat_ table (pointing at the raw root) must not satisfy
+        # the tableExists idempotency check for the compacted one.
+        tag = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:8]
         tbl = f"stat_{tag}_{name}"
         if not spark.catalog.tableExists(tbl):
             spark.sql(f"CREATE TABLE {tbl} USING parquet LOCATION '{path}'")
@@ -79,6 +83,31 @@ def activate(spark: SparkSession, sf_dir: str,
                       f"FOR COLUMNS {_statable_columns(spark, tbl)}")
         _STATS[key] = tbl
     return round(time.perf_counter() - t0, 2)
+
+
+PIPELINE_TABLES = ("documents", "embeddings", "events")
+
+
+def activate_pipeline(spark: SparkSession, sf_dir: str) -> float:
+    """Stats for the pipeline/events side (VERDICT r7 #3). `documents`
+    and `embeddings` register directly (complex/NTZ columns are already
+    excluded from the column pass by `_statable_columns`). `events` is
+    only registered from a COMPACTED copy — compact.activate writes it
+    post-conversion (ts already µs instant), so the catalog table's
+    schema matches what catalog.load_table's raw-read branch produces;
+    the raw file may be TIMESTAMP(NANOS)/NTZ and would bypass the
+    conversion. Returns seconds spent analyzing."""
+    from . import compact
+    from pyspark.sql import types as T
+
+    tables = ["documents", "embeddings"]
+    root = compact.resolve(sf_dir)
+    if root is not None:
+        ts_type = spark.read.parquet(
+            os.path.join(root, "events.parquet")).schema["ts"].dataType
+        if isinstance(ts_type, T.TimestampType):
+            tables.append("events")
+    return activate(spark, sf_dir, tables=tuple(tables))
 
 
 def _statable_columns(spark: SparkSession, tbl: str) -> str:
@@ -97,10 +126,26 @@ def _statable_columns(spark: SparkSession, tbl: str) -> str:
     return ", ".join(cols)
 
 
-def deactivate(sf_dir: str | None = None) -> None:
+def deactivate(sf_dir: str | None = None, spark: SparkSession | None = None,
+               drop: bool = False) -> None:
+    """Stop routing reads to the stat_ tables. With `spark` given, also
+    restore the CBO confs to Spark defaults; with `drop=True`, drop the
+    catalog tables themselves (metadata only — LOCATION-backed external
+    parquet is never deleted). Default keeps the r7 behavior (routing
+    only) so a shared session's other users keep their tables."""
+    dropped = []
     for k in [k for k in _STATS
               if sf_dir is None or k[0] == os.path.abspath(sf_dir)]:
-        _STATS.pop(k)
+        dropped.append(_STATS.pop(k))
+    if spark is not None:
+        for conf in CBO_CONFS:
+            try:
+                spark.conf.unset(conf)
+            except Exception:
+                pass
+        if drop:
+            for tbl in dropped:
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
 def resolve(sf_dir: str, name: str) -> str | None:

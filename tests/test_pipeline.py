@@ -429,6 +429,37 @@ def test_simhash_template_fixture_hamming_gap(spark):
     assert min_ham > 3, f"cross-template Hamming gap collapsed: {min_ham}"
 
 
+def test_simhash_max_bucket_pair_array_bound(spark):
+    """VERDICT r7 #6: the executor-memory bound that matters before
+    anyone raises max_bucket at 100 TB. A bucket at EXACTLY the default
+    max_bucket=1024 members pushes C(1024,2) = 523,776 pair-structs
+    through a SINGLE aggregated row in _bucket_pairs_hamming (the
+    collect_set → flatten/transform path, pipeline/dedup.py). Fixture:
+    1024 docs with IDENTICAL fingerprints (every band bucket holds
+    exactly 1024 = max_bucket, so the main path — not sub-banding —
+    processes them wholesale; Hamming 0 keeps every pair). Asserts it
+    completes and emits EXACTLY the full pair set: cardinality
+    C(1024,2) with id_a < id_b over ids 0..1023 and hamming = 0 — a
+    distinct pair relation of that size under those constraints IS the
+    complete set."""
+    from pyspark.sql import functions as F
+
+    n = 1024
+    base = spark.createDataFrame(
+        [(i, 0x5A5A5A5A5A5A5A5) for i in range(n)], "id long, fp long")
+    pairs = dedup.simhash_pairs_from_fps(base, max_hamming=3, max_bucket=n)
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct(F.struct("id_a", "id_b")).alias("n_distinct"),
+        F.min("id_a").alias("min_a"), F.max("id_b").alias("max_b"),
+        F.max(F.col("id_a") >= F.col("id_b")).alias("any_bad_order"),
+        F.max("hamming").alias("max_ham"),
+    ).collect()[0]
+    assert agg.n_pairs == n * (n - 1) // 2 == agg.n_distinct
+    assert (agg.min_a, agg.max_b) == (0, n - 1)
+    assert agg.any_bad_order is False and agg.max_ham == 0
+
+
 def test_winnow_md5_variant_matches_xxhash_structure(spark):
     """The md5 hash_fn (oracle path) must select the same WINDOW
     positions semantics as the xxhash64 fast path: identical docs agree

@@ -296,7 +296,7 @@ def test_tracked_typeof_fold():
 
     class Bare(SltRunner):
         def __init__(self):
-            self._decl_types = {}
+            self._init_rewrite_state()
 
     r = Bare()
     r._track_decl_types("create table t (c int unsigned) as values (1)")
@@ -330,8 +330,7 @@ def test_deviation_and_typing_alts():
 
     class Bare(SltRunner):
         def __init__(self):
-            self._decl_types = {}
-            self._parse_float_as_decimal = False
+            self._init_rewrite_state()
 
     r = Bare()
     out = r._alt_case_null_then("SELECT CASE WHEN a > 2 THEN b END FROM f")

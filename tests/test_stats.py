@@ -42,9 +42,18 @@ def test_analyze_records_row_counts(spark, sf_dir, stats_active):
 def test_activate_is_idempotent_and_deactivate_restores(spark, sf_dir):
     stats.activate(spark, sf_dir, tables=("region",))
     first = stats.resolve(sf_dir, "region")
-    prep2 = stats.activate(spark, sf_dir, tables=("region",))
+    # second activation must reuse the analyzed table: spy that no
+    # CREATE/ANALYZE SQL runs (behavioral, not a wall-clock bound)
+    ran = []
+    real_sql = spark.sql
+    spark.sql = lambda q, *a, **k: (ran.append(q), real_sql(q, *a, **k))[1]
+    try:
+        stats.activate(spark, sf_dir, tables=("region",))
+    finally:
+        del spark.sql  # restore the bound method
     assert stats.resolve(sf_dir, "region") == first
-    assert prep2 < 1.0  # second activation reuses the analyzed table
+    assert not [q for q in ran
+                if "ANALYZE" in q.upper() or "CREATE" in q.upper()], ran
     stats.deactivate(sf_dir)
     assert stats.resolve(sf_dir, "region") is None
     # load_table falls back to the raw parquet read
@@ -56,3 +65,87 @@ def test_unactivated_tables_unrouted(spark, sf_dir, stats_active):
     # events is deliberately excluded (ns->us conversion lives in
     # load_table); it must never route through a catalog table
     assert stats.resolve(sf_dir, "events") is None
+
+
+def test_bucketed_route_wins_over_stats(spark, sf_dir):
+    """ADVICE r7: an explicitly-requested bucketed layout must actually
+    be exercised — load_table routes to the bkt_ table even when a
+    stat_ table exists for the same (sf_dir, table)."""
+    from rust_query_engine_greatest_spark.sources import bucketing
+
+    stats.activate(spark, sf_dir, tables=("orders",))
+    bucketing.activate(spark, sf_dir, 4, tables=("orders",))
+    try:
+        plan = catalog.load_table(spark, sf_dir, "orders") \
+            ._jdf.queryExecution().analyzed().toString()
+        assert "bkt_" in plan and "stat_" not in plan
+        # the bucketed table carries its own ANALYZE stats, so CBO
+        # estimates survive the routing override
+        bkt = bucketing.resolve(sf_dir, "orders")
+        desc = {r["col_name"]: r["data_type"]
+                for r in spark.sql(f"DESCRIBE TABLE EXTENDED {bkt}").collect()}
+        assert "rows" in desc.get("Statistics", "")
+    finally:
+        tbl = bucketing.resolve(sf_dir, "orders")
+        bucketing.deactivate(sf_dir)
+        if tbl:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        stats.deactivate(sf_dir)
+
+
+def test_deactivate_with_spark_restores_confs_and_drops(spark, sf_dir):
+    stats.activate(spark, sf_dir, tables=("region",))
+    tbl = stats.resolve(sf_dir, "region")
+    assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+    stats.deactivate(sf_dir, spark=spark, drop=True)
+    assert spark.conf.get("spark.sql.cbo.enabled") == "false"  # default
+    assert not spark.catalog.tableExists(tbl)
+    assert stats.resolve(sf_dir, "region") is None
+
+
+def test_activate_pipeline_documents_embeddings_events(spark, sf_dir):
+    """VERDICT r7 #3: the pipeline side gets stats too — documents and
+    embeddings always; events only from a compacted (post-conversion)
+    copy, and the routed schema keeps the instant timestamp type."""
+    from pyspark.sql import types as T
+
+    from rust_query_engine_greatest_spark.sources import compact
+
+    stats.activate_pipeline(spark, sf_dir)
+    try:
+        assert stats.resolve(sf_dir, "documents") is not None
+        assert stats.resolve(sf_dir, "embeddings") is not None
+        # no compaction -> raw events may be NTZ/ns: never registered
+        assert stats.resolve(sf_dir, "events") is None
+        compact.activate(spark, sf_dir)
+        stats.activate_pipeline(spark, sf_dir)
+        ev = stats.resolve(sf_dir, "events")
+        assert ev is not None
+        ts_type = catalog.load_table(spark, sf_dir, "events") \
+            .schema["ts"].dataType
+        assert isinstance(ts_type, T.TimestampType)
+    finally:
+        compact.deactivate(sf_dir)
+        stats.deactivate(sf_dir, spark=spark, drop=True)
+
+
+def test_stats_tag_tracks_compacted_root(spark, sf_dir):
+    """ADVICE r7: compaction activated AFTER a stats pass must not be
+    satisfied by the stale stat_ table pointing at the raw path — the
+    table tag folds the resolved parquet path."""
+    from rust_query_engine_greatest_spark.sources import compact
+
+    stats.activate(spark, sf_dir, tables=("nation",))
+    raw_tbl = stats.resolve(sf_dir, "nation")
+    compact.activate(spark, sf_dir)
+    try:
+        stats.activate(spark, sf_dir, tables=("nation",))
+        new_tbl = stats.resolve(sf_dir, "nation")
+        assert new_tbl != raw_tbl
+        loc = [r["data_type"] for r in
+               spark.sql(f"DESCRIBE TABLE EXTENDED {new_tbl}").collect()
+               if r["col_name"] == "Location"]
+        assert loc and "compacted" in loc[0]
+    finally:
+        compact.deactivate(sf_dir)
+        stats.deactivate(sf_dir, spark=spark, drop=True)

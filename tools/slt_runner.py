@@ -3474,22 +3474,7 @@ class SltRunner:
         # parts}; lets a later path-literal read (FROM 'dir') reapply the
         # written column names to a headerless csv dataset
         self._copy_meta: dict[str, dict] = {}
-        # datafusion.sql_parser.parse_float_as_decimal state (options.slt
-        # flips it around its literal-typing blocks)
-        self._parse_float_as_decimal = False
-        # ns-int CTAS registry: table -> (col, [raw int ns values]) —
-        # `CREATE TABLE t(c TIMESTAMP) AS VALUES (<int>),...` types the
-        # ints as NANOSECOND timestamps in DataFusion; Spark's cast
-        # truncates to us at CREATE time (data loss), so the ns values
-        # are tracked for the static self-join fold (joins.slt 833)
-        self._ns_ts_tables: dict[str, tuple[str, list[int]]] = {}
-        # (table, column) -> declared Arrow type string, tracked from
-        # executed CREATE TABLE/VIEW statements whose column types are
-        # TEXTUALLY declared (int unsigned widths, arrow_cast(...) AS
-        # col in CTAS bodies) — family 18's cross-statement half; the
-        # _alt_tracked_typeof alternative folds later arrow_typeof
-        # reads of those columns to the declared type (verdict-gated)
-        self._decl_types: dict[tuple[str, str], str] = {}
+        self._init_rewrite_state()
         # path-literal → registered temp view name (per run_file)
         self._path_views: dict[str, str] = {}
         # the engine's DataFusion-dialect SQL names (iszero, date_bin,
@@ -3512,6 +3497,33 @@ class SltRunner:
             register_tdigest_udaf(self.spark)
         except Exception:  # noqa: BLE001 — alt reading degrades to pinned
             pass
+
+    def _init_rewrite_state(self) -> None:
+        """Cross-statement rewrite-tracker state.
+
+        Shared by ``__init__`` and the minimal ``Bare`` stubs in
+        tests/test_slt_dialect.py that exercise the pure rewrite logic
+        without a SparkSession. Any NEW attribute a ``_track_*`` /
+        ``_alt_*`` method depends on MUST be initialised here — adding
+        it inline in ``__init__`` silently breaks the stubs (the r7
+        final-commit regression this helper exists to prevent).
+        """
+        # datafusion.sql_parser.parse_float_as_decimal state (options.slt
+        # flips it around its literal-typing blocks)
+        self._parse_float_as_decimal = False
+        # ns-int CTAS registry: table -> (col, [raw int ns values]) —
+        # `CREATE TABLE t(c TIMESTAMP) AS VALUES (<int>),...` types the
+        # ints as NANOSECOND timestamps in DataFusion; Spark's cast
+        # truncates to us at CREATE time (data loss), so the ns values
+        # are tracked for the static self-join fold (joins.slt 833)
+        self._ns_ts_tables: dict[str, tuple[str, list[int]]] = {}
+        # (table, column) -> declared Arrow type string, tracked from
+        # executed CREATE TABLE/VIEW statements whose column types are
+        # TEXTUALLY declared (int unsigned widths, arrow_cast(...) AS
+        # col in CTAS bodies) — family 18's cross-statement half; the
+        # _alt_tracked_typeof alternative folds later arrow_typeof
+        # reads of those columns to the declared type (verdict-gated)
+        self._decl_types: dict[tuple[str, str], str] = {}
 
     def _exec(self, sql: str):
         return self.spark.sql(sql)
