@@ -157,6 +157,12 @@ def main() -> None:
             from rust_query_engine_greatest_spark.sources import stats as _stats
 
             compact_s += _stats.activate(spark, SF_DIR)
+            # pipeline/events side too (VERDICT r7 #3): documents +
+            # embeddings always; events only from the compacted
+            # (post-conversion) copy so the ts type is unchanged.
+            # Disable separately: SPARK_GRAFT_BENCH_STATS_PIPELINE=0.
+            if os.environ.get("SPARK_GRAFT_BENCH_STATS_PIPELINE", "1") != "0":
+                compact_s += _stats.activate_pipeline(spark, SF_DIR)
             layout += "+stats"
         except Exception as e:
             print(f"stats skipped: {e}", file=sys.stderr)

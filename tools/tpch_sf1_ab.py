@@ -113,11 +113,21 @@ def main() -> None:
     spark = get_spark(app_name="tpch-sf1-ab")
     dest, _ = compact.compact_tables(spark, args.dir, tables=TPCH_TABLES)
     compact._ACTIVE[os.path.abspath(args.dir)] = dest
+    if os.environ.get("SPARK_GRAFT_AB_STATS", "1") != "0":
+        # A/B under the same stats+CBO configuration the bench of
+        # record runs (r7 promoted it); disable: SPARK_GRAFT_AB_STATS=0
+        from rust_query_engine_greatest_spark.sources import stats
+
+        stats.activate(spark, args.dir)
 
     names = args.queries.split(",")
     plan_variants = {
         "tpch_q5": {"orders_first": q5_orders_first},
         "tpch_q16": {"part_first": q16_part_first},
+        "tpch_q21": {"single_sort": q21_single_sort,
+                     "agg_form": q21_agg_form,
+                     "arrays": q21_arrays},
+        "tpch_q18": {"slice_broadcast": q18_slice_broadcast},
     }
 
     # build the run matrix: (label, builder, confs)
@@ -172,8 +182,6 @@ def main() -> None:
                       "ts": round(time.time(), 1)}))
 
 
-if __name__ == "__main__":
-    main()
 
 
 def q7_orders_cust_first(spark, sf_dir):
@@ -269,3 +277,146 @@ def q8_orders_cust_first(spark, sf_dir):
             ).alias("mkt_share")
         )
     )
+
+
+# ---- round-8 variants (VERDICT r7 #2: q11/q18/q21 post-exchange shave) ----
+
+def q21_single_sort(spark, sf_dir):
+    """q21 variant: the (l_orderkey, l_suppkey) window FIRST, then a
+    dense_rank-based supplier count — the registry form sorts the 4M-row
+    semi-filtered fact TWICE (by okey for o_max/n_supp, then by
+    okey+skey for s_max) and builds a collect_set per row; ordering the
+    specs so the (okey, skey) sort happens first lets EnsureRequirements
+    satisfy the (okey)-window's required ordering from the existing
+    prefix, and max(dense_rank) replaces the set build."""
+    from pyspark.sql import Window
+
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    li = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    w_supp = Window.partitionBy("l_orderkey", "l_suppkey")
+    w_rank = Window.partitionBy("l_orderkey").orderBy("l_suppkey")
+    w_order = Window.partitionBy("l_orderkey")
+    return (
+        li.withColumn("s_max", F.max("l_shipdate").over(w_supp))
+        .withColumn("dr", F.dense_rank().over(w_rank))
+        .withColumn("n_supp", F.max("dr").over(w_order))
+        .withColumn("o_max", F.max("l_shipdate").over(w_order))
+        .filter((F.col("n_supp") >= 2) & (F.col("s_max") == F.col("o_max")))
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+def q21_agg_form(spark, sf_dir):
+    """q21 variant: the aggregate/join EXISTS lowering over ONE explicit
+    orderkey repartition (both groupBys and the join-back are satisfied
+    by the same clustering; the r5 A/B of this shape predates stats+CBO)."""
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    li = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .repartition("l_orderkey")
+    )
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("s_max"))
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.max("s_max").alias("o_max"))
+    return (
+        per_supp.join(per_order.filter(F.col("n_supp") >= 2), "l_orderkey")
+        .filter(F.col("s_max") == F.col("o_max"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+def q18_slice_broadcast(spark, sf_dir):
+    """q18 variant: broadcast the ~1.4%-of-orders slice INTO customer
+    (the registry form broadcasts the whole 150k-row customer build
+    side; the filtered orders⋈big slice is ~7× smaller)."""
+    from rust_query_engine_greatest_spark.queries.base import dec2
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    slice_ = orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+    return (
+        customer.join(F.broadcast(slice_),
+                      F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+
+
+def q21_arrays(spark, sf_dir):
+    """q21 variant: ONE ObjectHashAggregate over the orderkey exchange
+    collects each order's (suppkey, shipdate) entries (bounded: TPC-H
+    orders have ≤7 lineitems at any SF), then pure array expressions
+    derive o_max / n_supp / the blocking suppliers — no Sort, no Window,
+    no dedup aggregate. A supplier's s_max equals o_max iff it has an
+    entry AT o_max, so winners = distinct suppkeys among entries with
+    shipdate == array_max."""
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    li = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    xs = F.col("xs")
+    o_max = F.array_max(F.transform(xs, lambda x: x["l_shipdate"]))
+    n_supp = F.size(F.array_distinct(F.transform(xs, lambda x: x["l_suppkey"])))
+    winners = F.array_distinct(
+        F.transform(
+            F.filter(xs, lambda x: x["l_shipdate"] == F.col("o_max")),
+            lambda x: x["l_suppkey"],
+        )
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_list(F.struct("l_suppkey", "l_shipdate")).alias("xs"))
+        .withColumn("o_max", o_max)
+        .filter(n_supp >= 2)
+        .select(F.explode(winners).alias("l_suppkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+if __name__ == "__main__":
+    main()
