@@ -149,3 +149,45 @@ def test_stats_tag_tracks_compacted_root(spark, sf_dir):
     finally:
         compact.deactivate(sf_dir)
         stats.deactivate(sf_dir, spark=spark, drop=True)
+
+
+def test_ntz_column_stats_matcherror_pin(spark):
+    """Pins the upstream Spark 4.1 bug that _statable_columns works
+    around (BENCH_NOTES r8): CBO + COLUMN statistics on a TIMESTAMP_NTZ
+    column + a filtered JOIN (join planning invokes FilterEstimation;
+    a bare filter does not) -> scala.MatchError at OPTIMIZATION time.
+    When a future Spark fixes FilterEstimation, the first assertion
+    fails -> the removal condition: drop the NTZ exclusion in
+    stats._statable_columns and re-A/B the events/pipeline section.
+    The second half asserts the WORKAROUND: the same query succeeds
+    when ts is left out of the ANALYZE column list."""
+    saved = {k: spark.conf.get(k, None) for k in stats.CBO_CONFS}
+    for k, v in stats.CBO_CONFS.items():
+        spark.conf.set(k, v)
+    q = ("SELECT count(*) FROM {t} a JOIN {t} b ON a.v = b.v "
+         "WHERE a.ts > TIMESTAMP_NTZ'2024-01-02 00:00:00' AND b.v < 50")
+    try:
+        for tbl, cols, ok in (("ntz_pin_bug", "ts, v", False),
+                              ("ntz_pin_fix", "v", True)):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            spark.sql(f"CREATE TABLE {tbl} (ts TIMESTAMP_NTZ, v BIGINT) "
+                      f"USING parquet")
+            spark.sql(f"INSERT INTO {tbl} SELECT timestampadd(HOUR, "
+                      f"CAST(id AS INT), TIMESTAMP_NTZ'2024-01-01 "
+                      f"00:00:00'), id FROM range(100)")
+            spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS "
+                      f"FOR COLUMNS {cols}")
+            if ok:
+                # ts > Jan 2 00:00 ⇒ v ≥ 25; with v < 50 ⇒ 25 rows
+                assert spark.sql(q.format(t=tbl)).collect()[0][0] == 25
+            else:
+                with pytest.raises(Exception, match="MatchError|INTERNAL_ERROR"):
+                    spark.sql(q.format(t=tbl)).collect()
+    finally:
+        for tbl in ("ntz_pin_bug", "ntz_pin_fix"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
