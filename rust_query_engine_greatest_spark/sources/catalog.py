@@ -39,7 +39,8 @@ _MEMORY: dict[tuple[str, str], "DataFrame"] = {}
 
 
 def cache_tables(spark: SparkSession, sf_dir: str,
-                 parallelism: int | None = None) -> None:
+                 parallelism: int | None = None,
+                 tables: tuple[str, ...] = TABLES) -> None:
     """Materialize every table into Spark's columnar in-memory cache —
     the reference's MemTable path (`tpch_mem` bench mode,
     benchmarks/bench.sh:73). Big tables are repartitioned up to
@@ -47,7 +48,7 @@ def cache_tables(spark: SparkSession, sf_dir: str,
     count, and a 1-row-group parquet file would otherwise pin every
     downstream stage to one task."""
     parallelism = parallelism or spark.sparkContext.defaultParallelism
-    for name in TABLES:
+    for name in tables:
         key = (os.path.abspath(sf_dir), name)
         if key in _MEMORY:
             continue

@@ -76,6 +76,11 @@ def main() -> None:
                     help="run the reference's own benchmarks/queries/q*.sql "
                          "texts (partsupp included) through the slt dialect "
                          "layer instead of the registry's adapted queries")
+    ap.add_argument("--mem", action="store_true",
+                    help="cache every table into Spark's columnar "
+                         "in-memory cache first (the reference's "
+                         "tpch_mem mode, bench.sh -m / BASELINE.md "
+                         "second table) — isolates compute from IO")
     ap.add_argument("--isolated", action="store_true",
                     help="settle the 1-min load below 2 before EACH query's "
                          "timing passes — quantifies how much of the suite "
@@ -183,6 +188,18 @@ def main() -> None:
     while os.getloadavg()[0] > 3.0 and time.time() - t_gate < 180:
         time.sleep(10)
 
+    if args.mem:
+        # reference tpch_mem analog: columnar in-memory cache (the
+        # _MEMORY route wins in catalog.load_table), plus one untimed
+        # warm pass so timings measure compute, not codegen/JIT
+        from rust_query_engine_greatest_spark.sources import catalog as _cat
+
+        t0 = time.time()
+        _cat.cache_tables(spark, args.dir, tables=TPCH_TABLES)
+        prep_s += time.time() - t0
+        for n in names:
+            REGISTRY[n].build(spark, args.dir).collect()
+
     best: dict[str, float] = {}
     if args.isolated:
         for n in names:
@@ -201,12 +218,13 @@ def main() -> None:
                 best[n] = min(best.get(n, 9e9), time.time() - t0)
 
     print(json.dumps({
-        "metric": (f"tpch_sf{args.sf:g}_isolated_best" if args.isolated
+        "metric": (f"tpch_sf{args.sf:g}_mem_total_best" if args.mem
+                   else f"tpch_sf{args.sf:g}_isolated_best" if args.isolated
                    else f"tpch_sf{args.sf:g}_total_best"),
         "value": round(sum(best.values()), 4),
         "unit": "sec",
         "sf": args.sf,
-        "layout": args.layout,
+        "layout": ("mem+" + args.layout) if args.mem else args.layout,
         "prep_s": round(prep_s, 2),
         "queries": {k: round(v, 4) for k, v in best.items()},
         "correctness": census,
