@@ -32,6 +32,15 @@ REPRESENTATIVE = [
     "subq_not_in_null_aware",   # NAAJ is broadcast-only: must stay correct broadcast-off
     "subq_lateral_topk",        # WindowGroupLimit under every mode
     "text_repetition",          # zero-exchange fold: partitioning-independent
+    # Pipeline ops (r8): at 100 TB a dedup/ANN result that depends on
+    # partition count or join strategy is a correctness bug — the
+    # banding/bucketing keys are value-derived, so the emitted sets
+    # must be invariant under every execution mode.
+    "dedup_exact",
+    "dedup_minhash",            # LSH banding + hot-bucket cap
+    "dedup_simhash",            # sub-banding + pair-array Hamming
+    "sim_topk_bruteforce",      # exact top-k ties broken by id
+    "dedup_bloom_incremental",  # distributed bit_or bitmap + probe
 ]
 
 PERMUTATIONS = [
@@ -400,3 +409,35 @@ def test_not_in_three_valued_fuzz_vs_duckdb(spark_global, outer, inner):
     )
     con.close()
     assert got == want
+
+
+PIPELINE_LIB_OPS = ["minhash", "simhash", "jaccard"]
+
+
+@pytest.mark.parametrize("op", PIPELINE_LIB_OPS)
+def test_library_dedup_pair_set_invariant(op, spark, sf_dir, conf_sandbox):
+    """The REAL library dedup operators (the bench path — the registry
+    twins above run constructive fixtures) over the documents table:
+    the emitted pair set must be identical under AQE off, broadcast
+    off, and 1/7 shuffle partitions. Banding keys are value-derived
+    (xxhash64 of content), and hot-bucket capping/sub-banding is
+    keyed on bucket SIZE (a value property), so nothing may depend on
+    physical partitioning."""
+    from rust_query_engine_greatest_spark.pipeline import dedup
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        if op == "minhash":
+            df = dedup.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8)
+        elif op == "simhash":
+            df = dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+        else:
+            df = dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.8)
+        return {tuple(r[:2]) for r in df.collect()}
+
+    baseline = build()
+    assert baseline, f"{op} emitted 0 pairs — vacuous invariance"
+    for conf in PERMUTATIONS:
+        conf_sandbox(conf)
+        assert build() == baseline, f"{op} pair set changed under {conf}"
