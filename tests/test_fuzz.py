@@ -441,3 +441,68 @@ def test_library_dedup_pair_set_invariant(op, spark, sf_dir, conf_sandbox):
     for conf in PERMUTATIONS:
         conf_sandbox(conf)
         assert build() == baseline, f"{op} pair set changed under {conf}"
+
+
+# ---- randomized window FRAME fuzz (window frames are the classic
+# edge-bug surface: empty frames, offset frames at partition edges,
+# RANGE peer groups, NULL order keys, DESC order) -----------------------------
+
+_frame_bound = st.one_of(st.none(), st.integers(min_value=0, max_value=4))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(st.tuples(
+        st.integers(min_value=0, max_value=2),                       # k
+        st.one_of(st.none(), st.integers(min_value=-9, max_value=9)),  # o
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),  # v
+        st.integers(min_value=0, max_value=10**6),                   # id
+    ), min_size=1, max_size=30),
+    lo=_frame_bound, hi=_frame_bound,       # None = UNBOUNDED
+    desc=st.booleans(), use_range=st.booleans(),
+)
+def test_window_frame_bounds_fuzz_vs_duckdb(spark_global, rows, lo, hi,
+                                            desc, use_range):
+    """Random ROWS/RANGE frames with random PRECEDING/FOLLOWING offsets
+    (including empty frames at partition edges and frames whose start
+    exceeds their end → NULL aggregates), ASC/DESC order, NULL order
+    keys (RANGE: the NULL peer group frames itself), must agree with
+    DuckDB bit-for-bit. ROWS frames get a TOTAL order via the unique id
+    tiebreak — with duplicate sort keys a ROWS frame is underdetermined
+    across engines; RANGE frames are peer-based so ties are fine and
+    the single numeric sort key keeps Spark's RANGE-offset rule."""
+    spark = spark_global
+    ids = {r[3] for r in rows}
+    if len(ids) != len(rows):  # ROWS needs the id tiebreak to be unique
+        rows = [(k, o, v, i) for i, (k, o, v, _) in enumerate(rows)]
+    frame_kind = "RANGE" if use_range else "ROWS"
+    lo_s = "UNBOUNDED PRECEDING" if lo is None else f"{lo} PRECEDING"
+    hi_s = "UNBOUNDED FOLLOWING" if hi is None else f"{hi} FOLLOWING"
+    # explicit NULL ordering: Spark defaults ASC→NULLS FIRST, DuckDB
+    # (Postgres-style) ASC→NULLS LAST — an engine-default difference,
+    # not a frame bug; the frame semantics under test need one total
+    # convention spelled out in the shared SQL text
+    o_key = "o DESC NULLS LAST" if desc else "o ASC NULLS FIRST"
+    order = o_key if use_range else \
+        (f"{o_key}, id DESC" if desc else f"{o_key}, id")
+    q = (f"SELECT k, id, sum(v) OVER (PARTITION BY k ORDER BY {order} "
+         f"{frame_kind} BETWEEN {lo_s} AND {hi_s}) AS s, "
+         f"count(v) OVER (PARTITION BY k ORDER BY {order} "
+         f"{frame_kind} BETWEEN {lo_s} AND {hi_s}) AS c FROM t")
+    sdf = spark_global.createDataFrame(rows, "k int, o int, v int, id long")
+    sdf.createOrReplaceTempView("t")
+    got = sorted(
+        (r[0], r[1], None if r[2] is None else int(r[2]), int(r[3]))
+        for r in spark.sql(q).collect())
+    con = duckdb.connect()
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["k", "o", "v", "id"])
+    con.register("t", pdf.astype({"k": "int32", "o": "Int32", "v": "Int32"}))
+    want = sorted(
+        (int(r[0]), int(r[1]),
+         None if r[2] is None or (isinstance(r[2], float) and math.isnan(r[2]))
+         else int(r[2]), int(r[3]))
+        for r in con.sql(q).fetchall())
+    con.close()
+    assert got == want, f"frame {frame_kind} [{lo_s}, {hi_s}] order={order}"
