@@ -506,3 +506,45 @@ def test_window_frame_bounds_fuzz_vs_duckdb(spark_global, rows, lo, hi,
         for r in con.sql(q).fetchall())
     con.close()
     assert got == want, f"frame {frame_kind} [{lo_s}, {hi_s}] order={order}"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=2)),   # k1
+        st.one_of(st.none(), st.sampled_from(["x", "y"])),             # k2
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),  # v
+    ), min_size=1, max_size=30),
+    op=st.sampled_from(["ROLLUP (k1, k2)", "CUBE (k1, k2)",
+                        "GROUPING SETS ((k1), (k2), ())"]),
+)
+def test_grouping_sets_null_keys_fuzz_vs_duckdb(spark_global, rows, op):
+    """ROLLUP/CUBE/GROUPING SETS over data whose group keys are
+    THEMSELVES NULL — the classic ambiguity (a NULL key group vs the
+    super-aggregate NULL) disambiguated by GROUPING(); multisets must
+    agree with DuckDB bit-for-bit on the same SQL text."""
+    spark = spark_global
+    sdf = spark.createDataFrame(rows, "k1 int, k2 string, v int")
+    sdf.createOrReplaceTempView("gt")
+    q = (f"SELECT k1, k2, grouping(k1) AS g1, grouping(k2) AS g2, "
+         f"sum(v) AS s, count(*) AS c FROM gt GROUP BY {op}")
+    def norm(r):
+        return "|".join((
+            "NULL" if r[0] is None else str(int(r[0])),
+            "NULL" if r[1] is None else str(r[1]),
+            str(int(r[2])), str(int(r[3])),
+            "NULL" if r[4] is None or (isinstance(r[4], float)
+                                       and math.isnan(r[4]))
+            else str(int(r[4])),
+            str(int(r[5])),
+        ))
+
+    got = sorted(norm(tuple(r)) for r in spark.sql(q).collect())
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("gt", pd.DataFrame(rows, columns=["k1", "k2", "v"])
+                 .astype({"k1": "Int32", "v": "Int32"}))
+    want = sorted(norm(r) for r in con.sql(q).fetchall())
+    con.close()
+    assert got == want, op
