@@ -548,3 +548,78 @@ def test_grouping_sets_null_keys_fuzz_vs_duckdb(spark_global, rows, op):
     want = sorted(norm(r) for r in con.sql(q).fetchall())
     con.close()
     assert got == want, op
+
+
+_special_key = st.sampled_from(
+    [float("nan"), 0.0, -0.0, float("inf"), float("-inf"), 1.5, -1.5, None])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(st.tuples(_special_key,
+                            st.integers(min_value=-50, max_value=50)),
+                  min_size=1, max_size=25),
+    right=st.lists(st.tuples(_special_key,
+                             st.integers(min_value=-50, max_value=50)),
+                   min_size=0, max_size=25),
+)
+def test_float_special_key_group_join_fuzz_vs_duckdb(spark_global, left, right):
+    """Randomized GROUP BY + equi-JOIN over IEEE special keys (NaN,
+    ±0.0, ±Inf, NULL) — the fuzz extension of the fixed
+    agg_float_special_keys / join_float_special_keys pins: both engines
+    group/match the two NaN patterns together and ±0.0 together, and
+    NULL keys never join. Keys are re-emitted as k + 0.0 so the zero
+    sign canonicalizes in the comparison text."""
+    spark = spark_global
+
+    def norm_key(k):
+        if k is None:
+            return "NULL"
+        if math.isnan(k):
+            return "NaN"
+        return repr(k + 0.0)
+
+    ldf = spark.createDataFrame(left, "k double, v int")
+    rdf = spark.createDataFrame(right, "k double, w int") if right else \
+        spark.createDataFrame([], "k double, w int")
+    got_g = sorted(
+        f"{norm_key(r[0])}|{r[1]}|{r[2]}"
+        for r in ldf.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")).collect())
+    got_j = sorted(
+        f"{norm_key(r[0])}|{r[1]}|{r[2]}"
+        for r in ldf.join(rdf, ldf["k"] == rdf["k"])
+        .select(ldf["k"], "v", "w").collect())
+    con = duckdb.connect()
+
+    # DuckDB's pandas scan maps NaN -> NULL (documented), which would
+    # fake a divergence — ship the fixtures as literal VALUES instead
+    def duck_lit(k):
+        if k is None:
+            return "NULL::DOUBLE"
+        if math.isnan(k):
+            return "'nan'::DOUBLE"
+        return f"'{k!r}'::DOUBLE"  # string cast keeps -0.0 / inf signs
+
+    def duck_table(name, rows, second):
+        if rows:
+            vals = ", ".join(f"({duck_lit(k)}, {n})" for k, n in rows)
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                        f"(VALUES {vals}) t(k, {second})")
+        else:
+            con.execute(f"CREATE VIEW {name} AS SELECT NULL::DOUBLE AS k, "
+                        f"NULL::BIGINT AS {second} WHERE false")
+
+    duck_table("fl", left, "v")
+    duck_table("fr", right, "w")
+    want_g = sorted(
+        f"{norm_key(r[0])}|{int(r[1])}|{int(r[2])}"
+        for r in con.sql(
+            "SELECT k, COUNT(*), SUM(v) FROM fl GROUP BY k").fetchall())
+    want_j = sorted(
+        f"{norm_key(r[0])}|{int(r[1])}|{int(r[2])}"
+        for r in con.sql(
+            "SELECT fl.k, v, w FROM fl JOIN fr ON fl.k = fr.k").fetchall())
+    con.close()
+    assert got_g == want_g, "GROUP BY over special keys diverged"
+    assert got_j == want_j, "equi-join over special keys diverged"
