@@ -301,6 +301,104 @@ def minhash_signatures(sh_rows: DataFrame, num_hashes: int = 64) -> DataFrame:
     )
 
 
+def _band_rows(sig_rows: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band_id, band_hash) rows from MinHash signature rows — the
+    LSH banding shared by the pairwise path (minhash_lsh_pairs) and the
+    persisted-index path (minhash_index_rows / minhash_index_probe).
+    Band rows carry (id, band) ONLY: the shingle arrays would otherwise
+    ride the explode ×bands through the bucket shuffle (bands× the
+    heaviest column); consumers join text back only for survivors."""
+    rows = num_hashes // bands
+    return sig_rows.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.xxhash64(F.concat_ws(",", *[
+                        F.element_at("sig", b * rows + r + 1)
+                        for r in range(rows)
+                    ])).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band_id", "bb.band_hash")
+
+
+def minhash_index_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The PERSISTABLE near-dup index: (id, band_id, band_hash) rows
+    for a corpus — the incremental half of MinHash+LSH dedup that
+    `dedup_bloom_incremental` provides for EXACT duplicates.
+
+    100 TB workflow: compute once at ingest and save as a table
+    (bucket/sort by (band_id, band_hash) so later probes satisfy their
+    join clustering straight off the scan — sources/bucketing.py);
+    each new batch then calls minhash_index_probe, which bands ONLY the
+    batch and equi-joins the index: the corpus is never re-scanned,
+    re-shingled, or re-shuffled, and the index is bands× the corpus
+    ROW count but only 3 small columns wide."""
+    sh = shingle_rows(df, id_col, text_col, shingle_k)
+    return _band_rows(minhash_signatures(sh, num_hashes), num_hashes, bands)
+
+
+def minhash_index_probe(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    verify_texts: DataFrame | None = None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Probe an incremental batch against a persisted LSH index
+    (minhash_index_rows output, read back from its table): band the
+    BATCH ONLY, equi-join (band_id, band_hash) into the index, and
+    emit distinct (batch_id, corpus_id) candidates. With
+    `verify_texts` (the corpus id/text), candidates are exact-Jaccard
+    verified at `threshold` — the corpus side is LEFT-SEMI filtered to
+    candidate ids BEFORE shingling, so verification cost scales with
+    the candidate set, not the corpus."""
+    sh_b = shingle_rows(batch, id_col, text_col, shingle_k)
+    banded_b = _band_rows(minhash_signatures(sh_b, num_hashes),
+                          num_hashes, bands)
+    cand = (
+        banded_b.select(F.col("id").alias("batch_id"), "band_id", "band_hash")
+        .join(index.select(F.col("id").alias("corpus_id"),
+                           "band_id", "band_hash"),
+              ["band_id", "band_hash"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    if verify_texts is None:
+        return cand
+    hit_corpus = verify_texts.join(
+        cand.select(F.col("corpus_id").alias(id_col)).distinct(),
+        id_col, "left_semi")
+    sh_c = shingle_rows(hit_corpus, id_col, text_col, shingle_k)
+    sets_b = (sh_b.groupBy("id").agg(F.collect_set("s").alias("sh_a"))
+              .withColumnRenamed("id", "batch_id"))
+    sets_c = (sh_c.groupBy("id").agg(F.collect_set("s").alias("sh_b"))
+              .withColumnRenamed("id", "corpus_id"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(sets_b, "batch_id").join(sets_c, "corpus_id")
+        .withColumn("jac", inter / union)
+        .filter(F.col("jac") >= threshold)
+        .select("batch_id", "corpus_id", "jac")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -321,25 +419,9 @@ def minhash_lsh_pairs(
     sub-quadratic path; no cross join anywhere. `max_bucket` guards
     degenerate hot buckets (see _bucket_pairs).
     """
-    rows = num_hashes // bands
     sh_rows = shingle_rows(df, id_col, text_col, shingle_k)
     sig_rows = minhash_signatures(sh_rows, num_hashes)
-    # Band rows carry (id, band) ONLY — the shingle arrays would
-    # otherwise ride the explode ×bands through the bucket shuffle
-    # (bands× the heaviest column); they are joined back just for the
-    # surviving candidate pairs below.
-    banded = sig_rows.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])).alias("band_hash"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("id", "bb.band_id", "bb.band_hash")
+    banded = _band_rows(sig_rows, num_hashes, bands)
     cand = _bucket_pairs(banded, ["band_id", "band_hash"], max_bucket=max_bucket)
     if not verify:
         return cand

@@ -1348,6 +1348,43 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_index_probe",
+    f"""
+    SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+           CAST(1.0 AS DOUBLE) AS jac
+    FROM documents b JOIN documents c
+      ON b.doc_id % {_N_TMPL} = c.doc_id % {_N_TMPL}
+    WHERE b.doc_id >= 100 AND c.doc_id < 100
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup — the MinHash+LSH analog of
+    `dedup_bloom_incremental`'s exact-duplicate screen: the curated
+    corpus's LSH index ((id, band_id, band_hash) rows,
+    dedup.minhash_index_rows) is computed once at ingest and persisted;
+    each new batch is banded ALONE and equi-joined into the index
+    (dedup.minhash_index_probe), so the corpus is never re-scanned or
+    re-shuffled — at 100 TB the index is saved bucketed by
+    (band_id, band_hash) and the probe's clustering comes off the scan.
+    Candidates are exact-Jaccard verified against the corpus text with
+    the corpus side LEFT-SEMI filtered to candidate ids BEFORE
+    shingling. On the template fixture the verified output provably
+    equals the same-template (batch × corpus) pair set at jac = 1.0
+    (identical signatures → every band collides → guaranteed recall;
+    cross-template Jaccard 0 < 0.8 → verify kills any hash collision).
+    The persisted write→read-back round-trip of the index is pinned in
+    tests/test_pipeline.py."""
+    docs = _template_docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter(F.col("doc_id") >= 100)
+    index = dedup.minhash_index_rows(corpus, "doc_id", "text")
+    return dedup.minhash_index_probe(
+        batch, index, "doc_id", "text", verify_texts=corpus, threshold=0.8
+    )
+
+
 _SEMDEC_COS = (
     f"{_duck_dot('a.embedding', 'b.embedding')} / "
     f"(sqrt({_duck_dot('a.embedding', 'a.embedding')}) * "

@@ -973,3 +973,41 @@ def test_semantic_decontaminate_zero_exchanges_and_nonvacuous(spark, sf_dir):
     assert "Join" not in plan_string(df)
     flags = {r["contaminated"] for r in df.collect()}
     assert flags == {True, False}
+
+
+def test_minhash_index_persist_probe_roundtrip(spark, sf_dir, tmp_path):
+    """The incremental near-dup path (dedup_minhash_index_probe): the
+    LSH index survives a parquet write → read-back (the production
+    shape — index computed at ingest, probed by later batches), the
+    probe against the PERSISTED index equals the probe against the
+    live one, candidates are a superset of the verified pairs, and the
+    verified pairs equal minhash_lsh_pairs' same-corpus/batch slice."""
+    from rust_query_engine_greatest_spark.queries.pipeline_q import (
+        _template_docs,
+    )
+
+    docs = _template_docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+    live = dedup.minhash_index_rows(corpus, "doc_id", "text")
+    path = str(tmp_path / "lsh_index.parquet")
+    live.write.parquet(path)
+    persisted = spark.read.parquet(path)
+
+    def pairs(ix, verify):
+        df = dedup.minhash_index_probe(
+            batch, ix, "doc_id", "text",
+            verify_texts=corpus if verify else None)
+        return {(r["batch_id"], r["corpus_id"]) for r in df.collect()}
+
+    verified = pairs(persisted, verify=True)
+    assert verified == pairs(live, verify=True)
+    assert verified <= pairs(persisted, verify=False)  # cand superset
+    # cross-check vs the pairwise operator on the union, restricted to
+    # (batch, corpus) pairs — index+probe must find exactly those
+    both = dedup.minhash_lsh_pairs(
+        corpus.unionByName(batch), "doc_id", "text", threshold=0.8)
+    want = {(b, a) if b >= 100 else (a, b)
+            for a, b in ((r["id_a"], r["id_b"]) for r in both.collect())
+            if (a < 100) != (b < 100)}
+    assert verified == want
