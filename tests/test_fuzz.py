@@ -623,3 +623,59 @@ def test_float_special_key_group_join_fuzz_vs_duckdb(spark_global, left, right):
     con.close()
     assert got_g == want_g, "GROUP BY over special keys diverged"
     assert got_j == want_j, "equi-join over special keys diverged"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # k
+        st.integers(min_value=0, max_value=20),                       # ts
+        st.integers(min_value=0, max_value=99),                       # lv
+    ), min_size=1, max_size=25),
+    right=st.lists(st.tuples(
+        st.integers(min_value=0, max_value=3),                        # k
+        st.integers(min_value=0, max_value=20),                       # rts
+        st.integers(min_value=0, max_value=99),                       # rv
+    ), min_size=0, max_size=25),
+)
+def test_asof_join_fuzz_vs_duckdb_asof(spark_global, left, right):
+    """Randomized as-of join (operators.asof_join — the union-merge
+    single-exchange formulation) vs DuckDB's NATIVE ASOF LEFT JOIN:
+    per left row, the latest right row with rts <= ts on the same key;
+    NULL left keys never match; duplicate left rows allowed. Right
+    (k, rts) is deduped in generation — with right-side ties both
+    engines pick arbitrarily, which is the one underdetermined cell of
+    the contract (documented in asof_join's docstring)."""
+    from rust_query_engine_greatest_spark.operators.joins import asof_join
+
+    spark = spark_global
+    seen, runiq = set(), []
+    for k, rts, rv in right:
+        if (k, rts) not in seen:
+            seen.add((k, rts))
+            runiq.append((k, rts, rv))
+    ldf = spark.createDataFrame(left, "k int, ts int, lv int")
+    rdf = (spark.createDataFrame(runiq, "k int, rts int, rv int")
+           if runiq else spark.createDataFrame([], "k int, rts int, rv int"))
+    got = sorted(
+        "|".join("NULL" if v is None else str(v) for v in r)
+        for r in asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="rts")
+        .select("k", "ts", "lv", "rts", "rv").collect())
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("al", pd.DataFrame(left, columns=["k", "ts", "lv"])
+                 .astype({"k": "Int32"}))
+    con.register("ar", pd.DataFrame(runiq, columns=["k", "rts", "rv"])
+                 if runiq else pd.DataFrame({"k": pd.Series(dtype="int32"),
+                                             "rts": pd.Series(dtype="int64"),
+                                             "rv": pd.Series(dtype="int64")}))
+    want = sorted(
+        "|".join("NULL" if v is None or (isinstance(v, float) and math.isnan(v))
+                 else str(int(v)) for v in r)
+        for r in con.sql(
+            "SELECT al.k, al.ts, al.lv, ar.rts, ar.rv FROM al "
+            "ASOF LEFT JOIN ar ON al.k = ar.k AND al.ts >= ar.rts"
+        ).fetchall())
+    con.close()
+    assert got == want
