@@ -646,6 +646,61 @@ def simhash_pairs_from_fps(
     return cand_ok.unionByName(cand_sub).distinct()
 
 
+def simhash_index_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+) -> DataFrame:
+    """The persistable SimHash near-dup index — (id, fp, band_id,
+    band_val) rows — the Hamming-distance sibling of
+    `minhash_index_rows` (same ingest-once / probe-batches workflow;
+    the fp column travels so the probe's Hamming test needs no join
+    back to the corpus). At 100 TB: save bucketed by (band_id,
+    band_val); a probe's equi-join then clusters off the scan, and a
+    hot band bucket is ordinary join skew AQE splits (the pairwise
+    path's sub-banding exists for the in-bucket PAIR explosion, which
+    a probe join never materializes)."""
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
+    )
+    return _simhash_banded(base, bands, max_hamming=0).select(
+        "id", "fp", "band_id", "band_val")
+
+
+def simhash_index_probe(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Probe an incremental batch against a persisted SimHash index:
+    band the BATCH ONLY, equi-join (band_id, band_val) into the index
+    (pigeonhole: Hamming ≤ max_hamming with bands > max_hamming ⇒ ≥1
+    band equal ⇒ guaranteed recall), Hamming-test the fp pair on the
+    joined row, distinct. Returns (batch_id, corpus_id, hamming). The
+    corpus is never re-scanned or re-hashed."""
+    b = _ensure_parallelism(batch).select(
+        F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
+    )
+    banded_b = _simhash_banded(b, bands, max_hamming=0).select(
+        F.col("id").alias("batch_id"), F.col("fp").alias("fp_b"),
+        "band_id", "band_val")
+    return (
+        banded_b.join(
+            index.select(F.col("id").alias("corpus_id"),
+                         F.col("fp").alias("fp_c"), "band_id", "band_val"),
+            ["band_id", "band_val"])
+        .withColumn("hamming",
+                    F.bit_count(F.col("fp_b").bitwiseXOR(F.col("fp_c"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("batch_id", "corpus_id", "hamming")
+        .distinct()
+    )
+
+
 def simhash_overflow(
     df: DataFrame,
     id_col: str,

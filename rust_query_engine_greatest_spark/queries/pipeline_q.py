@@ -1385,6 +1385,35 @@ def dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_simhash_index_probe",
+    f"""
+    SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, 0 AS hamming
+    FROM documents b JOIN documents c
+      ON b.doc_id % {_N_TMPL} = c.doc_id % {_N_TMPL}
+    WHERE b.doc_id >= 100 AND c.doc_id < 100
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_simhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Hamming-distance sibling of `dedup_minhash_index_probe`:
+    the corpus's SimHash index ((id, fp, band_id, band_val) rows,
+    dedup.simhash_index_rows — fp travels so the probe's Hamming test
+    needs no corpus join-back) persisted at ingest; the batch is banded
+    ALONE and equi-joined in (dedup.simhash_index_probe). Pigeonhole
+    recall guarantee: Hamming ≤ 3 with 4 bands ⇒ ≥ 1 band equal. On
+    the template fixture the output provably equals the same-template
+    (batch × corpus) pair set at hamming = 0 (identical fingerprints;
+    min cross-template Hamming 13 > 3, pinned in test_pipeline.py)."""
+    docs = _template_docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter(F.col("doc_id") >= 100)
+    index = dedup.simhash_index_rows(corpus, "doc_id", "text")
+    return dedup.simhash_index_probe(
+        batch, index, "doc_id", "text", max_hamming=3
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
 _SEMDEC_COS = (
     f"{_duck_dot('a.embedding', 'b.embedding')} / "
     f"(sqrt({_duck_dot('a.embedding', 'a.embedding')}) * "

@@ -1011,3 +1011,34 @@ def test_minhash_index_persist_probe_roundtrip(spark, sf_dir, tmp_path):
             for a, b in ((r["id_a"], r["id_b"]) for r in both.collect())
             if (a < 100) != (b < 100)}
     assert verified == want
+
+
+def test_simhash_index_persist_probe_roundtrip(spark, sf_dir, tmp_path):
+    """SimHash sibling of the minhash round-trip: the persisted index
+    probe equals the live one, and the verified pairs equal
+    simhash_pairs' (batch × corpus) slice on the union."""
+    from rust_query_engine_greatest_spark.queries.pipeline_q import (
+        _template_docs,
+    )
+
+    docs = _template_docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+    live = dedup.simhash_index_rows(corpus, "doc_id", "text")
+    path = str(tmp_path / "simhash_index.parquet")
+    live.write.parquet(path)
+    persisted = spark.read.parquet(path)
+
+    def pairs(ix):
+        df = dedup.simhash_index_probe(batch, ix, "doc_id", "text",
+                                       max_hamming=3)
+        return {(r["batch_id"], r["corpus_id"]) for r in df.collect()}
+
+    got = pairs(persisted)
+    assert got == pairs(live)
+    both = dedup.simhash_pairs(
+        corpus.unionByName(batch), "doc_id", "text", max_hamming=3)
+    want = {(b, a) if b >= 100 else (a, b)
+            for a, b in ((r["id_a"], r["id_b"]) for r in both.collect())
+            if (a < 100) != (b < 100)}
+    assert got == want
