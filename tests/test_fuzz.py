@@ -679,3 +679,59 @@ def test_asof_join_fuzz_vs_duckdb_asof(spark_global, left, right):
         ).fetchall())
     con.close()
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    outer=st.lists(st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=4)),   # k
+        st.one_of(st.none(), st.integers(min_value=-20, max_value=20)),  # v
+    ), min_size=1, max_size=25),
+    inner=st.lists(st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=4)),   # k
+        st.one_of(st.none(), st.integers(min_value=-20, max_value=20)),  # w
+    ), min_size=0, max_size=25),
+)
+def test_correlated_subquery_fuzz_vs_duckdb(spark_global, outer, inner):
+    """Randomized correlated scalar subquery + EXISTS / NOT EXISTS over
+    NULL-bearing keys and values — the decorrelation surface (Spark
+    rewrites these to aggregated left-outer / semi / anti joins; the
+    fixed subq_* registry entries pin the plan shapes, this pins the
+    SEMANTICS under random data): NULL correlation keys never match
+    (mx NULL, exists false, not-exists true), empty inner → the same,
+    and the scalar MAX sees only the matching slice."""
+    spark = spark_global
+    odf = spark.createDataFrame(outer, "k int, v int")
+    idf = (spark.createDataFrame(inner, "k int, w int")
+           if inner else spark.createDataFrame([], "k int, w int"))
+    odf.createOrReplaceTempView("fz_o")
+    idf.createOrReplaceTempView("fz_i")
+    q = """
+        SELECT o.k, o.v,
+               (SELECT MAX(i.w) FROM fz_i i WHERE i.k = o.k) AS mx,
+               EXISTS(SELECT 1 FROM fz_i i
+                      WHERE i.k = o.k AND i.w > o.v) AS ex,
+               NOT EXISTS(SELECT 1 FROM fz_i i WHERE i.k = o.k) AS nx
+        FROM fz_o o
+    """
+    def norm(r):
+        return "|".join("NULL" if v is None
+                        else str(int(v)) if not isinstance(v, bool) and isinstance(v, (int, float))
+                        else str(bool(v)) for v in r)
+
+    got = sorted(norm(tuple(r)) for r in spark.sql(q).collect())
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("fz_o", pd.DataFrame(outer, columns=["k", "v"])
+                 .astype({"k": "Int32", "v": "Int32"}))
+    con.register("fz_i", pd.DataFrame(inner, columns=["k", "w"])
+                 .astype({"k": "Int32", "w": "Int32"})
+                 if inner else pd.DataFrame({"k": pd.Series(dtype="Int32"),
+                                             "w": pd.Series(dtype="Int32")}))
+    want = sorted(
+        norm(tuple(None if x is None or (isinstance(x, float) and math.isnan(x))
+                   else x for x in r))
+        for r in con.sql(q).fetchall())
+    con.close()
+    assert got == want
