@@ -34,6 +34,10 @@ from pyspark.sql import SparkSession
 # (abs sf_dir, table) -> catalog table name, consulted by
 # catalog.load_table the same way bucketing._BUCKETED is.
 _STATS: dict[tuple[str, str], str] = {}
+# stat_ tables superseded by a re-activation (raw -> compacted changes
+# the path tag, so the old table falls out of _STATS silently); kept so
+# deactivate(drop=True) can still drop their catalog metadata.
+_SUPERSEDED: list[str] = []
 
 CBO_CONFS = {
     "spark.sql.cbo.enabled": "true",
@@ -81,6 +85,9 @@ def activate(spark: SparkSession, sf_dir: str,
             spark.sql(f"CREATE TABLE {tbl} USING parquet LOCATION '{path}'")
             spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS "
                       f"FOR COLUMNS {_statable_columns(spark, tbl)}")
+        prev = _STATS.get(key)
+        if prev is not None and prev != tbl:
+            _SUPERSEDED.append(prev)
         _STATS[key] = tbl
     return round(time.perf_counter() - t0, 2)
 
@@ -129,21 +136,29 @@ def _statable_columns(spark: SparkSession, tbl: str) -> str:
 def deactivate(sf_dir: str | None = None, spark: SparkSession | None = None,
                drop: bool = False) -> None:
     """Stop routing reads to the stat_ tables. With `spark` given, also
-    restore the CBO confs to Spark defaults; with `drop=True`, drop the
-    catalog tables themselves (metadata only — LOCATION-backed external
-    parquet is never deleted). Default keeps the r7 behavior (routing
-    only) so a shared session's other users keep their tables."""
+    restore the CBO confs to Spark defaults — but ONLY once no other
+    sf_dir's routing remains active (CBO confs are session-wide; a
+    deactivate scoped to one sf_dir must not strip estimation from
+    another sf_dir's still-routed tables). With `drop=True`, drop the
+    catalog tables themselves — including any superseded by a
+    raw->compacted re-activation — (metadata only; LOCATION-backed
+    external parquet is never deleted). Default keeps the r7 behavior
+    (routing only) so a shared session's other users keep their
+    tables."""
     dropped = []
     for k in [k for k in _STATS
               if sf_dir is None or k[0] == os.path.abspath(sf_dir)]:
         dropped.append(_STATS.pop(k))
     if spark is not None:
-        for conf in CBO_CONFS:
-            try:
-                spark.conf.unset(conf)
-            except Exception:
-                pass
+        if not _STATS:
+            for conf in CBO_CONFS:
+                try:
+                    spark.conf.unset(conf)
+                except Exception:
+                    pass
         if drop:
+            dropped.extend(_SUPERSEDED)
+            _SUPERSEDED.clear()
             for tbl in dropped:
                 spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 

@@ -93,6 +93,82 @@ def test_bucketed_route_wins_over_stats(spark, sf_dir):
         stats.deactivate(sf_dir)
 
 
+def test_bucketing_activate_analyzes_preexisting_table(spark, sf_dir):
+    """ADVICE r8: a bucketed table persisted in the warehouse by an
+    EARLIER session satisfies tableExists but carries no column stats;
+    activate must still ANALYZE it (cheap, idempotent) or a stats+CBO
+    session routed to it silently loses estimation."""
+    import hashlib
+    import os
+
+    from rust_query_engine_greatest_spark.sources import bucketing
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tbl = f"bkt_{tag}_orders"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        # simulate the earlier session: bare bucketed write, no ANALYZE
+        bucketing.write_bucketed(
+            catalog.load_table(spark, sf_dir, "orders"), tbl,
+            ["o_orderkey"], 4, ["o_orderkey"])
+        desc = {r["col_name"]: r["data_type"]
+                for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()}
+        assert "rows" not in desc.get("Statistics", "")
+        bucketing.activate(spark, sf_dir, 4, tables=("orders",))
+        desc = {r["col_name"]: r["data_type"]
+                for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()}
+        assert "rows" in desc.get("Statistics", ""), \
+            "activate over a pre-existing bucketed table must ANALYZE it"
+    finally:
+        bucketing.deactivate(sf_dir)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_scoped_deactivate_keeps_cbo_for_other_dir(spark, sf_dir, tmp_path):
+    """ADVICE r8: deactivate(sf_dir, spark=...) must not unset the
+    session-wide CBO confs while ANOTHER sf_dir's stat_ routing is
+    still active."""
+    import shutil
+
+    other = tmp_path / "other_sf"
+    other.mkdir()
+    shutil.copy(f"{sf_dir}/region.parquet", other / "region.parquet")
+    stats.activate(spark, sf_dir, tables=("region",))
+    stats.activate(spark, str(other), tables=("region",))
+    try:
+        stats.deactivate(sf_dir, spark=spark)
+        assert stats.resolve(sf_dir, "region") is None
+        assert stats.resolve(str(other), "region") is not None
+        assert spark.conf.get("spark.sql.cbo.enabled") == "true", \
+            "scoped deactivate stripped CBO from the still-active dir"
+        stats.deactivate(str(other), spark=spark, drop=True)
+        assert spark.conf.get("spark.sql.cbo.enabled") == "false"
+    finally:
+        stats.deactivate(spark=spark, drop=True)
+
+
+def test_deactivate_drop_removes_superseded_tables(spark, sf_dir):
+    """ADVICE r8: after a raw->compacted re-activation the stale
+    raw-path stat_ table is no longer in _STATS; drop=True must still
+    remove it from the catalog."""
+    from rust_query_engine_greatest_spark.sources import compact
+
+    stats.activate(spark, sf_dir, tables=("nation",))
+    raw_tbl = stats.resolve(sf_dir, "nation")
+    compact.activate(spark, sf_dir)
+    try:
+        stats.activate(spark, sf_dir, tables=("nation",))
+        new_tbl = stats.resolve(sf_dir, "nation")
+        assert new_tbl != raw_tbl
+        stats.deactivate(sf_dir, spark=spark, drop=True)
+        assert not spark.catalog.tableExists(new_tbl)
+        assert not spark.catalog.tableExists(raw_tbl), \
+            "superseded raw-path stat_ table left behind by drop=True"
+    finally:
+        compact.deactivate(sf_dir)
+        stats.deactivate(sf_dir, spark=spark, drop=True)
+
+
 def test_deactivate_with_spark_restores_confs_and_drops(spark, sf_dir):
     stats.activate(spark, sf_dir, tables=("region",))
     tbl = stats.resolve(sf_dir, "region")

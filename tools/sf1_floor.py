@@ -137,13 +137,73 @@ def _skeletons(spark, sf_dir):
                 .agg(F.sum("l_extendedprice").alias("s"))
                 .agg(F.max("s")))
 
+    def q4_scan():
+        return (t("lineitem").select("l_orderkey", "l_shipdate")
+                .agg(F.max("l_shipdate")))
+
+    def q4_skel():
+        # dominant movement: fact join into one broadcast year of
+        # orders, then the dedup exchange over the MATCHED rows only
+        # (the EXISTS lowering, tpch.py:283)
+        o = (t("orders")
+             .filter((F.col("o_orderdate")
+                      >= F.lit("1996-01-01").cast("timestamp"))
+                     & (F.col("o_orderdate")
+                        < F.lit("1997-01-01").cast("timestamp")))
+             .select("o_orderkey", "o_orderdate"))
+        li = t("lineitem").select("l_orderkey", "l_shipdate")
+        return (li.join(o, (F.col("l_orderkey") == F.col("o_orderkey"))
+                        & (F.col("l_shipdate") > F.col("o_orderdate")
+                           + F.expr("INTERVAL 30 DAYS")))
+                .select("o_orderkey").dropDuplicates(["o_orderkey"])
+                .agg(F.count(F.lit(1))))
+
+    def q16_scan():
+        return (t("lineitem").select("l_partkey", "l_suppkey")
+                .agg(F.max("l_suppkey")))
+
+    def q16_skel():
+        # dominant movement: the partial/final DISTINCT aggregate over
+        # the broadcast-joined bridge (q16's single exchange); the
+        # anti-join the full query adds is broadcast (map-side)
+        p = (t("part")
+             .filter((F.col("p_brand") != "Brand#1")
+                     & F.col("p_size").isin(5, 10, 15, 20, 25, 30))
+             .select("p_partkey", "p_brand", "p_type", "p_size"))
+        return (t("lineitem").select("l_partkey", "l_suppkey")
+                .join(F.broadcast(p),
+                      F.col("l_partkey") == F.col("p_partkey"))
+                .groupBy("p_brand", "p_type", "p_size")
+                .agg(F.countDistinct("l_suppkey").alias("c"))
+                .agg(F.max("c")))
+
+    def q22_scan():
+        return (t("customer").select("c_custkey", "c_acctbal")
+                .agg(F.max("c_acctbal")))
+
+    def q22_skel():
+        # dominant movement: the customer-vs-recent-orders anti join
+        # (custkey exchange of both sides); the scalar AVG branch the
+        # full query adds is a 1-row broadcast
+        o = (t("orders")
+             .filter(F.col("o_orderdate")
+                     >= F.lit("1999-06-01").cast("timestamp"))
+             .select("o_custkey"))
+        return (t("customer").select("c_custkey", "c_acctbal")
+                .join(o, F.col("c_custkey") == F.col("o_custkey"),
+                      "left_anti")
+                .agg(F.count(F.lit(1))))
+
     return {
+        "tpch_q4": (q4_scan, q4_skel),
         "tpch_q8": (q8_scan, q8_skel),
         "tpch_q9": (q9_scan, q9_skel),
         "tpch_q11": (q11_scan, q11_skel),
+        "tpch_q16": (q16_scan, q16_skel),
         "tpch_q17": (q17_scan, q17_skel),
         "tpch_q18": (q18_scan, q18_skel),
         "tpch_q21": (q21_scan, q21_skel),
+        "tpch_q22": (q22_scan, q22_skel),
     }
 
 
@@ -151,6 +211,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="/tmp/sf1_tpch")
     ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--queries", default=None,
+                    help="comma list of qN names (default: all skeletons)")
     args = ap.parse_args()
 
     from tpch_sf1 import TPCH_TABLES, ensure_sf1
@@ -172,6 +234,9 @@ def main() -> None:
 
     out: dict[str, dict[str, float]] = {}
     skels = _skeletons(spark, args.dir)
+    if args.queries:
+        want = {f"tpch_{q.strip()}" for q in args.queries.split(",")}
+        skels = {k: v for k, v in skels.items() if k in want}
     for name, (scan_fn, skel_fn) in skels.items():
         best = {"scan": 9e9, "skel": 9e9, "full": 9e9}
         for _ in range(args.passes):

@@ -92,6 +92,7 @@ def main() -> None:
     import duckdb
 
     from driver_emulator import value_hash
+    from instrument import SectionTracker, idle_gate
     from rust_query_engine_greatest_spark.queries import REGISTRY
     from rust_query_engine_greatest_spark.session import get_spark
     from rust_query_engine_greatest_spark.sources import (bucketing, compact,
@@ -99,6 +100,13 @@ def main() -> None:
 
     if args.dir is None:
         args.dir = f"/tmp/sf{args.sf:g}_tpch"
+    # Idle gate BEFORE anything heats the box (VERDICT r8 #1: the SF1
+    # suite gained bench.py's contention instrumentation this round so
+    # a re-record can prove in-artifact whether it ran idle).
+    tracker = SectionTracker()
+    gate_waited = idle_gate(2.0, 240.0)
+    load_start = [round(x, 2) for x in os.getloadavg()]
+    tracker.end("idle_gate")
     ensure_sf1(args.dir, sf=args.sf)
     spark = get_spark(app_name="tpch-sf1")
     prep_s = 0.0
@@ -122,19 +130,25 @@ def main() -> None:
     for t in TPCH_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{args.dir}/{t}.parquet')")
+    tracker.end("prep")
 
     if args.official:
-        census, best = run_official(spark, con, args)
+        census, best = run_official(spark, con, args, tracker)
         print(json.dumps({
-            "metric": "tpch_sf1_official_total_best",
+            "metric": (f"tpch_sf{args.sf:g}_official_mem_total_best"
+                       if args.mem
+                       else f"tpch_sf{args.sf:g}_official_total_best"),
             "value": round(sum(best.values()), 4),
             "unit": "sec",
             "sf": args.sf,
-            "layout": args.layout,
+            "layout": ("mem+" + args.layout) if args.mem else args.layout,
             "prep_s": round(prep_s, 2),
             "queries": {k: round(v, 4) for k, v in best.items()},
             "correctness": census,
+            "load_start": load_start,
             "load": list(os.getloadavg()),
+            "idle_gate_waited_s": gate_waited,
+            "sections": tracker.sections,
             "ts": round(time.time(), 1),
         }))
         return
@@ -180,13 +194,13 @@ def main() -> None:
               == value_hash(ocols, orows, side="oracle"))
         census[n] = "match" if ok else "MISMATCH"
 
+    tracker.end("census")
     # the correctness census above heats the box (32 DuckDB threads +
     # the Spark passes); let the 1-min load decay before the timed
     # passes so the recorded numbers are idle-comparable (bounded wait,
     # same rationale as bench.py's idle gate)
-    t_gate = time.time()
-    while os.getloadavg()[0] > 3.0 and time.time() - t_gate < 180:
-        time.sleep(10)
+    idle_gate(3.0, 180.0)
+    tracker.end("post_census_gate")
 
     if args.mem:
         # reference tpch_mem analog: columnar in-memory cache (the
@@ -199,23 +213,29 @@ def main() -> None:
         prep_s += time.time() - t0
         for n in names:
             REGISTRY[n].build(spark, args.dir).collect()
+        tracker.end("mem_cache_warm")
 
     best: dict[str, float] = {}
     if args.isolated:
         for n in names:
-            t_gate = time.time()
-            while os.getloadavg()[0] > 2.0 and time.time() - t_gate < 90:
-                time.sleep(5)
+            idle_gate(2.0, 90.0)
             for _ in range(args.passes):
                 t0 = time.time()
                 REGISTRY[n].build(spark, args.dir).collect()
                 best[n] = min(best.get(n, 9e9), time.time() - t0)
+        tracker.end("isolated_passes")
     else:
-        for _ in range(args.passes):
+        # per-PASS section attribution: the suite protocol runs the 22
+        # queries back-to-back, so a contended pass shows ext_cpu_s ≫ 0
+        # on its own row while the best-of min can still come from a
+        # clean pass — the artifact alone now distinguishes regression
+        # from contention (VERDICT r8 #1).
+        for p in range(args.passes):
             for n in names:
                 t0 = time.time()
                 REGISTRY[n].build(spark, args.dir).collect()
                 best[n] = min(best.get(n, 9e9), time.time() - t0)
+            tracker.end(f"pass{p + 1}")
 
     print(json.dumps({
         "metric": (f"tpch_sf{args.sf:g}_mem_total_best" if args.mem
@@ -228,7 +248,10 @@ def main() -> None:
         "prep_s": round(prep_s, 2),
         "queries": {k: round(v, 4) for k, v in best.items()},
         "correctness": census,
+        "load_start": load_start,
         "load": list(os.getloadavg()),
+        "idle_gate_waited_s": gate_waited,
+        "sections": tracker.sections,
         "ts": round(time.time(), 1),
     }))
 
@@ -294,7 +317,7 @@ def _rows_close(a, b) -> bool:
     return True
 
 
-def run_official(spark, con, args) -> tuple[dict, dict]:
+def run_official(spark, con, args, tracker) -> tuple[dict, dict]:
     from slt_runner import translate_query, translate_statement
 
     from rust_query_engine_greatest_spark.sources import compact
@@ -323,6 +346,14 @@ def run_official(spark, con, args) -> tuple[dict, dict]:
                         f"read_parquet('{args.dir}/{t}.parquet')")
         except Exception:  # noqa: BLE001 — view exists from the census
             pass
+    if args.mem:
+        # reference tpch_mem analog for the official-text path: pin
+        # every view into Spark's columnar cache and materialize it
+        # once, so the timed passes measure compute, not IO. (Pre-r9
+        # this flag combination silently ran the disk path — ADVICE r8.)
+        for t in ALL_TABLES:
+            spark.sql(f"CACHE TABLE {t}")
+            spark.table(t).count()
     census: dict[str, str] = {}
     best: dict[str, float] = {}
     from driver_emulator import value_hash
@@ -372,17 +403,20 @@ def run_official(spark, con, args) -> tuple[dict, dict]:
             continue
         runners[name] = run_spark
 
+    tracker.end("official_census")
     # the 32-thread DuckDB census heats the box; settle before timing
     # (same idle discipline as the registry path and bench.py)
-    t_gate = time.time()
-    while os.getloadavg()[0] > 3.0 and time.time() - t_gate < 240:
-        time.sleep(10)
+    from instrument import idle_gate
 
-    for _ in range(args.passes):
+    idle_gate(3.0, 240.0)
+    tracker.end("post_census_gate")
+
+    for p in range(args.passes):
         for name, run_spark in runners.items():
             t0 = time.time()
             run_spark()
             best[name] = min(best.get(name, 9e9), time.time() - t0)
+        tracker.end(f"pass{p + 1}")
     return census, best
 
 
