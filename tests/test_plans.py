@@ -472,3 +472,58 @@ def test_retention_cohorts_two_exchanges_no_self_join(spark, sf_dir):
     df = REGISTRY["events_retention_cohorts"].build(spark, sf_dir)
     assert count_shuffle_exchanges(df) == 2
     assert "Join" not in plan_string(df)
+
+
+def test_index_probe_single_documents_scan(spark, sf_dir, tmp_path_factory):
+    """Incremental index probes (VERDICT r8 #2 plan pin): probing a
+    PERSISTED index must touch the source table exactly once — for the
+    batch being banded/fingerprinted — and read the index as a bare
+    parquet scan. A second documents scan (or any Generate/signature
+    work on the index side) would mean the corpus is being re-processed
+    per batch, breaking the O(batch) ingest contract. With one
+    documents scan total, all shingle/signature computation is
+    necessarily batch-only."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from rust_query_engine_greatest_spark.pipeline import dedup
+    from rust_query_engine_greatest_spark.plans import plan_string
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    root = tmp_path_factory.mktemp("probe_idx")
+
+    mh_path = str(root / "minhash")
+    dedup.minhash_index_rows(corpus, "doc_id", "text") \
+        .write.parquet(mh_path)
+    probe = dedup.minhash_index_probe(
+        batch, spark.read.parquet(mh_path), "doc_id", "text")
+    p = plan_string(probe)
+    assert p.count("documents.parquet") == 1, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
+
+    sh_path = str(root / "simhash")
+    dedup.simhash_index_rows(corpus, "doc_id", "text") \
+        .write.parquet(sh_path)
+    probe = dedup.simhash_index_probe(
+        batch, spark.read.parquet(sh_path), "doc_id", "text",
+        max_hamming=3)
+    p = plan_string(probe)
+    assert p.count("documents.parquet") == 1, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
+
+    # bloom: the probe is a pure map-side projection over the batch —
+    # one scan, zero exchanges, zero joins (the bitmap is a plan
+    # literal)
+    from rust_query_engine_greatest_spark.plans import count_shuffle_exchanges
+
+    bitmap = dedup.bloom_build(
+        corpus.select(F.xxhash64("text").alias("fp")), "fp")
+    probe = batch.withColumn(
+        "maybe_dup", dedup.bloom_maybe_contains(F.xxhash64("text"), bitmap))
+    p = plan_string(probe)
+    assert p.count("documents.parquet") == 1, p
+    assert count_shuffle_exchanges(probe) == 0
+    assert "Join" not in p
