@@ -328,3 +328,154 @@ def channel_sums(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "r_sum": rs, "g_sum": gs, "b_sum": bs})
 
     return media.mapInPandas(op, schema=CHANNEL_SUM_SCHEMA)
+
+
+# ---- real WAV (RIFF/PCM) codec --------------------------------------------
+# The audio sibling of the PPM/BMP discipline above: header + frame
+# parsing is a few dozen lines of NumPy, so the decode is REAL;
+# compressed codecs (MP3/AAC/IEEE-float WAV) would need an audio
+# library absent in this container and raise an actionable
+# NotImplementedError instead.
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000,
+               channels: int = 1) -> bytes:
+    """int16 PCM samples (1-D, or (n, channels) interleaved on write) →
+    canonical 44-byte-header RIFF/WAVE bytes."""
+    a = np.ascontiguousarray(samples, dtype="<i2")
+    data = a.tobytes()
+    n = len(data)
+    byte_rate = sample_rate * channels * 2
+    return (
+        b"RIFF" + (36 + n).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")                  # wFormatTag: PCM
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")       # block align
+        + (16).to_bytes(2, "little")                 # bits per sample
+        + b"data" + n.to_bytes(4, "little")
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Real RIFF chunk walk → ((n, channels) int16 array, sample_rate,
+    channels). Handles non-canonical chunk order and extra chunks
+    (LIST/fact/cue) by walking the chunk directory; PCM 16-bit only —
+    IEEE-float / ADPCM / compressed payloads raise
+    NotImplementedError (they need an audio library this container
+    doesn't ship)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = {
+                "tag": int.from_bytes(body[0:2], "little"),
+                "channels": int.from_bytes(body[2:4], "little"),
+                "rate": int.from_bytes(body[4:8], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if fmt["tag"] != 1 or fmt["bits"] != 16:
+        raise NotImplementedError(
+            f"only PCM 16-bit WAV decodes natively (tag={fmt['tag']}, "
+            f"bits={fmt['bits']}); float/ADPCM/compressed audio needs an "
+            "audio library absent in this environment")
+    ch = max(fmt["channels"], 1)
+    frames = len(data) // (2 * ch)
+    samples = np.frombuffer(data, dtype="<i2", count=frames * ch)
+    return samples.reshape(frames, ch), fmt["rate"], ch
+
+
+def wav_media_from_documents(docs: DataFrame, n_samples: int = 256,
+                             sample_rate: int = 8000) -> DataFrame:
+    """MEDIA_SCHEMA-shaped table whose payloads are REAL PCM WAV files,
+    deterministically rendered from each document's text bytes: byte i
+    of the UTF-8 text (tiled to n_samples) becomes int16 sample
+    (byte − 128) · 256. Same zero-external-fixtures discipline as
+    ppm_media_from_documents — and the byte→sample map is exactly
+    recoverable in SQL, so amplitude statistics get a value oracle."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for s in pdf["text"]:
+                raw = (s or "").encode("utf-8")
+                buf = (
+                    np.frombuffer((raw * (n_samples // max(len(raw), 1) + 1))
+                                  [:n_samples], dtype=np.uint8)
+                    if raw else np.zeros(n_samples, dtype=np.uint8)
+                )
+                samples = (buf.astype(np.int16) - 128) * 256
+                payloads.append(encode_wav(samples, sample_rate))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        op, schema="media_id long, payload binary")
+    return media.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("audio").alias("kind"),
+            F.lit("audio/wav").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(n_samples * 1000 // sample_rate).cast("long")
+            .alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+AUDIO_STATS_SCHEMA = ("media_id long, channels int, sample_rate int, "
+                      "n_samples long, duration_ms long, mean_amp double, "
+                      "peak bigint, rms double")
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """mapInPandas audio analysis: real WAV header+frame parse →
+    (channels, sample_rate, n_samples, duration_ms) from the header
+    directory and (mean_amp, peak, rms) from the PCM frames. Exact
+    float discipline mirrors _pixel_features: integer sample sums are
+    exact in float64; mean = sum/n and rms = sqrt(sumsq/n) round
+    identically in any engine. Payloads that don't parse as PCM WAV
+    are dropped (same policy as channel_sums for undecodable images)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "channels", "sample_rate",
+                                   "n_samples", "duration_ms", "mean_amp",
+                                   "peak", "rms")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    samples, rate, ch = decode_wav(
+                        bytes(payload) if payload is not None else b"")
+                except (ValueError, NotImplementedError):
+                    continue
+                flat = samples.astype(np.int64).ravel()
+                n = len(flat)
+                out["media_id"].append(mid)
+                out["channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n // ch)
+                out["duration_ms"].append((n // ch) * 1000 // max(rate, 1))
+                out["mean_amp"].append(float(flat.sum()) / n if n else 0.0)
+                out["peak"].append(int(np.abs(flat).max()) if n else 0)
+                out["rms"].append(
+                    float(np.sqrt(float((flat * flat).sum()) / n)) if n
+                    else 0.0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, schema=AUDIO_STATS_SCHEMA)

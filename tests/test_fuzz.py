@@ -41,6 +41,7 @@ REPRESENTATIVE = [
     "dedup_simhash",            # sub-banding + pair-array Hamming
     "sim_topk_bruteforce",      # exact top-k ties broken by id
     "dedup_bloom_incremental",  # distributed bit_or bitmap + probe
+    "multimodal_audio_stats",   # mapInPandas decode: batch-shape-independent
 ]
 
 PERMUTATIONS = [

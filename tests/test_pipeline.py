@@ -1042,3 +1042,109 @@ def test_simhash_index_persist_probe_roundtrip(spark, sf_dir, tmp_path):
             for a, b in ((r["id_a"], r["id_b"]) for r in both.collect())
             if (a < 100) != (b < 100)}
     assert got == want
+
+
+# ---- WAV (RIFF/PCM) codec + audio stats (VERDICT r8 #6) -------------------
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """encode_wav → decode_wav is lossless, and the decoder is a real
+    chunk walk: extra chunks (LIST before fmt, odd-sized chunk with
+    pad byte) and non-canonical order must not break it."""
+    import numpy as np
+
+    from rust_query_engine_greatest_spark.pipeline import multimodal as mm
+
+    samples = np.array([0, 100, -100, 32767, -32768, 7], dtype=np.int16)
+    payload = mm.encode_wav(samples, sample_rate=44100)
+    got, rate, ch = mm.decode_wav(payload)
+    assert rate == 44100 and ch == 1
+    assert np.array_equal(got.ravel(), samples)
+
+    # rebuild with a LIST chunk ahead of fmt and an odd-sized junk
+    # chunk (word-aligned with a pad byte) between fmt and data
+    fmt = payload[12:36]          # 'fmt ' chunk (8 + 16 bytes)
+    data = payload[36:]           # 'data' chunk
+    junk = b"junk" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    lst = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    body = lst + fmt + junk + data
+    scrambled = b"RIFF" + len(body).to_bytes(4, "little") + b"WAVE" + body
+    got2, rate2, ch2 = mm.decode_wav(scrambled)
+    assert rate2 == 44100 and np.array_equal(got2.ravel(), samples)
+
+
+def test_wav_stereo_interleave():
+    import numpy as np
+
+    from rust_query_engine_greatest_spark.pipeline import multimodal as mm
+
+    inter = np.array([1, -1, 2, -2, 3, -3], dtype=np.int16)  # L R L R L R
+    payload = mm.encode_wav(inter, sample_rate=8000, channels=2)
+    got, rate, ch = mm.decode_wav(payload)
+    assert ch == 2 and got.shape == (3, 2)
+    assert np.array_equal(got[:, 0], np.array([1, 2, 3]))
+    assert np.array_equal(got[:, 1], np.array([-1, -2, -3]))
+
+
+def test_wav_unsupported_codecs_gated():
+    """IEEE-float and 8-bit WAV need an audio library → actionable
+    NotImplementedError; garbage isn't silently parsed."""
+    import numpy as np
+    import pytest as _pytest
+
+    from rust_query_engine_greatest_spark.pipeline import multimodal as mm
+
+    payload = bytearray(mm.encode_wav(np.array([1, 2], dtype=np.int16)))
+    payload[20:22] = (3).to_bytes(2, "little")  # wFormatTag = IEEE float
+    with _pytest.raises(NotImplementedError, match="PCM 16-bit"):
+        mm.decode_wav(bytes(payload))
+    payload[20:22] = (1).to_bytes(2, "little")
+    payload[34:36] = (8).to_bytes(2, "little")  # 8-bit
+    with _pytest.raises(NotImplementedError):
+        mm.decode_wav(bytes(payload))
+    with _pytest.raises(ValueError):
+        mm.decode_wav(b"ID3\x03\x00 not a wav")
+    with _pytest.raises(ValueError):
+        mm.decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
+
+
+def test_audio_stats_golden_vs_numpy(spark, sf_dir):
+    """audio_stats through the full Spark mapInPandas path equals a
+    direct NumPy recomputation from the same text bytes (the
+    oracle-independent golden check, mirroring the image kernels)."""
+    import numpy as np
+
+    from rust_query_engine_greatest_spark.pipeline import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    rows = {r.media_id: r for r in mm.audio_stats(
+        mm.wav_media_from_documents(d)).collect()}
+    for doc in d.collect():
+        raw = (doc.text or "").encode("utf-8")
+        buf = (np.frombuffer((raw * (256 // max(len(raw), 1) + 1))[:256],
+                             dtype=np.uint8)
+               if raw else np.zeros(256, dtype=np.uint8))
+        s = (buf.astype(np.int64) - 128) * 256
+        r = rows[doc.doc_id]
+        assert r.channels == 1 and r.sample_rate == 8000
+        assert r.n_samples == 256 and r.duration_ms == 32
+        assert r.mean_amp == float(s.sum()) / 256
+        assert r.peak == int(np.abs(s).max())
+        assert r.rms == float(np.sqrt(float((s * s).sum()) / 256))
+
+
+def test_audio_stats_drops_undecodable(spark):
+    from pyspark.sql import functions as F
+
+    from rust_query_engine_greatest_spark.pipeline import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, bytearray(mm.encode_wav(__import__("numpy").array([5, -5], dtype="int16")))),
+         (2, bytearray(b"not audio at all")),
+         (3, None)],
+        "media_id long, payload binary").withColumn(
+            "meta", F.lit(None).cast(
+                "struct<kind:string,mime:string,width:int,height:int,duration_ms:bigint>"))
+    got = mm.audio_stats(df).collect()
+    assert [r.media_id for r in got] == [1]
+    assert got[0].peak == 5
