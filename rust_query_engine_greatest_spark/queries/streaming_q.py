@@ -193,3 +193,80 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "segment", F.col("value").cast("double").alias("value")
     )
     return _run(joined, "sstatic", spark)
+
+
+@register(
+    "stream_minhash_index_probe",
+    """
+    SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+           CAST(1.0 AS DOUBLE) AS jac
+    FROM documents b JOIN documents c
+      ON b.doc_id % 40 = c.doc_id % 40
+    WHERE b.doc_id >= 100 AND c.doc_id < 100
+    """,
+    tags=("streaming", "pipeline", "dedup"),
+)
+def stream_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental near-dup probe (dedup_minhash_index_probe)
+    UNDER THE REAL STREAMING ENGINE (VERDICT r8 #4): the corpus LSH
+    index is persisted once; the incoming batch is replayed through
+    the file stream source one file per micro-batch and probed inside
+    foreachBatch — the production ingest loop. Bounded input + the
+    constructive template fixture ⇒ the accumulated stream result
+    provably equals the batch twin (same-template pair set at
+    jac = 1.0), so this carries a full value oracle; batch-vs-stream
+    equality across ≥3 micro-batches is additionally pinned in
+    tests/test_streaming.py."""
+    from ..pipeline import dedup
+    from ..streaming import run_foreach_batch
+    from .pipeline_q import _template_docs
+
+    docs = _template_docs(spark, sf_dir)
+    corpus = docs.filter("doc_id < 100")
+    batch = docs.filter("doc_id >= 100")
+    index = dedup.minhash_index_rows(corpus, "doc_id", "text")
+
+    def probe(mb: DataFrame) -> DataFrame:
+        return dedup.minhash_index_probe(
+            mb, index, "doc_id", "text", verify_texts=corpus, threshold=0.8)
+
+    out, _n = run_foreach_batch(
+        batch, probe, "batch_id long, corpus_id long, jac double")
+    return out
+
+
+@register(
+    "stream_simhash_index_probe",
+    """
+    SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, 0 AS hamming
+    FROM documents b JOIN documents c
+      ON b.doc_id % 40 = c.doc_id % 40
+    WHERE b.doc_id >= 100 AND c.doc_id < 100
+    """,
+    tags=("streaming", "pipeline", "dedup"),
+)
+def stream_simhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming sibling of stream_minhash_index_probe: the persisted
+    SimHash index probed per micro-batch inside foreachBatch (fp
+    travels in the index, so each micro-batch's Hamming verify needs
+    no corpus join-back — the probe stays O(micro-batch) end to
+    end)."""
+    from pyspark.sql import functions as F
+
+    from ..pipeline import dedup
+    from ..streaming import run_foreach_batch
+    from .pipeline_q import _template_docs
+
+    docs = _template_docs(spark, sf_dir)
+    corpus = docs.filter("doc_id < 100")
+    batch = docs.filter("doc_id >= 100")
+    index = dedup.simhash_index_rows(corpus, "doc_id", "text")
+
+    def probe(mb: DataFrame) -> DataFrame:
+        return dedup.simhash_index_probe(
+            mb, index, "doc_id", "text", max_hamming=3
+        ).withColumn("hamming", F.col("hamming").cast("int"))
+
+    out, _n = run_foreach_batch(
+        batch, probe, "batch_id long, corpus_id long, hamming int")
+    return out

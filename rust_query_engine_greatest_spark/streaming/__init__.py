@@ -1,5 +1,6 @@
 from .pipelines import (
     read_events_stream,
+    run_foreach_batch,
     run_to_memory,
     session_window_counts,
     sessionize_stateful,
@@ -9,6 +10,7 @@ from .pipelines import (
 
 __all__ = [
     "read_events_stream",
+    "run_foreach_batch",
     "run_to_memory",
     "session_window_counts",
     "sessionize_stateful",

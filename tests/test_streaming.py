@@ -136,3 +136,58 @@ def test_session_window_soak_state_eviction(spark):
         assert state_rows < max(emitted * 10, 200), (state_rows, emitted)
     finally:
         q.stop()
+
+
+def test_index_probe_stream_equals_batch_across_micro_batches(spark, sf_dir):
+    """VERDICT r8 #4: the persisted MinHash/SimHash indexes probed
+    under the REAL streaming engine (foreachBatch, one file per
+    micro-batch) must produce exactly the batch twin's result set, and
+    the replay must actually have been incremental (≥3 micro-batches,
+    not one availableNow gulp)."""
+    from pyspark.sql import functions as F
+
+    from rust_query_engine_greatest_spark.pipeline import dedup
+    from rust_query_engine_greatest_spark.queries.pipeline_q import _template_docs
+    from rust_query_engine_greatest_spark.streaming import run_foreach_batch
+
+    docs = _template_docs(spark, sf_dir)
+    corpus = docs.filter("doc_id < 100")
+    batch = docs.filter("doc_id >= 100")
+
+    # minhash (with exact-Jaccard verify — the full production probe)
+    mh_index = dedup.minhash_index_rows(corpus, "doc_id", "text")
+    batch_twin = {
+        (r.batch_id, r.corpus_id, r.jac)
+        for r in dedup.minhash_index_probe(
+            batch, mh_index, "doc_id", "text",
+            verify_texts=corpus, threshold=0.8).collect()
+    }
+    streamed, n_batches = run_foreach_batch(
+        batch,
+        lambda mb: dedup.minhash_index_probe(
+            mb, mh_index, "doc_id", "text",
+            verify_texts=corpus, threshold=0.8),
+        "batch_id long, corpus_id long, jac double",
+        n_files=4,
+    )
+    assert n_batches >= 3, f"expected ≥3 micro-batches, got {n_batches}"
+    got = {(r.batch_id, r.corpus_id, r.jac) for r in streamed.collect()}
+    assert got == batch_twin and len(batch_twin) > 0
+
+    # simhash (fp travels in the index — no corpus join-back per batch)
+    sh_index = dedup.simhash_index_rows(corpus, "doc_id", "text")
+    twin = {
+        (r.batch_id, r.corpus_id, r.hamming)
+        for r in dedup.simhash_index_probe(
+            batch, sh_index, "doc_id", "text", max_hamming=3).collect()
+    }
+    streamed, n_batches = run_foreach_batch(
+        batch,
+        lambda mb: dedup.simhash_index_probe(
+            mb, sh_index, "doc_id", "text", max_hamming=3),
+        "batch_id long, corpus_id long, hamming int",
+        n_files=4,
+    )
+    assert n_batches >= 3
+    got = {(r.batch_id, r.corpus_id, r.hamming) for r in streamed.collect()}
+    assert got == twin and len(twin) > 0
