@@ -1148,3 +1148,33 @@ def test_audio_stats_drops_undecodable(spark):
     got = mm.audio_stats(df).collect()
     assert [r.media_id for r in got] == [1]
     assert got[0].peak == 5
+
+
+def test_wav_roundtrip_fuzz():
+    """Property fuzz (reference fuzz-corpus discipline): any int16
+    sample block at any rate/channel count survives encode→decode
+    bit-exactly, including the empty payload."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from rust_query_engine_greatest_spark.pipeline import multimodal as mm
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        frames=st.integers(min_value=0, max_value=300),
+        ch=st.integers(min_value=1, max_value=4),
+        rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+        data=st.data(),
+    )
+    def check(frames, ch, rate, data):
+        samples = data.draw(arrays(np.int16, frames * ch,
+                                   elements=st.integers(-32768, 32767)))
+        got, got_rate, got_ch = mm.decode_wav(
+            mm.encode_wav(samples, sample_rate=rate, channels=ch))
+        assert got_rate == rate and got_ch == ch
+        assert got.shape == (frames, ch)
+        assert np.array_equal(got.ravel(), samples)
+
+    check()
