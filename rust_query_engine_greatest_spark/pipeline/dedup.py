@@ -831,6 +831,72 @@ def span_dedup_stats(
     )
 
 
+def span_scrub(
+    df: DataFrame, id_col: str, text_col: str, span_w: int = 10,
+) -> DataFrame:
+    """Exact-substring REMOVAL with text reconstruction — the rewrite
+    half of the C4 rule that span_dedup_stats only scores (Raffel et
+    al. 2020 §2.2 "we discarded all but one of any three-sentence span
+    occurring more than once"; Lee et al. 2021, arXiv:2107.06499, cut
+    the duplicated substring rather than the document). Each document
+    is split into disjoint `span_w`-token chunks (the trailing partial
+    chunk INCLUDED — unlike the scoring op, a rewrite must cover every
+    token), each chunk is fingerprinted, and every occurrence of a
+    fingerprint except the corpus-wide first (ordered by (id, pos) —
+    deterministic, engine-independent) is cut; the survivors are
+    stitched back together in token order.
+
+    Output: (id, n_spans, n_cut, text_scrubbed) — one row per document;
+    documents whose every chunk was cut come back with ''.
+
+    Plan shape at 100 TB: chunk assembly is the same codegen
+    lead-window trick as shingle_rows (split once per document, no
+    higher-order lambdas), riding the id hash exchange; the duplicate
+    table is ONE row_number window over the fp exchange — and that
+    exchange carries one row per span_w tokens, 1/W of the token
+    stream (no per-shingle blowup); the rebuild is one groupBy(id)
+    whose collect_list holds only the document's own chunks (bounded
+    by document length, not corpus). Three token-volume-bounded
+    exchanges total, nothing pairwise, nothing driver-side."""
+    from pyspark.sql import Window
+
+    narrow = df.select(
+        F.col(id_col).alias("id"),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
+    )
+    narrow = _ensure_parallelism(narrow)
+    toks = narrow.select(
+        "id", F.posexplode(F.split("__t", r" +")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, span_w)]
+    # concat_ws skips NULL leads, so the pos==k·W row near the end of a
+    # document yields the partial tail chunk; a sub-W document keeps
+    # its single pos==0 head chunk; empty/NULL text yields one ''.
+    chunks = (
+        toks.select(
+            "id", "pos", F.concat_ws(" ", F.col("tok"), *leads).alias("ck")
+        )
+        .filter(F.col("pos") % span_w == 0)
+    )
+    wfp = Window.partitionBy(F.md5("ck")).orderBy("id", "pos")
+    marked = chunks.withColumn("rn", F.row_number().over(wfp))
+    kept = F.when(F.col("rn") == 1, F.struct("pos", "ck"))
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("n_cut"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda x: x["ck"]
+                ),
+                " ",
+            ).alias("text_scrubbed"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

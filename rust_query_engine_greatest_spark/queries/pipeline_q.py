@@ -1212,6 +1212,47 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.span_dedup_stats(d, "doc_id", "text", span_w=_SPAN_W)
 
 
+@register(
+    "text_span_scrub",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             string_split_regex(lower(coalesce(text, '')), ' +') AS ts
+      FROM documents),
+    chunks AS (
+      SELECT id, CAST(u.i - 1 AS BIGINT) AS pos,
+             array_to_string(list_slice(ts, u.i, u.i + {_SPAN_W - 1}), ' ')
+               AS ck
+      FROM base,
+      LATERAL unnest(generate_series(1, len(ts), {_SPAN_W})) AS u(i)),
+    marked AS (
+      SELECT id, pos, ck,
+             row_number() OVER (PARTITION BY md5(ck)
+                                ORDER BY id, pos) AS rn
+      FROM chunks)
+    SELECT id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN ck END, ' '
+                               ORDER BY pos), '') AS text_scrubbed
+    FROM marked
+    GROUP BY id
+    """,
+    tags=("pipeline", "dedup"),
+)
+def text_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring removal with reconstruction — the rewrite half
+    of the C4 repeated-span rule (text_span_dedup scores; this CUTS
+    every occurrence of a duplicated 10-token chunk except the
+    corpus-wide first and stitches each document back together in
+    token order). Chunking, md5 fingerprints, the (id, pos) first-
+    occurrence rule, and the space-joined rebuild are all exact
+    integer/string arithmetic, so the oracle matches hash-for-hash
+    including the rebuilt text column."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.span_scrub(d, "doc_id", "text", span_w=_SPAN_W)
+
+
 _STRATA_RATES = {f"src{i}": (0.75 if i % 4 == 0 else 0.25 if i % 2 == 0 else 0.5)
                  for i in range(18)}  # src18/src19 absent → dropped
 

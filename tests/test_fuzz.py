@@ -42,6 +42,8 @@ REPRESENTATIVE = [
     "sim_topk_bruteforce",      # exact top-k ties broken by id
     "dedup_bloom_incremental",  # distributed bit_or bitmap + probe
     "multimodal_audio_stats",   # mapInPandas decode: batch-shape-independent
+    "text_span_scrub",          # rewrite: (id,pos) first-occurrence rule must
+                                # hold under every partitioning/join mode
 ]
 
 PERMUTATIONS = [

@@ -594,6 +594,40 @@ def test_span_dedup_planted(spark):
     assert not out[4]["keep"]
 
 
+def test_span_scrub_planted(spark):
+    """Rewrite semantics: the corpus-wide FIRST occurrence (by id, pos)
+    of a duplicated chunk survives, every later occurrence is cut, and
+    the survivors are stitched back in token order — including the
+    trailing partial chunk the scoring op drops, and intra-document
+    repeats where the document itself holds the first occurrence."""
+    from rust_query_engine_greatest_spark.pipeline import dedup
+
+    chunk = " ".join(f"w{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    dup7 = " ".join(f"x{i}" for i in range(10))
+    tail15 = " ".join(f"d{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [
+            (1, f"{chunk} {uniq_a}"),   # first corpus-wide: keeps both
+            (2, f"{chunk} {uniq_b}"),   # chunk is rn=2 → cut
+            (3, ""),                    # one '' chunk, unique → kept
+            (4, f"{chunk} {chunk}"),    # both occurrences cut
+            (5, tail15),                # full chunk + PARTIAL tail kept
+            (7, f"{dup7} {dup7}"),      # intra-doc: first kept, repeat cut
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in
+           dedup.span_scrub(df, "doc_id", "text").collect()}
+    assert (out[1]["n_cut"], out[1]["text_scrubbed"]) == (0, f"{chunk} {uniq_a}")
+    assert (out[2]["n_cut"], out[2]["text_scrubbed"]) == (1, uniq_b)
+    assert (out[3]["n_spans"], out[3]["n_cut"], out[3]["text_scrubbed"]) == (1, 0, "")
+    assert (out[4]["n_spans"], out[4]["n_cut"], out[4]["text_scrubbed"]) == (2, 2, "")
+    assert (out[5]["n_spans"], out[5]["n_cut"], out[5]["text_scrubbed"]) == (2, 0, tail15)
+    assert (out[7]["n_spans"], out[7]["n_cut"], out[7]["text_scrubbed"]) == (2, 1, dup7)
+
+
 def test_stratified_sample_rates_and_determinism(spark, sf_dir):
     """Kept fraction per stratum tracks its configured rate; absent
     strata are dropped; repeated runs give the identical id set."""
