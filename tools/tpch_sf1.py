@@ -154,7 +154,9 @@ def main() -> None:
         return
 
     if args.queries:
-        names = [f"tpch_{q.strip()}" for q in args.queries.split(",")]
+        # accept both the short (q1) and registry (tpch_q1) spellings
+        names = [q.strip() if q.strip().startswith("tpch_")
+                 else f"tpch_{q.strip()}" for q in args.queries.split(",")]
     else:
         names = [f"tpch_q{i}" for i in range(1, 23)]
     census: dict[str, str] = {}
