@@ -311,6 +311,7 @@ def main() -> None:
             ("dedup_bloom_incremental", REGISTRY["dedup_bloom_incremental"].build),
             ("text_unigram_quality", REGISTRY["text_unigram_quality"].build),
             ("text_chunk_overlap", REGISTRY["text_chunk_overlap"].build),
+            ("text_span_scrub", REGISTRY["text_span_scrub"].build),
         ] + _probe_ops
         for name, build in pipe:
             if time.time() - _T0 > BUDGET_S:
