@@ -738,3 +738,40 @@ def test_correlated_subquery_fuzz_vs_duckdb(spark_global, outer, inner):
         for r in con.sql(q).fetchall())
     con.close()
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(st.sampled_from(["a", "b", "ab"]), min_size=0, max_size=25)
+        .map(" ".join),
+    ),
+    min_size=0, max_size=15,
+))
+def test_span_scrub_fuzz_vs_duckdb(spark_global, docs):
+    """The exact-substring rewrite over random tiny-alphabet documents
+    (chunk collisions are dense by construction: 3 token kinds, 0-25
+    tokens against the 10-token chunk width) must agree with the
+    registry oracle row-for-row — n_spans, n_cut, AND the rebuilt text.
+    NULL/empty documents and sub-chunk-width documents included."""
+    from rust_query_engine_greatest_spark.pipeline import dedup
+    from rust_query_engine_greatest_spark.queries import REGISTRY
+
+    spark = spark_global
+    rows = [(i, t) for i, t in enumerate(docs)]
+    sdf = (spark.createDataFrame(rows, "doc_id long, text string")
+           if rows else spark.createDataFrame([], "doc_id long, text string"))
+    got = sorted(tuple(r) for r in
+                 dedup.span_scrub(sdf, "doc_id", "text").collect())
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("documents", pd.DataFrame(
+        {"doc_id": pd.Series([r[0] for r in rows], dtype="int64"),
+         "text": pd.Series([r[1] for r in rows], dtype="object")}))
+    want = sorted((int(r[0]), int(r[1]), int(r[2]), r[3])
+                  for r in con.sql(REGISTRY["text_span_scrub"].oracle)
+                  .fetchall())
+    con.close()
+    assert got == want
