@@ -503,3 +503,76 @@ def test_bucketed_layout_route_equal_results_fewer_exchanges(spark, sf_dir):
                 spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         bucketing.deactivate(sf_dir)
     assert secs >= 0.0
+
+
+def _rg_intersecting_files(path, col, lo, hi):
+    """(files whose row-group [min,max] for `col` intersects [lo,hi],
+    total files) from the parquet footers — the stats Spark's reader
+    prunes with."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    hit = total = 0
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        total += 1
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or st.min is None:
+                hit += 1
+                break
+            if st.min <= hi and lo <= st.max:
+                hit += 1
+                break
+    return hit, total
+
+
+def test_zorder_write_skips_row_groups_on_both_dims(spark, tmp_path):
+    """The Morton layout must make footer stats selective on EVERY
+    clustered column at once: on a 64×64 grid cut into 16 files, a
+    1/8 slice in either dimension intersects only the curve blocks
+    that slice crosses (≤ half the files), while the single-column
+    sort layout is blind on its non-sort dimension (every file
+    intersects)."""
+    from pyspark.sql import functions as F
+
+    from rust_query_engine_greatest_spark.sources import clustering
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    zpath, xpath = f"{tmp_path}/z", f"{tmp_path}/xsorted"
+    ranges = clustering.write_zordered(grid, ["x", "y"], zpath, partitions=16)
+    assert ranges == {"x": (0.0, 63.0), "y": (0.0, 63.0)}
+    (grid.repartitionByRange(16, "x").sortWithinPartitions("x")
+     .write.parquet(xpath))
+
+    for col in ("x", "y"):
+        hit, total = _rg_intersecting_files(zpath, col, 0, 7)
+        assert total >= 8, "range partitioner produced too few files"
+        assert hit <= total // 2, \
+            f"z-layout not selective on {col}: {hit}/{total}"
+    hit, total = _rg_intersecting_files(xpath, "x", 0, 7)
+    assert hit <= total // 2  # sanity: sort layout prunes its own key
+    hit, total = _rg_intersecting_files(xpath, "y", 0, 7)
+    assert hit == total  # ...and is blind on the other dimension
+
+    # correctness: the rewrite is a pure re-layout
+    got = sorted(tuple(r) for r in spark.read.parquet(zpath).collect())
+    want = sorted(tuple(r) for r in grid.collect())
+    assert got == want
+
+
+def test_zorder_write_real_table_roundtrip(spark, sf_dir, tmp_path):
+    """events z-ordered by (user_id, ts): unchanged schema + multiset,
+    NULL-safe bucketing, timestamp dimension scaled via double cast."""
+    from rust_query_engine_greatest_spark.sources import catalog, clustering
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    path = f"{tmp_path}/ev_z"
+    clustering.write_zordered(ev, ["user_id", "ts"], path, partitions=8)
+    back = spark.read.parquet(path)
+    assert back.schema == ev.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
