@@ -56,27 +56,39 @@ def _bucket(col: Column, mn, mx, bits: int) -> Column:
 
 
 def zorder_key(
-    df: DataFrame, cols: list[str], bits: int = 12
+    df: DataFrame, cols: list[str], bits: int = 12,
+    ranges: dict[str, tuple] | None = None,
 ) -> tuple[Column, dict[str, tuple]]:
     """Morton key over `cols` as a single long Column, plus the
     (min, max) ranges used for bucket scaling (returned so callers can
     record / reuse them).
 
-    One O(k)-literal min/max aggregate over the input; the key itself
-    is pure codegen arithmetic: bit j of column i's bucket lands at
-    position j·k + i, so k·bits total bits (k·bits ≤ 62 enforced —
-    fits a long with sign headroom)."""
+    When `ranges` is omitted, one O(k)-literal min/max aggregate runs
+    over the input — at 100 TB pass catalog statistics instead (e.g.
+    the ANALYZE min/max stats.py maintains, or the previous rewrite's
+    returned ranges for incremental re-clustering) and the extra scan
+    disappears; bucket scaling only needs APPROXIMATE bounds (values
+    outside clamp to the edge buckets, costing locality, never
+    correctness). The key itself is pure codegen arithmetic: bit j of
+    column i's bucket lands at position j·k + i, so k·bits total bits
+    (k·bits ≤ 62 enforced — fits a long with sign headroom)."""
     k = len(cols)
     if k == 0:
         raise ValueError("zorder_key needs at least one column")
     if k * bits > 62:
         raise ValueError(f"{k} cols × {bits} bits exceeds a long")
-    aggs = []
-    for i, c in enumerate(cols):
-        norm = F.col(c).cast("double")
-        aggs += [F.min(norm).alias(f"mn{i}"), F.max(norm).alias(f"mx{i}")]
-    row = df.agg(*aggs).collect()[0]
-    ranges = {c: (row[f"mn{i}"], row[f"mx{i}"]) for i, c in enumerate(cols)}
+    if ranges is None:
+        aggs = []
+        for i, c in enumerate(cols):
+            norm = F.col(c).cast("double")
+            aggs += [F.min(norm).alias(f"mn{i}"),
+                     F.max(norm).alias(f"mx{i}")]
+        row = df.agg(*aggs).collect()[0]
+        ranges = {c: (row[f"mn{i}"], row[f"mx{i}"])
+                  for i, c in enumerate(cols)}
+    missing = [c for c in cols if c not in ranges]
+    if missing:
+        raise ValueError(f"ranges missing for {missing}")
     key = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         mn, mx = ranges[c]
@@ -100,6 +112,7 @@ def write_zordered(
     bits: int = 12,
     partitions: int | None = None,
     mode: str = "overwrite",
+    ranges: dict[str, tuple] | None = None,
 ) -> dict[str, tuple]:
     """Write `df` as parquet clustered along the Z-curve of `cols`.
     Returns the per-column (min, max) scaling ranges.
@@ -107,8 +120,10 @@ def write_zordered(
     Range-partition on the key (sampled bounds — the same mechanism an
     ORDER BY write uses), sort within each partition, then drop the
     key before writing so the on-disk schema is unchanged. Row-group
-    size stays the writer default; the locality comes from the sort."""
-    key, ranges = zorder_key(df, cols, bits)
+    size stays the writer default; the locality comes from the sort.
+    Pass `ranges` (catalog stats / a previous rewrite's return) to
+    skip the min/max scan — see zorder_key."""
+    key, ranges = zorder_key(df, cols, bits, ranges=ranges)
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     (
         df.withColumn("__z", key)

@@ -576,3 +576,30 @@ def test_zorder_write_real_table_roundtrip(spark, sf_dir, tmp_path):
     back = spark.read.parquet(path)
     assert back.schema == ev.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
+
+
+def test_zorder_precomputed_ranges_skip_the_minmax_scan(spark, tmp_path):
+    """Passing catalog-style ranges must produce the identical layout
+    with no min/max job — and approximate bounds stay correct (values
+    outside clamp to edge buckets)."""
+    from pyspark.sql import functions as F
+
+    from rust_query_engine_greatest_spark.sources import clustering
+
+    grid = spark.range(256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y"))
+    exact = clustering.write_zordered(
+        grid, ["x", "y"], f"{tmp_path}/a", partitions=4)
+    given = clustering.write_zordered(
+        grid, ["x", "y"], f"{tmp_path}/b", partitions=4, ranges=exact)
+    assert given == exact
+    # approximate (too-narrow) bounds: rows clamp, multiset unchanged
+    clustering.write_zordered(
+        grid, ["x", "y"], f"{tmp_path}/c", partitions=4,
+        ranges={"x": (2.0, 9.0), "y": (0.0, 8.0)})
+    got = sorted(map(tuple, spark.read.parquet(f"{tmp_path}/c").collect()))
+    assert got == sorted(map(tuple, grid.collect()))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ranges missing"):
+        clustering.zorder_key(grid, ["x", "y"], ranges={"x": (0.0, 1.0)})
