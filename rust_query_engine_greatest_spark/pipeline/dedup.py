@@ -485,24 +485,48 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 
-def _simhash_banded(base: DataFrame, bands: int, max_hamming: int) -> DataFrame:
-    """(id, fp) → one row per (id, band): band_id, band_val, and the
-    precomputed sub-band keys of the OTHER 64−width bits (`subs`), used
-    only when the band's bucket overflows. Sub-band partitioning keeps
-    the pigeonhole guarantee: a pair in an overflowed (band b) bucket
-    agrees on band b exactly, so its ≤ max_hamming differing bits all
-    live in the remaining bits — carving those into max_hamming+1
-    disjoint sub-bands forces ≥1 sub-band equal. All expressions are
-    per-band Python-literal shifts, JVM-codegen'd; no Python UDFs."""
+def _simhash_banded(base: DataFrame, bands: int) -> DataFrame:
+    """(id, fp) → one LEAN row per (id, band): band_id, band_val only.
+    Sub-band keys (hot-bucket recovery) are NOT precomputed here — they
+    are a pure function of (fp, band_id) and are derived post-exchange
+    for overflow rows only via `_sub_keys_expr`, so the band-key
+    exchange carries 4 narrow columns instead of a per-row struct array
+    (r9 optimization: the subs array tripled exchanged row width and
+    was discarded unread for every healthy bucket)."""
     width = 64 // bands
     mask = F.lit((1 << width) - 1).cast("long")
+    structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftrightunsigned("fp", b * width).bitwiseAND(mask).alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    return (
+        base.select("id", "fp", F.explode(F.array(*structs)).alias("bb"))
+        .select("id", "fp", "bb.band_id", "bb.band_val")
+    )
+
+
+def _sub_keys_expr(bands: int, max_hamming: int) -> Column:
+    """array<struct<sub_id,sub_val>> of the sub-band keys of the OTHER
+    64−width bits for the row's (`fp`, `band_id`) — the hot-bucket
+    recovery keys. Sub-band partitioning keeps the pigeonhole
+    guarantee: a pair in an overflowed (band b) bucket agrees on band b
+    exactly, so its ≤ max_hamming differing bits all live in the
+    remaining bits — carving those into max_hamming+1 disjoint
+    sub-bands forces ≥1 sub-band equal. band_id is data here (the rows
+    already rode the band exchange), so the per-band Python-literal
+    shift expressions are selected by a CASE chain; everything is
+    JVM-codegen'd, no Python UDFs."""
+    width = 64 // bands
     rem_bits = 64 - width
     n_subs = max_hamming + 1
     sub_w = rem_bits // n_subs
     # sub-band s covers remaining-bit span [offs[s], offs[s+1]); the last
     # span absorbs the remainder so the sub-bands PARTITION all bits
     offs = [s * sub_w for s in range(n_subs)] + [rem_bits]
-    structs = []
+    expr = None
     for b in range(bands):
         hi_shift, low_bits = (b + 1) * width, b * width
         low_mask = F.lit((1 << low_bits) - 1).cast("long")
@@ -523,15 +547,9 @@ def _simhash_banded(base: DataFrame, bands: int, max_hamming: int) -> DataFrame:
             )
             for s in range(n_subs)
         ])
-        structs.append(F.struct(
-            F.lit(b).alias("band_id"),
-            F.shiftrightunsigned("fp", b * width).bitwiseAND(mask).alias("band_val"),
-            subs.alias("subs"),
-        ))
-    return (
-        base.select("id", "fp", F.explode(F.array(*structs)).alias("bb"))
-        .select("id", "fp", "bb.band_id", "bb.band_val", "bb.subs")
-    )
+        expr = (F.when(F.col("band_id") == b, subs) if expr is None
+                else expr.when(F.col("band_id") == b, subs))
+    return expr
 
 
 def _bucket_pairs_hamming(
@@ -618,13 +636,24 @@ def simhash_pairs_from_fps(
     rows — split out so hot-bucket recall is testable on synthetic
     fingerprint fixtures (test_pipeline.py plants a bucket where every
     member shares one band and asserts sub-banding recovers the pairs)."""
-    banded = _simhash_banded(base, bands, max_hamming)
-    # bucket-size census: keyspace is bounded (bands·2^16 ≈ 262k rows at
-    # ANY corpus size), so it broadcasts — the split into healthy/hot
-    # rows costs no fact shuffle
-    sizes = banded.groupBy("band_id", "band_val").agg(
-        F.count(F.lit(1)).alias("_bucket_n"))
-    tagged = banded.join(F.broadcast(sizes), ["band_id", "band_val"])
+    # r9 shape: bucket sizes come from a COUNT WINDOW over the band-key
+    # exchange instead of the old separate census aggregate + broadcast
+    # join-back. The census form executed the whole upstream (documents
+    # scan + the simhash64 fold, the op's dominant cost) once for the
+    # census and once more per union branch — 4 fp computations of the
+    # corpus per run (plan-verified, plans/r09/pipe_dedup_simhash_before).
+    # With the window, both branches share ONE byte-identical exchange
+    # subtree (fp computed on its map side, exactly once — the shuffle
+    # stage is reused for the second branch), the healthy branch's
+    # groupBy rides the same partitioning with no further exchange, and
+    # the overflow branch's sub-band keys are derived post-exchange from
+    # (fp, band_id) for hot rows only. The memory bound is unchanged:
+    # collect_set still only ever runs on ≤ max_bucket cells.
+    from pyspark.sql import Window
+
+    banded = _simhash_banded(base, bands)
+    w = Window.partitionBy("band_id", "band_val")
+    tagged = banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
     cand_ok = _bucket_pairs_hamming(
         tagged.filter(F.col("_bucket_n") <= max_bucket)
         .select("id", "fp", "band_id", "band_val"),
@@ -633,7 +662,7 @@ def simhash_pairs_from_fps(
     sub = (
         tagged.filter(F.col("_bucket_n") > max_bucket)
         .select("id", "fp", "band_id", "band_val",
-                F.explode("subs").alias("sb"))
+                F.explode(_sub_keys_expr(bands, max_hamming)).alias("sb"))
         .select("id", "fp", "band_id", "band_val", "sb.sub_id", "sb.sub_val")
     )
     cand_sub = _bucket_pairs_hamming(
@@ -664,8 +693,7 @@ def simhash_index_rows(
     base = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
     )
-    return _simhash_banded(base, bands, max_hamming=0).select(
-        "id", "fp", "band_id", "band_val")
+    return _simhash_banded(base, bands)
 
 
 def simhash_index_probe(
@@ -685,7 +713,7 @@ def simhash_index_probe(
     b = _ensure_parallelism(batch).select(
         F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
     )
-    banded_b = _simhash_banded(b, bands, max_hamming=0).select(
+    banded_b = _simhash_banded(b, bands).select(
         F.col("id").alias("batch_id"), F.col("fp").alias("fp_b"),
         "band_id", "band_val")
     return (
@@ -729,13 +757,15 @@ def simhash_overflow_from_fps(
     simhash_pairs_from_fps) so the documented drop-with-accounting
     behavior of a DOUBLE overflow (a sub-bucket of a hot bucket itself
     exceeding max_bucket) is testable on planted fingerprint fixtures."""
-    banded = _simhash_banded(base, bands, max_hamming)
-    sizes = banded.groupBy("band_id", "band_val").agg(
-        F.count(F.lit(1)).alias("_bucket_n"))
+    from pyspark.sql import Window
+
+    banded = _simhash_banded(base, bands)
+    w = Window.partitionBy("band_id", "band_val")
     sub = (
-        banded.join(F.broadcast(sizes), ["band_id", "band_val"])
+        banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
         .filter(F.col("_bucket_n") > max_bucket)
-        .select("id", "band_id", "band_val", F.explode("subs").alias("sb"))
+        .select("id", "band_id", "band_val",
+                F.explode(_sub_keys_expr(bands, max_hamming)).alias("sb"))
         .select("id", "band_id", "band_val", "sb.sub_id", "sb.sub_val")
     )
     return bucket_overflow(
@@ -962,9 +992,17 @@ def semantic_dedup(
     pairs = F.transform(
         sims, lambda s, i: F.struct((-s).alias("neg"), i.alias("idx"))
     )
-    assigned = base.withColumn(
-        "cluster", F.array_sort(pairs)[0]["idx"]
-    ).withColumn("cos_c", -F.array_sort(pairs)[0]["neg"])
+    # One __best alias referenced twice: CollapseProject keeps the
+    # multi-referenced non-trivial alias in its own Project, so the
+    # K-fold cosine array + array_sort evaluate ONCE per row. The old
+    # two-withColumn form inlined the whole subtree into BOTH cluster
+    # and cos_c (2 full evaluations per row, plan-verified r9).
+    assigned = (
+        base.withColumn("__best", F.array_sort(pairs)[0])
+        .withColumn("cluster", F.col("__best")["idx"])
+        .withColumn("cos_c", -F.col("__best")["neg"])
+        .drop("__best")
+    )
     keepers = (
         assigned.groupBy("cluster")
         .agg(
@@ -974,10 +1012,21 @@ def semantic_dedup(
                 F.struct(F.col("cos_c"), -F.col("__id")),
             ).alias("kp")
         )
-        .select("cluster", "kp.kid", "kp.kv", "kp.kn")
+        .select(F.col("cluster").alias("__kcluster"), "kp.kid", "kp.kv", "kp.kn")
     )
+    # Null-safe join key: a plain inner equi-join on `cluster` makes the
+    # optimizer infer IsNotNull(cluster) on BOTH sides and push it into
+    # the scans — re-embedding the entire K-fold cosine-assignment
+    # expression inside a scan-side Filter on each subtree, so every row
+    # paid the assignment twice more (plan-verified r9,
+    # plans/r09/dedup_semantic_before.txt Filters (2)/(6)). cluster is
+    # never NULL by construction (the sims array coalesces to -2.0), so
+    # <=> computes identical pairs while EqualNullSafe, being
+    # null-tolerant, triggers no IsNotNull inference.
     return (
-        assigned.join(F.broadcast(keepers), "cluster")
+        assigned.join(F.broadcast(keepers),
+                      F.col("cluster").eqNullSafe(F.col("__kcluster")))
+        .drop("__kcluster")
         .withColumn(
             "cos_keeper",
             safe_cos(dot(F.col("__v"), F.col("kv")), F.col("__n"), F.col("kn")),
