@@ -85,7 +85,19 @@ def jaccard_pairs(
         F.col(id_col).alias("id"), *[F.col(k) for k in keys],
         distinct_tokens(text_col).alias("ts"),
     )
-    inv = toks.select("id", *keys, F.explode("ts").alias("tok"))
+    # Explode the token expression INLINE, not the `ts` alias:
+    # InferFiltersFromGenerate only infers its (size(e)>0 AND
+    # isnotnull(e)) pre-filter when the generator child is a bare
+    # attribute, and predicate pushdown then substitutes the alias —
+    # planting a full array_distinct(split(...)) evaluation inside the
+    # scan-side Filter of every branch (r9 final-plan audit: one extra
+    # corpus tokenize per run, on top of the explode's own). The
+    # inline child dodges the rule; explode drops empty-array rows
+    # itself, so the row set is identical.
+    inv = df.select(
+        F.col(id_col).alias("id"), *[F.col(k) for k in keys],
+        F.explode(distinct_tokens(text_col)).alias("tok"),
+    )
     if max_df is not None:
         hot = (
             inv.groupBy(*keys, "tok")
@@ -111,10 +123,18 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    sizes = toks.select("id", F.size("ts").alias("n"))
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
     if max_df is None:
+        # Token-set sizes come from the SAME uncapped inverted index
+        # (|ts| = exact per-id row count — `inv` explodes DISTINCT
+        # sets), not from a separate size(ts) scan branch: the old
+        # branch re-tokenized the corpus twice more (the jac>=t
+        # constraint inferred isnotnull(n) and pushdown substituted
+        # the full size(array_distinct(split(...))) subtree into that
+        # scan's Filter), and ids with zero tokens cannot appear in
+        # pair_common anyway, so the join result is identical.
+        sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+        na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+        nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
         # index is complete → the count is the exact intersection size
         return (
             pair_common.join(na, "id_a").join(nb, "id_b")
@@ -223,28 +243,37 @@ def shingle_rows(
     """(id, pos, s) — one row per k-word shingle POSITION of the
     lowercased text (duplicates retained; MIN/collect_set consumers are unaffected).
 
-    Why rows and not `word_shingles` arrays: the array form's transform
-    lambda captures the token-array subtree, and Spark's interpreted
-    higher-order evaluator re-evaluates captured expressions PER
-    ELEMENT — the whole `split` re-ran for every shingle position,
-    O(tokens²) per document (caught by thread-dump at sf0.1: all
-    executor time inside StringSplit.nullSafeEval under ArrayTransform;
-    10-260 s with JIT-warmup-driven variance, BENCH_NOTES r4). Here the
-    text is split ONCE per document (codegen), positions explode to
-    rows, and the k-gram is assembled from `lead` windows over the
-    per-document token stream — every operator whole-stage-codegen.
+    Assembly is a per-row array transform over an ATTRIBUTE-captured
+    token array: the text is split ONCE per document into a dedicated
+    projection column (`__toks`), and the k-gram lambda reads that
+    attribute with try_element_at — O(k) per shingle. This avoids BOTH
+    historical failure modes:
+
+    - `word_shingles`' lambda captured the `split` SUBTREE, and the
+      interpreted higher-order evaluator re-evaluates captured
+      expressions PER ELEMENT — the whole split re-ran per shingle,
+      O(tokens²) per document (thread-dump-verified, BENCH_NOTES r4).
+      Capturing a bound attribute instead is an O(1) row-field read;
+      `__toks` is multi-referenced (sequence bound + k element_ats) so
+      CollapseProject keeps it materialized in its own Project below
+      the Generate.
+    - the r4–r8 row form assembled k-grams from `lead` windows, which
+      required a full (id, pos) exchange + sort of the raw token
+      stream before any shingle existed (r9 plan dumps: a Window node
+      in every shingle consumer). The transform form shingles straight
+      off the scan; downstream groupBy(id) consumers now ship partial
+      aggregates into their exchange instead of raw tokens.
 
     Docs with fewer than k tokens keep exactly one head shingle of all
-    their tokens (concat_ws skips the null leads), matching
-    `word_shingles`' sequence-clamp behavior; empty/NULL text yields
-    the '' shingle, so every document appears.
+    their tokens (concat_ws skips nulls past the end), and empty/NULL
+    text yields the '' shingle, so every document appears — identical
+    row set to the lead-window form (differentially A/B'd at sf0.1).
 
-    The hash exchange on id (explicit when the scan is under-parallel,
-    else inserted by the lead window) is REUSED by both downstream
-    aggregations (signature mins, verify-set collect) — one exchange
-    for the whole left side of the dedup plan."""
-    from pyspark.sql import Window
-
+    The explicit hash exchange on id (when the scan is under-parallel)
+    is REUSED by the downstream aggregations (signature mins,
+    verify-set collect) — one exchange for the whole left side of the
+    dedup plan; on an already-parallel scan no exchange is needed at
+    all."""
     narrow = df.select(
         F.col(id_col).alias("id"),
         F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
@@ -252,18 +281,16 @@ def shingle_rows(
     target = df.sparkSession.sparkContext.defaultParallelism
     if narrow.rdd.getNumPartitions() < min(target, 8):
         narrow = narrow.repartition(target, "id")
-    toks = narrow.select(
-        "id", F.posexplode(F.split("__t", r" +")).alias("pos", "tok")
+    toksed = narrow.select("id", F.split("__t", r" +").alias("__toks"))
+    n = F.size("__toks")
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(F.col("__toks"), i + j + 1) for j in range(k)]
+        ),
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    leads = [F.lead("tok", j).over(w) for j in range(1, k)]
-    shingled = toks.select(
-        "id",
-        "pos",
-        F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
-        (leads[-1].isNotNull() if k > 1 else F.lit(True)).alias("__full"),
-    )
-    return shingled.filter(F.col("__full") | (F.col("pos") == 0)).select("id", "pos", "s")
+    return toksed.select("id", F.posexplode(grams).alias("pos", "s"))
 
 
 def minhash_signatures(sh_rows: DataFrame, num_hashes: int = 64) -> DataFrame:
@@ -895,19 +922,33 @@ def span_scrub(
         F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
     )
     narrow = _ensure_parallelism(narrow)
-    toks = narrow.select(
-        "id", F.posexplode(F.split("__t", r" +")).alias("pos", "tok")
+    # Chunk assembly is the same attribute-captured array transform as
+    # shingle_rows (r9: replaces a lead-window over the exploded token
+    # stream — one full (id, pos) exchange + sort gone), STRIDED: the
+    # index sequence steps by span_w so only chunk-start positions are
+    # generated at all. try_element_at past the end yields NULLs that
+    # concat_ws skips, so the last stride yields the partial tail
+    # chunk; a sub-W document keeps its single pos==0 head chunk;
+    # empty/NULL text yields one ''. `pos` is the token position of
+    # the chunk start (i·span_w), exactly the old form's surviving
+    # pos values — the keeper window's (id, pos) order is unchanged.
+    toksed = narrow.select("id", F.split("__t", r" +").alias("__toks"))
+    n = F.size("__toks")
+    idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(span_w))
+    chunk = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(
+                " ",
+                *[F.try_element_at(F.col("__toks"), i + j + 1)
+                  for j in range(span_w)]
+            ).alias("ck"),
+        ),
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    leads = [F.lead("tok", j).over(w) for j in range(1, span_w)]
-    # concat_ws skips NULL leads, so the pos==k·W row near the end of a
-    # document yields the partial tail chunk; a sub-W document keeps
-    # its single pos==0 head chunk; empty/NULL text yields one ''.
     chunks = (
-        toks.select(
-            "id", "pos", F.concat_ws(" ", F.col("tok"), *leads).alias("ck")
-        )
-        .filter(F.col("pos") % span_w == 0)
+        toksed.select("id", F.explode(chunk).alias("c"))
+        .select("id", "c.pos", "c.ck")
     )
     wfp = Window.partitionBy(F.md5("ck")).orderBy("id", "pos")
     marked = chunks.withColumn("rn", F.row_number().over(wfp))
