@@ -527,3 +527,47 @@ def test_index_probe_single_documents_scan(spark, sf_dir, tmp_path_factory):
     assert p.count("documents.parquet") == 1, p
     assert count_shuffle_exchanges(probe) == 0
     assert "Join" not in p
+
+
+def test_shingle_rows_has_no_window(spark, sf_dir):
+    """r9 optimization pin: k-gram assembly is an attribute-captured
+    array transform — no lead-window, so no (id, pos) exchange+sort of
+    the raw token stream in any shingle consumer. A Window reappearing
+    here means the token stream is being shuffled and sorted again."""
+    from rust_query_engine_greatest_spark.pipeline import dedup
+    from rust_query_engine_greatest_spark.plans.explain import plan_string
+    from rust_query_engine_greatest_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    p = plan_string(dedup.shingle_rows(d, "doc_id", "text"))
+    assert "Window" not in p, f"shingling must not window:\n{p}"
+
+
+def test_semantic_dedup_assignment_not_pushed_into_scan(spark, sf_dir):
+    """r9 optimization pin: the keeper join is null-safe, so no
+    IsNotNull(cluster) is inferred and the K-fold cosine-assignment
+    expression is never duplicated into scan-side Filters. Any Filter
+    node in this plan means the pushdown regression is back (the old
+    shape paid the full assignment twice more per row)."""
+    from rust_query_engine_greatest_spark.plans.explain import plan_string
+
+    import re
+
+    df = REGISTRY["dedup_semantic"].build(spark, sf_dir)
+    p = plan_string(df)
+    assert not re.findall(r"\(\d+\) Filter", p), \
+        f"semantic_dedup must have no scan-side Filter:\n{p}"
+
+
+def test_jaccard_no_inferred_tokenize_in_filters(spark, sf_dir):
+    """r9 optimization pin: the inverted index explodes the token
+    expression inline and sizes come from the index itself, so neither
+    InferFiltersFromGenerate nor the jac>=t constraint can plant a
+    size(array_distinct(split(...))) tokenize inside a Filter — that
+    signature appearing anywhere means a full extra corpus tokenize
+    per run."""
+    from rust_query_engine_greatest_spark.plans.explain import plan_string
+
+    df = REGISTRY["dedup_jaccard"].build(spark, sf_dir)
+    p = plan_string(df)
+    assert "size(array_distinct" not in p, p
