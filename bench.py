@@ -292,6 +292,16 @@ def main() -> None:
             _probe_ops = [("dedup_minhash_probe", _minhash_probe),
                           ("dedup_simhash_probe", _simhash_probe),
                           ("dedup_bloom_probe", _bloom_probe)]
+            # Drain the index-build write-back before any timed entry:
+            # the parquet ingest above dirties the container disk, and
+            # on this box the page-cache flush otherwise lands on the
+            # first few TIMED pipeline ops (3 r9 artifacts show the
+            # inflation cluster start right here while a fresh session
+            # runs the same entries at r8 speed). The builds are the
+            # untimed half of the probe split, so their I/O must not
+            # leak into the timed region.
+            os.sync()
+            time.sleep(2.0)
         except Exception as e:
             print(f"bench index build failed: {e}", file=sys.stderr)
             _probe_ops = []
