@@ -100,6 +100,60 @@ def _cpu_snapshot() -> tuple[float, float]:
 _SECTIONS: dict[str, dict] = {}
 _SEC_MARK = (time.time(), *_cpu_snapshot())
 
+# Per-section contention control (VERDICT r9 #1): the startup idle gate
+# checks ONCE, then the bench records whatever happens — six of seven r9
+# attempts self-reported contended sections and the round's driver
+# numbers were poisoned. Two additions, acting on the instrumentation
+# that already existed:
+#   - _regate(): before each timed section, sample the EXTERNAL cpu
+#     rate (Δbusy − Δown over a 1 s window — loadavg is useless here
+#     because it carries our own executors) and wait, bounded, until
+#     the box is quiet.
+#   - one bounded RETRY of a section whose recorded ext_cpu_s tripped
+#     _section_contended(); the retry re-runs the same timed loop on
+#     the same entries and merges via min — the bench's own best-of
+#     methodology, just given a clean window. Timed action, entries
+#     and keys are unchanged; retries are recorded in the artifact.
+REGATE_EXT_CORES = float(os.environ.get("SPARK_GRAFT_BENCH_REGATE_EXT", "0.75"))
+REGATE_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_REGATE_WAIT", "45"))
+RETRY_EXTRA_S = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "240"))
+_GATE_WAITS: dict[str, float] = {}
+_RETRIES: dict[str, dict] = {}
+
+
+def _ext_cpu_rate(sample_s: float = 1.0) -> float:
+    """External busy cores right now: Δ(machine busy − our tree) over a
+    short sample window."""
+    b0, o0 = _cpu_snapshot()
+    t0 = time.time()
+    time.sleep(sample_s)
+    b1, o1 = _cpu_snapshot()
+    dt = max(time.time() - t0, 1e-3)
+    return max(0.0, (b1 - b0) - (o1 - o0)) / dt
+
+
+def _regate(name: str) -> None:
+    """Bounded wait before a timed section until external CPU is quiet."""
+    t0 = time.time()
+    while time.time() - t0 < REGATE_WAIT_S:
+        rate = _ext_cpu_rate(1.0)
+        if rate <= REGATE_EXT_CORES:
+            break
+        print(f"regate[{name}]: ext {rate:.1f} cores busy, waiting",
+              file=sys.stderr)
+        time.sleep(4)
+    waited = round(time.time() - t0, 1)
+    if waited > 2.0:
+        _GATE_WAITS[name] = waited
+
+
+def _section_contended(name: str) -> bool:
+    """A section is contended when the external CPU it recorded is more
+    than noise: > 2 s + 10% of its wall clock (clean r8/r9 sections sit
+    at 0.0–2; poisoned ones at 23–442)."""
+    s = _SECTIONS.get(name)
+    return bool(s) and s["ext_cpu_s"] > 2.0 + 0.10 * s["wall_s"]
+
 
 def _section_end(name: str) -> None:
     """Close the current bench section: record its wall-clock, the
@@ -202,23 +256,39 @@ def main() -> None:
     # mem variant) with the remainder reserved for it; the mem pass is
     # the one that gets skipped under pressure.
     _section_end("setup_warm")
+
+    def _run_tpch_passes(times: dict[str, float], iters: int,
+                         deadline: float) -> None:
+        for it in range(iters):
+            if it > 0 and time.time() > deadline:
+                print(f"bench-tpch stopped after pass {it} (budget)",
+                      file=sys.stderr)
+                break
+            for name in names:
+                key = name.replace("tpch_", "")
+                try:
+                    t0 = time.perf_counter()
+                    REGISTRY[name].build(spark, SF_DIR).collect()
+                    dt = time.perf_counter() - t0
+                    times[key] = round(min(times.get(key, float("inf")), dt), 4)
+                except Exception as e:  # keep the bench line emitting even if one query breaks
+                    print(f"bench {name} failed: {e}", file=sys.stderr)
+                    times[key] = -1.0
+
+    _regate("tpch")
     times: dict[str, float] = {}
-    for it in range(ITERS):
-        if it > 0 and time.time() - _T0 > BUDGET_S * 0.55:
-            print(f"bench-tpch stopped after pass {it} (budget)", file=sys.stderr)
-            break
-        for name in names:
-            key = name.replace("tpch_", "")
-            try:
-                t0 = time.perf_counter()
-                REGISTRY[name].build(spark, SF_DIR).collect()
-                dt = time.perf_counter() - t0
-                times[key] = round(min(times.get(key, float("inf")), dt), 4)
-            except Exception as e:  # keep the bench line emitting even if one query breaks
-                print(f"bench {name} failed: {e}", file=sys.stderr)
-                times[key] = -1.0
-    total = round(sum(t for t in times.values() if t > 0), 4)
+    _run_tpch_passes(times, ITERS, _T0 + BUDGET_S * 0.55)
     _section_end("tpch")
+    if _section_contended("tpch") and time.time() - _T0 < BUDGET_S + RETRY_EXTRA_S:
+        print(f"tpch section contended (ext_cpu "
+              f"{_SECTIONS['tpch']['ext_cpu_s']} s), retrying once",
+              file=sys.stderr)
+        _regate("tpch_retry")
+        _run_tpch_passes(times, max(2, ITERS - 2),
+                         time.time() + min(120.0, RETRY_EXTRA_S))
+        _section_end("tpch_retry")
+        _RETRIES["tpch"] = _SECTIONS["tpch_retry"]
+    total = round(sum(t for t in times.values() if t > 0), 4)
     # Training-pipeline ops (dedup/ANN/text) — reported under their own
     # keys so the headline tpch metric stays comparable across rounds;
     # warm + ONE timed pass (they are an order heavier than the tpch
@@ -292,6 +362,10 @@ def main() -> None:
             _probe_ops = [("dedup_minhash_probe", _minhash_probe),
                           ("dedup_simhash_probe", _simhash_probe),
                           ("dedup_bloom_probe", _bloom_probe)]
+        except Exception as e:
+            print(f"bench index build failed: {e}", file=sys.stderr)
+            _probe_ops = []
+        if _probe_ops:
             # Drain the index-build write-back before any timed entry:
             # the parquet ingest above dirties the container disk, and
             # on this box the page-cache flush otherwise lands on the
@@ -299,12 +373,26 @@ def main() -> None:
             # inflation cluster start right here while a fresh session
             # runs the same entries at r8 speed). The builds are the
             # untimed half of the probe split, so their I/O must not
-            # leak into the timed region.
-            os.sync()
-            time.sleep(2.0)
-        except Exception as e:
-            print(f"bench index build failed: {e}", file=sys.stderr)
-            _probe_ops = []
+            # leak into the timed region. Outside the build try-block
+            # (ADVICE r9): a drain hiccup must not discard successfully
+            # built indexes. The old fixed 2 s settle is now a bounded
+            # poll of /proc/meminfo Dirty+Writeback — margin on a box
+            # whose flush takes longer than a constant tuned to this one.
+            try:
+                os.sync()
+                _DRAIN_TIMEOUT_S, _DIRTY_QUIET_KB = 10.0, 64 * 1024
+                t0 = time.time()
+                while time.time() - t0 < _DRAIN_TIMEOUT_S:
+                    kb = 0
+                    with open("/proc/meminfo") as f:
+                        for line in f:
+                            if line.startswith(("Dirty:", "Writeback:")):
+                                kb += int(line.split()[1])
+                    if kb <= _DIRTY_QUIET_KB:
+                        break
+                    time.sleep(0.5)
+            except Exception as e:
+                print(f"writeback drain skipped: {e}", file=sys.stderr)
 
         pipe: list[tuple[str, object]] = [
             ("dedup_exact", REGISTRY["dedup_exact"].build),
@@ -323,37 +411,54 @@ def main() -> None:
             ("text_chunk_overlap", REGISTRY["text_chunk_overlap"].build),
             ("text_span_scrub", REGISTRY["text_span_scrub"].build),
         ] + _probe_ops
-        for name, build in pipe:
-            if time.time() - _T0 > BUDGET_S:
-                print(f"bench-pipeline budget exhausted before {name}", file=sys.stderr)
-                break
-            try:
-                build(spark, SF_DIR).collect()  # warm
-                # best-of-2, extended adaptively: shuffle-file I/O
-                # stalls on the container disk intermittently inflate
-                # single runs 3-5× (thread dumps in BENCH_NOTES r4) and
-                # can span the warm-up AND both timed passes
-                # (BENCH_r06 dedup_minhash 6.5 s vs 2.9 s reproducible —
-                # VERDICT r6 "what's wrong" #2). When the observed
-                # passes disagree by >1.5× the stall is still in play:
-                # keep sampling (≤5 total) until two passes agree or
-                # the budget runs out, so the recorded number is the
-                # warm plan, not the disk.
-                samples: list[float] = []
-                for _ in range(5):
-                    t0 = time.perf_counter()
-                    build(spark, SF_DIR).collect()
-                    samples.append(time.perf_counter() - t0)
-                    if time.time() - _T0 > BUDGET_S:
-                        break
-                    if len(samples) >= 2 and (
-                            sorted(samples)[1] <= 1.5 * sorted(samples)[0]):
-                        break
-                times_pipe[name] = round(min(samples), 4)
-            except Exception as e:
-                print(f"bench-pipeline {name} failed: {e}", file=sys.stderr)
-                times_pipe[name] = -1.0
+        def _run_pipeline(times_pipe: dict[str, float],
+                          deadline: float) -> None:
+            for name, build in pipe:
+                if time.time() > deadline:
+                    print(f"bench-pipeline budget exhausted before {name}",
+                          file=sys.stderr)
+                    break
+                try:
+                    build(spark, SF_DIR).collect()  # warm
+                    # best-of-2, extended adaptively: shuffle-file I/O
+                    # stalls on the container disk intermittently inflate
+                    # single runs 3-5× (thread dumps in BENCH_NOTES r4) and
+                    # can span the warm-up AND both timed passes
+                    # (BENCH_r06 dedup_minhash 6.5 s vs 2.9 s reproducible —
+                    # VERDICT r6 "what's wrong" #2). When the observed
+                    # passes disagree by >1.5× the stall is still in play:
+                    # keep sampling (≤5 total) until two passes agree or
+                    # the budget runs out, so the recorded number is the
+                    # warm plan, not the disk.
+                    samples: list[float] = []
+                    for _ in range(5):
+                        t0 = time.perf_counter()
+                        build(spark, SF_DIR).collect()
+                        samples.append(time.perf_counter() - t0)
+                        if time.time() > deadline:
+                            break
+                        if len(samples) >= 2 and (
+                                sorted(samples)[1] <= 1.5 * sorted(samples)[0]):
+                            break
+                    best = round(min(samples), 4)
+                    times_pipe[name] = min(times_pipe.get(name, float("inf")),
+                                           best)
+                except Exception as e:
+                    print(f"bench-pipeline {name} failed: {e}", file=sys.stderr)
+                    times_pipe.setdefault(name, -1.0)
+
+        _regate("pipeline")
+        _run_pipeline(times_pipe, _T0 + BUDGET_S)
     _section_end("pipeline")
+    if (times_pipe and _section_contended("pipeline")
+            and time.time() - _T0 < BUDGET_S + RETRY_EXTRA_S):
+        print(f"pipeline section contended (ext_cpu "
+              f"{_SECTIONS['pipeline']['ext_cpu_s']} s), retrying once",
+              file=sys.stderr)
+        _regate("pipeline_retry")
+        _run_pipeline(times_pipe, time.time() + min(150.0, RETRY_EXTRA_S))
+        _section_end("pipeline_retry")
+        _RETRIES["pipeline"] = _SECTIONS["pipeline_retry"]
     # In-memory variant — the reference's `tpch_mem` mode (bench.sh:73,
     # BASELINE.md second table): same queries over cached columnar
     # tables, isolating compute from IO. Runs LAST: it is the section
@@ -367,24 +472,42 @@ def main() -> None:
             tpch = [n for n in names if n.startswith("tpch_")]
             for name in tpch:  # warm the cached plans
                 REGISTRY[name].build(spark, SF_DIR).collect()
-            for _ in range(max(2, ITERS - 2)):
-                if time.time() - _T0 > BUDGET_S * 1.15:
-                    print("bench-mem stopped early (budget)", file=sys.stderr)
-                    break
-                for name in tpch:
-                    key = name.replace("tpch_", "")
-                    try:
-                        t0 = time.perf_counter()
-                        REGISTRY[name].build(spark, SF_DIR).collect()
-                        dt = time.perf_counter() - t0
-                        times_mem[key] = round(min(times_mem.get(key, float("inf")), dt), 4)
-                    except Exception as e:
-                        print(f"bench-mem {name} failed: {e}", file=sys.stderr)
-                        times_mem[key] = -1.0
+
+            def _run_mem_passes(times_mem: dict[str, float], passes: int,
+                                deadline: float) -> None:
+                for _ in range(passes):
+                    if time.time() > deadline:
+                        print("bench-mem stopped early (budget)", file=sys.stderr)
+                        break
+                    for name in tpch:
+                        key = name.replace("tpch_", "")
+                        try:
+                            t0 = time.perf_counter()
+                            REGISTRY[name].build(spark, SF_DIR).collect()
+                            dt = time.perf_counter() - t0
+                            times_mem[key] = round(min(times_mem.get(key, float("inf")), dt), 4)
+                        except Exception as e:
+                            print(f"bench-mem {name} failed: {e}", file=sys.stderr)
+                            times_mem[key] = -1.0
+
+            _regate("mem")
+            _run_mem_passes(times_mem, max(2, ITERS - 2), _T0 + BUDGET_S * 1.15)
+            _section_end("mem")
+            if (_section_contended("mem")
+                    and time.time() - _T0 < BUDGET_S + RETRY_EXTRA_S):
+                print(f"mem section contended (ext_cpu "
+                      f"{_SECTIONS['mem']['ext_cpu_s']} s), retrying once",
+                      file=sys.stderr)
+                _regate("mem_retry")
+                _run_mem_passes(times_mem, 2,
+                                time.time() + min(90.0, RETRY_EXTRA_S))
+                _section_end("mem_retry")
+                _RETRIES["mem"] = _SECTIONS["mem_retry"]
             _catalog.uncache_tables(SF_DIR)
         except Exception as e:
             print(f"mem pass skipped: {e}", file=sys.stderr)
-    _section_end("mem")
+    if "mem" not in _SECTIONS:
+        _section_end("mem")
     out = {
         "metric": "tpch_total_best",
         "value": total,
@@ -406,6 +529,11 @@ def main() -> None:
         # the section ran idle-attributable even though loadavg carries
         # our own executors; a contended section shows ext_cpu_s ≫ 0.
         "sections": _SECTIONS,
+        # VERDICT r9 #1 additions: pre-section regate waits and the
+        # one-shot contended-section retries (numbers merged via min —
+        # same best-of methodology, clean window)
+        "section_gate_waited_s": _GATE_WAITS,
+        "section_retries": _RETRIES,
         "wall_s": round(time.time() - _T0, 1),
     }
     if times_mem:
