@@ -325,14 +325,19 @@ def main() -> None:
         _bloom_bitmap: list[int] = []
 
         def _build_indexes() -> None:
+            # r10: writes go through dedup.write_index (REBALANCE hint)
+            # so file sizing follows data volume, not shuffle.partitions
+            # (guide §6; was 32 × ~12 KB files per index at sf0.1)
             t0 = time.perf_counter()
-            _dedup.minhash_index_rows(_corpus, "doc_id", "text") \
-                .write.mode("overwrite").parquet(f"{_idx_root}/minhash")
+            _dedup.write_index(
+                _dedup.minhash_index_rows(_corpus, "doc_id", "text"),
+                f"{_idx_root}/minhash")
             times_build["dedup_minhash_index_build"] = round(
                 time.perf_counter() - t0, 4)
             t0 = time.perf_counter()
-            _dedup.simhash_index_rows(_corpus, "doc_id", "text") \
-                .write.mode("overwrite").parquet(f"{_idx_root}/simhash")
+            _dedup.write_index(
+                _dedup.simhash_index_rows(_corpus, "doc_id", "text"),
+                f"{_idx_root}/simhash")
             times_build["dedup_simhash_index_build"] = round(
                 time.perf_counter() - t0, 4)
             t0 = time.perf_counter()

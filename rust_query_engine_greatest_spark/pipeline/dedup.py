@@ -273,7 +273,15 @@ def shingle_rows(
     is REUSED by the downstream aggregations (signature mins,
     verify-set collect) — one exchange for the whole left side of the
     dedup plan; on an already-parallel scan no exchange is needed at
-    all."""
+    all.
+
+    Memory bound (pinned by test_pipeline.py::
+    test_shingle_and_span_ops_handle_multi_mb_single_document): the
+    gram array materializes per ROW before posexplode, so transient
+    task memory is ≈ k× the document size — bounded by the largest
+    document, never by the corpus. A pathological multi-MB single-line
+    document costs k× its own size in one task; that is an executor
+    sizing fact, not a scale ceiling."""
     narrow = df.select(
         F.col(id_col).alias("id"),
         F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
@@ -510,6 +518,19 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _simhash_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fp) rows for the simhash family. The fold formulation was
+    re-A/B'd against an exploded-token + 64-codegen-SUM row form in r10
+    (tools/opt_ab_r10.py, VERDICT r9 #3): the fold stayed 4-6× faster
+    at sf0.1 even under the new shared-exchange input (noop best 0.38 s
+    vs 2.15 s) — the r4 result did not invert, the row form's 1.5M-row
+    explode + 64 aggregate buffers costs more than the interpreted
+    zip_with saves. Not promoted."""
+    return _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
+    )
+
+
 
 
 def _simhash_banded(base: DataFrame, bands: int) -> DataFrame:
@@ -647,10 +668,9 @@ def simhash_pairs(
     Exchanges: one tiny bounded agg (≤ bands·2^width rows, broadcast
     back), then one groupBy over healthy rows + one over overflow rows —
     together the same volume as the single groupBy of the naive form."""
-    base = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
+    return simhash_pairs_from_fps(
+        _simhash_base(df, id_col, text_col), max_hamming, bands, max_bucket
     )
-    return simhash_pairs_from_fps(base, max_hamming, bands, max_bucket)
 
 
 def simhash_pairs_from_fps(
@@ -662,32 +682,87 @@ def simhash_pairs_from_fps(
     """simhash_pairs' banding/pairing stage over precomputed (id, fp)
     rows — split out so hot-bucket recall is testable on synthetic
     fingerprint fixtures (test_pipeline.py plants a bucket where every
-    member shares one band and asserts sub-banding recovers the pairs)."""
-    # r9 shape: bucket sizes come from a COUNT WINDOW over the band-key
-    # exchange instead of the old separate census aggregate + broadcast
-    # join-back. The census form executed the whole upstream (documents
-    # scan + the simhash64 fold, the op's dominant cost) once for the
-    # census and once more per union branch — 4 fp computations of the
-    # corpus per run (plan-verified, plans/r09/pipe_dedup_simhash_before).
-    # With the window, both branches share ONE byte-identical exchange
-    # subtree (fp computed on its map side, exactly once — the shuffle
-    # stage is reused for the second branch), the healthy branch's
-    # groupBy rides the same partitioning with no further exchange, and
-    # the overflow branch's sub-band keys are derived post-exchange from
-    # (fp, band_id) for hot rows only. The memory bound is unchanged:
-    # collect_set still only ever runs on ≤ max_bucket cells.
-    from pyspark.sql import Window
+    member shares one band and asserts sub-banding recovers the pairs).
 
+    The explicit hash repartition pins an exchange ABOVE whatever
+    produced `base` — for simhash_pairs that is the simhash64 fold, the
+    op's dominant per-row cost — so the census and both tag consumers
+    below re-read its shuffle output (ReusedExchange) instead of each
+    re-executing the producer subtree. The exchange carries n narrow
+    (id, fp) rows: 16 bytes/row at any corpus size, orders cheaper than
+    one extra corpus scan+fold."""
+    sc = base.sparkSession.sparkContext
+    return _simhash_pairs_core(
+        base.repartition(sc.defaultParallelism, "id"),
+        max_hamming, bands, max_bucket,
+    )
+
+
+def _simhash_census_hot(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """The (band_id, band_val) keys of buckets holding more than
+    max_bucket rows. A plain COUNT aggregate: map-side partial
+    aggregation condenses even a degenerate hot key to one row per map
+    task before anything crosses the wire — no bucket's row set ever
+    co-locates for the census. Output is doubly bounded: ≤ bands·2^width
+    distinct keys exist at all (262,144 at the default 4×16-bit bands),
+    and only keys with > max_bucket members survive (≤ rows/max_bucket),
+    so the broadcast build side stays a few MB at any corpus size."""
+    return (
+        banded.groupBy("band_id", "band_val")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        # fresh aliases: the hot side derives FROM banded, so its key
+        # columns would otherwise carry the same expression ids as the
+        # probe side's and the tag join condition would be ambiguous
+        .select(F.col("band_id").alias("__hot_band"),
+                F.col("band_val").alias("__hot_val"))
+    )
+
+
+def _hot_cond() -> Column:
+    """Join condition for the hot-key tag joins. band_val is null-safe:
+    a NULL fp (NULL source text) bands to NULL band_val, and the window
+    census it replaces counted that bucket like any other — a plain
+    equi-join would silently divert a hot NULL bucket to the healthy
+    branch instead of sub-banding it."""
+    return (F.col("band_id") == F.col("__hot_band")) & (
+        F.col("band_val").eqNullSafe(F.col("__hot_val"))
+    )
+
+
+def _simhash_pairs_core(
+    base: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Banding/pairing over (id, fp) rows whose producing plan ends in
+    a reusable exchange (see callers).
+
+    r10 shape (guide §2.5 skew): bucket sizes come from a bounded
+    census AGGREGATE + broadcast hot-key anti/semi joins, not the r9
+    `count(1) OVER (PARTITION BY band_id, band_val)` window. The window
+    rode the band exchange but shipped EVERY row of a bucket to one
+    task and sorted it before the overflow split could fire — a
+    degenerate band value (near-constant fingerprints: templated or
+    empty documents) serialized a corpus-scale bucket onto one executor.
+    Now nothing ever co-locates a whole bucket: the census partial-aggs
+    map-side (_simhash_census_hot), the tag joins are broadcast
+    (map-side, one tiny build reused by both), the healthy branch's
+    groupBy cells are ≤ max_bucket by construction, and hot rows cross
+    their exchange already spread over (max_hamming+1) sub-band keys.
+    The fp fold still runs exactly once: census and both tag branches
+    re-read the exchange under `base` (ReusedExchange, plan-pinned in
+    test_plans.py)."""
     banded = _simhash_banded(base, bands)
-    w = Window.partitionBy("band_id", "band_val")
-    tagged = banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+    hot = _simhash_census_hot(banded, max_bucket)
+    healthy = banded.join(F.broadcast(hot), _hot_cond(), "left_anti")
     cand_ok = _bucket_pairs_hamming(
-        tagged.filter(F.col("_bucket_n") <= max_bucket)
-        .select("id", "fp", "band_id", "band_val"),
+        healthy.select("id", "fp", "band_id", "band_val"),
         ["band_id", "band_val"], max_hamming, max_bucket=max_bucket,
     )
     sub = (
-        tagged.filter(F.col("_bucket_n") > max_bucket)
+        banded.join(F.broadcast(hot), _hot_cond(), "left_semi")
         .select("id", "fp", "band_id", "band_val",
                 F.explode(_sub_keys_expr(bands, max_hamming)).alias("sb"))
         .select("id", "fp", "band_id", "band_val", "sb.sub_id", "sb.sub_val")
@@ -717,10 +792,7 @@ def simhash_index_rows(
     hot band bucket is ordinary join skew AQE splits (the pairwise
     path's sub-banding exists for the in-bucket PAIR explosion, which
     a probe join never materializes)."""
-    base = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
-    )
-    return _simhash_banded(base, bands)
+    return _simhash_banded(_simhash_base(df, id_col, text_col), bands)
 
 
 def simhash_index_probe(
@@ -737,9 +809,7 @@ def simhash_index_probe(
     band equal ⇒ guaranteed recall), Hamming-test the fp pair on the
     joined row, distinct. Returns (batch_id, corpus_id, hamming). The
     corpus is never re-scanned or re-hashed."""
-    b = _ensure_parallelism(batch).select(
-        F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
-    )
+    b = _simhash_base(batch, id_col, text_col)
     banded_b = _simhash_banded(b, bands).select(
         F.col("id").alias("batch_id"), F.col("fp").alias("fp_b"),
         "band_id", "band_val")
@@ -768,10 +838,9 @@ def simhash_overflow(
     hot-bucket sub-banding) that still exceed max_bucket. Mirrors
     bucket_overflow's contract — one row per dropped cell with its
     member count, so pipelines log exactly what was truncated."""
-    base = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
+    return simhash_overflow_from_fps(
+        _simhash_base(df, id_col, text_col), max_hamming, bands, max_bucket
     )
-    return simhash_overflow_from_fps(base, max_hamming, bands, max_bucket)
 
 
 def simhash_overflow_from_fps(
@@ -784,13 +853,26 @@ def simhash_overflow_from_fps(
     simhash_pairs_from_fps) so the documented drop-with-accounting
     behavior of a DOUBLE overflow (a sub-bucket of a hot bucket itself
     exceeding max_bucket) is testable on planted fingerprint fixtures."""
-    from pyspark.sql import Window
+    sc = base.sparkSession.sparkContext
+    return _simhash_overflow_core(
+        base.repartition(sc.defaultParallelism, "id"),
+        max_hamming, bands, max_bucket,
+    )
 
+
+def _simhash_overflow_core(
+    base: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Same r10 skew-proof census as _simhash_pairs_core: hot buckets
+    from the bounded aggregate + broadcast semi join, not a count
+    window (see _simhash_pairs_core for why)."""
     banded = _simhash_banded(base, bands)
-    w = Window.partitionBy("band_id", "band_val")
+    hot = _simhash_census_hot(banded, max_bucket)
     sub = (
-        banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
-        .filter(F.col("_bucket_n") > max_bucket)
+        banded.join(F.broadcast(hot), _hot_cond(), "left_semi")
         .select("id", "band_id", "band_val",
                 F.explode(_sub_keys_expr(bands, max_hamming)).alias("sb"))
         .select("id", "band_id", "band_val", "sb.sub_id", "sb.sub_val")
@@ -798,6 +880,20 @@ def simhash_overflow_from_fps(
     return bucket_overflow(
         sub, ["band_id", "band_val", "sub_id", "sub_val"], max_bucket=max_bucket
     )
+
+
+def write_index(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist a near-dup index (minhash_index_rows / simhash_index_rows
+    output) with right-sized files. The index plan ends in a band
+    explode over the signature aggregate, so a bare write emits one
+    file per post-agg partition — shuffle.partitions-many shards
+    regardless of volume (measured at sf0.1: 32 files × ~12 KB,
+    guide §6's small-files problem; at 100 TB the same plan writes
+    thousands of undersized files per batch). The REBALANCE hint lets
+    AQE pack write partitions to advisoryPartitionSizeInBytes instead:
+    file count follows data volume, not the shuffle-partition constant
+    — scale-adaptive with no tuned numbers here."""
+    df.hint("rebalance").write.mode(mode).parquet(path)
 
 
 # ---- embedding cosine -----------------------------------------------------

@@ -375,6 +375,45 @@ def test_simhash_hot_bucket_subbanding_recall(spark):
     assert planted <= got, f"lost {len(planted - got)} planted hot-bucket pairs"
 
 
+def test_simhash_degenerate_census_never_colocates_a_bucket(spark):
+    """VERDICT r9 #2: a degenerate corpus where MOST documents share one
+    band value (near-constant fingerprints — templated/empty texts) must
+    not serialize on one executor. The r9 count-window census shipped
+    every row of the hot bucket to ONE window task and sorted it before
+    the overflow split could fire. Fixture: 60% of docs (300/500) share
+    band 0's value. Pins the r10 shape: no Window node anywhere (bucket
+    sizes come from the bounded census AGGREGATE, whose map-side partial
+    agg condenses the hot key before anything crosses the wire), the
+    hot-key tag joins are broadcast (a shuffled tag join would co-locate
+    the bucket again), the fingerprint producer executes once for all
+    three consumers (ReusedExchange in the final adaptive plan), and the
+    planted-pair recall of the sub-banding path is unchanged."""
+    from rust_query_engine_greatest_spark.plans.explain import plan_string
+
+    mask46 = (1 << 46) - 1
+    flips = (1 << 20) | (1 << 33) | (1 << 60)  # bands 1, 2, 3
+    rows = []
+    for i in range(150):  # 300 rows all sharing band 0 (hot at cap 100)
+        u = (i * 0x9E3779B97F4A7C15) & mask46
+        fp_a = (u << 16) | 0x1234
+        rows.append((2 * i, fp_a))
+        rows.append((2 * i + 1, fp_a ^ flips))
+    for i in range(200):  # 200 healthy rows; |1 keeps band 0 off 0x1234
+        rows.append((10_000 + i,
+                     ((i * 0xD1B54A32D192ED03) & ((1 << 62) - 1)) | 1))
+    base = spark.createDataFrame(rows, "id long, fp long")
+    pairs = dedup.simhash_pairs_from_fps(base, max_hamming=3, max_bucket=100)
+    p = plan_string(pairs)
+    assert "Window" not in p, f"census must not window:\n{p}"
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(150)}
+    assert planted <= got, f"lost {len(planted - got)} planted hot-bucket pairs"
+    final = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+
+
 def test_simhash_double_overflow_drops_with_accounting(spark):
     """VERDICT r6 #8: when a SUB-bucket of a hot band bucket ALSO
     exceeds max_bucket, its pairs are dropped -- but (a) the drop is
@@ -544,6 +583,40 @@ def test_pack_sequences_boundary_semantics(spark):
     assert (out[1]["seq_id"], out[1]["offset"]) == (0, 6)
     assert (out[2]["seq_id"], out[2]["offset"]) == (0, 9)
     assert (out[3]["seq_id"], out[3]["offset"]) == (1, 4)
+
+
+def test_shingle_and_span_ops_handle_multi_mb_single_document(spark):
+    """VERDICT r9 #6 pinned bound: the r9 gram assembly builds a
+    document's whole k-gram array as ONE row value before posexplode,
+    so transient task memory is ≈ k× the DOCUMENT size (each token
+    appears in k grams) — bounded per document, not per corpus, vs the
+    old streaming lead-window rows. This pins the envelope: a multi-MB
+    single-line document (400k tokens, ~2.7 MB) must shingle completely
+    and exactly in the default test heap, and span_scrub must
+    reconstruct it byte-identically (all chunks unique → nothing cut).
+    A pathological document costs k× its own size in one task row;
+    corpora with larger documents raise executor memory, not this
+    code."""
+    n, k, w = 400_000, 3, 10
+    text = " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    rows = dedup.shingle_rows(df, "doc_id", "text", k)
+    agg = rows.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("pos").alias("min_pos"), F.max("pos").alias("max_pos"),
+        F.count_distinct("pos").alias("n_pos"),
+    ).collect()[0]
+    assert agg.n_rows == n - k + 1 == agg.n_pos
+    assert (agg.min_pos, agg.max_pos) == (0, n - k)
+    ends = {r.pos: r.s for r in rows.filter(
+        F.col("pos").isin(0, n - k)).collect()}
+    assert ends[0] == "t0 t1 t2"
+    assert ends[n - k] == f"t{n-3} t{n-2} t{n-1}"
+
+    scrub = dedup.span_scrub(df, "doc_id", "text", span_w=w).collect()[0]
+    assert scrub.n_spans == n // w and scrub.n_cut == 0
+    assert scrub.text_scrubbed == text
 
 
 def test_shingle_rows_matches_word_shingles(spark):

@@ -52,16 +52,23 @@ def bench_surface(spark, sf_dir):
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     idx_root = f"/tmp/spark_graft_probe_idx_sf{sf}"
     if not os.path.isdir(f"{idx_root}/minhash"):
-        _dedup.minhash_index_rows(corpus, "doc_id", "text") \
-            .write.mode("overwrite").parquet(f"{idx_root}/minhash")
+        _dedup.write_index(
+            _dedup.minhash_index_rows(corpus, "doc_id", "text"),
+            f"{idx_root}/minhash")
     if not os.path.isdir(f"{idx_root}/simhash"):
-        _dedup.simhash_index_rows(corpus, "doc_id", "text") \
-            .write.mode("overwrite").parquet(f"{idx_root}/simhash")
+        _dedup.write_index(
+            _dedup.simhash_index_rows(corpus, "doc_id", "text"),
+            f"{idx_root}/simhash")
     out["pipe_dedup_minhash_probe"] = lambda s, d: _dedup.minhash_index_probe(
         batch, s.read.parquet(f"{idx_root}/minhash"), "doc_id", "text")
     out["pipe_dedup_simhash_probe"] = lambda s, d: _dedup.simhash_index_probe(
         batch, s.read.parquet(f"{idx_root}/simhash"), "doc_id", "text",
         max_hamming=3)
+    # the untimed index-build half of the probe split (r10: write sizing)
+    out["pipe_dedup_minhash_index_build"] = lambda s, d: _dedup.minhash_index_rows(
+        corpus, "doc_id", "text")
+    out["pipe_dedup_simhash_index_build"] = lambda s, d: _dedup.simhash_index_rows(
+        corpus, "doc_id", "text")
     return out
 
 
@@ -71,6 +78,7 @@ def main() -> None:
     ap.add_argument("--names", default="")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--round", default="r10")
     args = ap.parse_args()
 
     spark = get_spark(app_name="plan-dump")
@@ -84,7 +92,7 @@ def main() -> None:
     surface = bench_surface(spark, args.sf_dir)
     names = [n for n in args.names.split(",") if n] or sorted(surface)
     outdir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r09")
+        os.path.abspath(__file__))), "plans", args.round)
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         try:
