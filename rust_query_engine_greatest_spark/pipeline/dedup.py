@@ -463,13 +463,26 @@ def minhash_lsh_pairs(
     # Exact-Jaccard verify sets, built from the SAME shingle rows
     # (collect_set is the distinct step) — no second interpreted
     # shingling pass; the id partitioning from shingle_rows is reused.
+    # The verify joins are null-safe (r10, guide §7.2 — the same
+    # IsNotNull-pushdown disease semantic_dedup had): a plain inner
+    # equi-join on id_a/id_b makes the optimizer infer IsNotNull and
+    # push it into each sh_sets branch, which makes those subtrees
+    # differ from the signature branch — ReuseExchange stops firing and
+    # the corpus is scanned+shingled once PER branch (3× total,
+    # plan-verified in plans/r10/pipe_dedup_minhash_before.txt: 3
+    # documents scans). cand ids are provably never NULL (the
+    # id_a < id_b pair filter evaluates NULL to false), and a NULL
+    # sh_sets id matches a non-NULL cand id under neither operator, so
+    # the join pairs are identical while EqualNullSafe triggers no
+    # inference — all three branches re-read one exchange.
     sh_sets = sh_rows.groupBy("id").agg(F.collect_set("s").alias("sh"))
-    sh_a = sh_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh_sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sh_a = sh_sets.select(F.col("id").alias("__ia"), F.col("sh").alias("sh_a"))
+    sh_b = sh_sets.select(F.col("id").alias("__ib"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.join(sh_a, "id_a").join(sh_b, "id_b")
+        cand.join(sh_a, F.col("id_a").eqNullSafe(F.col("__ia")))
+        .join(sh_b, F.col("id_b").eqNullSafe(F.col("__ib")))
         .withColumn("jac", inter / union)
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
