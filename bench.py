@@ -59,6 +59,8 @@ def _cpu_snapshot() -> tuple[float, float]:
         hz = float(os.sysconf("SC_CLK_TCK"))
         with open("/proc/stat") as f:
             parts = f.readline().split()[1:]
+        global _IOWAIT_S
+        _IOWAIT_S = int(parts[4]) / hz  # side-channel read by _section_end
         busy = (sum(int(x) for x in parts)
                 - int(parts[3]) - int(parts[4])) / hz  # − idle − iowait
         ppid_of: dict[int, int] = {}
@@ -97,8 +99,9 @@ def _cpu_snapshot() -> tuple[float, float]:
         return 0.0, 0.0
 
 
+_IOWAIT_S = 0.0
 _SECTIONS: dict[str, dict] = {}
-_SEC_MARK = (time.time(), *_cpu_snapshot())
+_SEC_MARK = (time.time(), *_cpu_snapshot(), 0.0)
 
 # Per-section contention control (VERDICT r9 #1): the startup idle gate
 # checks ONCE, then the bench records whatever happens — six of seven r9
@@ -161,14 +164,19 @@ def _section_end(name: str) -> None:
     contended-section flag), and the loadavg at the boundary."""
     global _SEC_MARK
     now, busy, own = time.time(), *_cpu_snapshot()
-    t0, busy0, own0 = _SEC_MARK
+    t0, busy0, own0, iow0 = _SEC_MARK
     _SECTIONS[name] = {
         "wall_s": round(now - t0, 1),
         "own_cpu_s": round(own - own0, 1),
         "ext_cpu_s": round(max(0.0, (busy - busy0) - (own - own0)), 1),
+        # r10: machine iowait over the section — the disk-stall mode
+        # (uniform 15-25% inflation with ext_cpu 0.0) is otherwise
+        # invisible to the CPU instrumentation; a high value marks the
+        # artifact as I/O-contended even though no one stole CPU.
+        "iowait_s": round(_IOWAIT_S - iow0, 1),
         "load": [round(x, 2) for x in os.getloadavg()],
     }
-    _SEC_MARK = (now, busy, own)
+    _SEC_MARK = (now, busy, own, _IOWAIT_S)
 
 
 def bench_names() -> list[str]:
