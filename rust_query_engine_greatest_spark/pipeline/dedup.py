@@ -618,6 +618,7 @@ def _bucket_pairs_hamming(
     bucket_cols: list[str],
     max_hamming: int,
     max_bucket: int = 1024,
+    distinct: bool = True,
 ) -> DataFrame:
     """_bucket_pairs for SimHash: (id, fp, bucket) rows → candidate
     (id_a, id_b, hamming) pairs with the Hamming test applied INSIDE
@@ -649,14 +650,18 @@ def _bucket_pairs_hamming(
         ),
         lambda p: (p["id_a"] < p["id_b"]) & (p["hamming"] <= max_hamming),
     )
-    return (
+    out = (
         banded.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_set(F.struct("id", "fp"))).alias("xs"))
         .filter((F.size("xs") > 1) & (F.size("xs") <= max_bucket))
         .select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b", "p.hamming")
-        .distinct()
     )
+    # distinct=False for callers that union several banded branches and
+    # dedup ONCE after the union (r10: one exchange per branch saved;
+    # A/B −3-4% at sf0.1, pair sets identical) — the per-branch
+    # distinct was immediately re-deduped by the union's distinct.
+    return out.distinct() if distinct else out
 
 
 def simhash_pairs(
@@ -773,6 +778,7 @@ def _simhash_pairs_core(
     cand_ok = _bucket_pairs_hamming(
         healthy.select("id", "fp", "band_id", "band_val"),
         ["band_id", "band_val"], max_hamming, max_bucket=max_bucket,
+        distinct=False,
     )
     sub = (
         banded.join(F.broadcast(hot), _hot_cond(), "left_semi")
@@ -782,11 +788,13 @@ def _simhash_pairs_core(
     )
     cand_sub = _bucket_pairs_hamming(
         sub, ["band_id", "band_val", "sub_id", "sub_val"], max_hamming,
-        max_bucket=max_bucket,
+        max_bucket=max_bucket, distinct=False,
     )
     # fp travels through the collect, so the Hamming test runs inside
     # the pair arrays and the old id→fp join-backs (two shuffles of the
-    # full candidate set) disappear; distinct sees survivors only
+    # full candidate set) disappear; ONE distinct after the union dedups
+    # both within-branch (cross-band) and cross-branch duplicates — the
+    # per-branch distincts it replaces were pure extra exchanges
     return cand_ok.unionByName(cand_sub).distinct()
 
 
